@@ -1,0 +1,49 @@
+"""SparkSession bootstrap tuned for the engine.
+
+Local testing runs on ``local[N]``; the configs below are the ones that
+matter identically on a 1000-executor cluster:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic
+  broadcast decisions) — the 100 TB safety net.
+- ``spark.sql.session.timeZone=UTC`` so timestamp semantics are
+  deterministic and match the DuckDB oracle (naive timestamps).
+- Arrow enabled for the Pandas-UDF islands (external-call operators,
+  JSON repair ladder) — Arrow batches are the only acceptable
+  Python-boundary transport at scale.
+- shuffle partitions sized for the test box; on a real cluster AQE
+  coalesces from a deliberately high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "eligibility-etl-spark",
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession."""
+    shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{DEFAULT_CPUS}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
