@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import os
 
+import pyarrow.parquet as _pq
+import pyarrow.types as _pat
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark.config import TABLES
 
@@ -27,7 +30,17 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
             path = os.path.join(self.sf_dir, f"{name}.parquet")
-            self._cache[name] = self.spark.read.parquet(path)
+            df = self.spark.read.parquet(path)
+            # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); restore
+            # them to timestamps (integer-div to micros == DuckDB's ns->us).
+            schema = _pq.read_schema(path)
+            for field in schema:
+                if _pat.is_timestamp(field.type) and field.type.unit == "ns":
+                    df = df.withColumn(
+                        field.name,
+                        F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+                    )
+            self._cache[name] = df
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -43,6 +43,9 @@ def get_spark(app_name: str = "eligibility-etl-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TIMESTAMP(NANOS) parquet columns (events.ts) are otherwise
+        # unreadable; the catalog converts the long nanos back to timestamp.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

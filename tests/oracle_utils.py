@@ -34,7 +34,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.round(6)
         elif s.dtype == object:
-            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            import datetime
+
+            non_null = s.dropna()
+            if len(non_null) and all(
+                isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
+                for v in non_null
+            ):
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     key = df.apply(lambda row: tuple(str(v) for v in row), axis=1)
     df = df.iloc[key.argsort(kind="stable").to_numpy()].reset_index(drop=True)
     return df
