@@ -15,18 +15,30 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from eligibility_etl_airflow_spark import registry
+from eligibility_etl_airflow_spark.deploy import ensure_shipped
 
 registry.load_all()
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Ship the package to executor workers before building any plan —
+    required when the harness imports this file from outside the repo."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.QUERIES["eligibility_flagship"](spark, "/root/testdata/sf0.001")
+    return _wrap(registry.QUERIES["eligibility_flagship"])(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return {name: _wrap(fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,60 @@
+"""Benchmark harness — runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a noop datasource write (full pipeline runs on
+executors, nothing collects to the driver), which is what a sink-bound
+production job looks like.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eligibility_etl_airflow_spark import registry
+from eligibility_etl_airflow_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    start = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup so q1 doesn't pay session startup.
+    warm = registry.QUERIES["eligibility_flagship"]
+    run_query(warm, spark, SF_DIR)
+
+    times: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        times[name] = round(run_query(registry.QUERIES[name], spark, SF_DIR), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "engine_query_suite_total",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

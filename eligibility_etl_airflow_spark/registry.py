@@ -36,6 +36,7 @@ def load_all() -> None:
         eligibility,
         relational,
         resubmission,
+        predictions,
         llm_pipeline,
         streaming_batch,
     )
