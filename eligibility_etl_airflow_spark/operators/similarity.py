@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how ANN is actually deployed on Spark:
+
+- **brute-force cosine top-k** — exact baseline. The query set is tiny
+  and broadcast; the corpus is scanned once; per-row dot products run as
+  higher-order functions (zip_with + aggregate) JVM-side; top-k per query
+  is a window over (query, sim). Cost: one corpus scan per batch of
+  queries — the right answer up to ~10^9 corpus rows per query batch.
+- **LSH (random hyperplane) bucketed** — the scale path. Deterministic
+  signed-projection signature per vector buckets the corpus; queries
+  probe their own bucket plus 1-bit-flip neighbors (multiprobe) and only
+  those candidates get exact scoring. Cost scales with bucket sizes.
+  An IVF variant (k-means centroids) would slot into the same shape —
+  bucket id from argmin centroid instead of sign bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of corpus rows per query row (self-matches
+    excluded). Queries are broadcast; sims are computed with precomputed
+    corpus norms so each row costs one dot product."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        as_double_array(F.col(vec_col)).alias("cvec"),
+    ).withColumn("cnorm", _norm(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnorm", _norm(F.col("qvec")))
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, broadcast as
+    literals — n_planes × dim doubles, trivially small)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of the vector against each hyperplane."""
+    bits = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = bits + bit
+    return bits.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 1,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact scoring restricted to LSH bucket matches.
+
+    ``n_tables`` independent hash tables (the standard recall lever: a
+    true neighbor only needs to collide in ONE table); within each table,
+    queries probe their own bucket plus every bucket within
+    ``multiprobe_bits`` bit flips. Join is on (table, bucket) → shuffle on
+    a small composite key; exact cosine only inside matched buckets.
+    Recall/candidate-count trade-off: collision prob per table is
+    (1 - θ/π)^n_planes, union over tables — fewer planes or more tables →
+    higher recall and more candidates.
+    """
+    from pyspark.sql import Window
+
+    def bucket_array(vec: Column) -> Column:
+        return F.array(
+            *[
+                lsh_bucket(vec, hyperplanes(dim, n_planes, seed + 1000 * t))
+                for t in range(n_tables)
+            ]
+        )
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            as_double_array(F.col(vec_col)).alias("cvec"),
+        )
+        .withColumn("cnorm", _norm(F.col("cvec")))
+        .select("*", F.posexplode(bucket_array(F.col("cvec"))).alias("table", "bucket"))
+    )
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(F.col(vec_col)).alias("qvec"),
+        )
+        .withColumn("qnorm", _norm(F.col("qvec")))
+        .select("*", F.posexplode(bucket_array(F.col("qvec"))).alias("table", "bucket0"))
+    )
+
+    probes = [F.col("bucket0")]
+    if multiprobe_bits >= 1:
+        probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    q_probed = q.withColumn("bucket", F.explode(F.array(*probes)))
+
+    scored = (
+        c.join(F.broadcast(q_probed), ["table", "bucket"])
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "corpus_id"])
+        .withColumn(
+            "sim", F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs in
+    the same bucket with cosine ≥ threshold (near-dup semantic dedup)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    t = df.select(
+        F.col(id_col).alias("id"),
+        as_double_array(F.col(vec_col)).alias("vec"),
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), planes)).withColumn("norm", _norm(F.col("vec")))
+    a = t.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"), "bucket")
+    b = t.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= cosine_threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,1 +1,314 @@
-"""Placeholder — populated in later milestones."""
+"""LLM training-data pipeline plans (beyond-reference north star):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
+similarity search (brute-force + LSH), text analysis, multimodal columns —
+on the documents/embeddings testdata.
+
+SQL-expressible operators carry DuckDB oracles; the hash-family operators
+(MinHash, SimHash, hyperplane LSH) are registered rows-only (the driver's
+weaker check) and get invariant tests in tests/test_neardup.py —
+including recall checks against the exact brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.catalog import Catalog
+from eligibility_etl_airflow_spark.operators import neardup, similarity, text
+from eligibility_etl_airflow_spark.registry import query
+
+# --------------------------------------------------------------------------
+# Exact dedup — hash-groupBy on normalized content
+# --------------------------------------------------------------------------
+
+DEDUP_EXACT_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+)
+SELECT content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM norm
+GROUP BY content_hash
+"""
+
+
+@query("dedup_exact_hash", oracle=DEDUP_EXACT_ORACLE)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash the normalized text, keep min doc_id per hash.
+    One hash-aggregate shuffle on the 128-bit content hash — at 100 TB
+    this is the cheapest possible dedup (no text comparison ever)."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select("doc_id", text.fingerprint_md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Text quality scoring
+# --------------------------------------------------------------------------
+
+QUALITY_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+           AS n_tokens_bpe,
+       CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS BIGINT)
+           AS n_stopwords,
+       round((
+         (CASE WHEN len(regexp_extract_all(text, '\S+')) BETWEEN 5 AND 100000
+               THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                    / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) * 1.0
+                    / greatest(len(regexp_extract_all(text, '\S+')), 1) >= 0.01
+               THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN length(text) * 1.0 / greatest(len(regexp_extract_all(text, '\S+')), 1)
+                    BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       ) / 4.0, 4) AS quality
+FROM documents
+"""
+
+
+@query("text_quality_scores", oracle=QUALITY_ORACLE)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics (length / punct density / stopword ratio / mean
+    word length) — the C4/Gopher-style corpus-cleaning filter family as
+    pure column expressions."""
+    d = Catalog(spark, sf_dir).documents
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.token_count_ws(t).alias("n_tokens"),
+        text.token_count_bpe(t).alias("n_tokens_bpe"),
+        text.punct_count(t).alias("n_punct"),
+        text.stopword_count(t).alias("n_stopwords"),
+        text.quality_score(t).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID (marker-word heuristic)
+# --------------------------------------------------------------------------
+
+_MARKER_SQL = {
+    lang: r"\b(" + "|".join(markers) + r")\b"
+    for lang, markers in text.LANG_MARKERS.items()
+}
+
+LANG_ID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(lower(text), '{_MARKER_SQL["en"]}')) AS BIGINT) AS s_en,
+         CAST(len(regexp_extract_all(lower(text), '{_MARKER_SQL["de"]}')) AS BIGINT) AS s_de,
+         CAST(len(regexp_extract_all(lower(text), '{_MARKER_SQL["es"]}')) AS BIGINT) AS s_es,
+         CAST(len(regexp_extract_all(lower(text), '{_MARKER_SQL["fr"]}')) AS BIGINT) AS s_fr,
+         CAST(len(regexp_extract_all(lower(text), '{_MARKER_SQL["zh"]}')) AS BIGINT) AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_es, s_fr, s_zh,
+       CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM scored
+"""
+
+
+@query("lang_id_heuristic", oracle=LANG_ID_ORACLE)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic alphabetical tie-break."""
+    d = Catalog(spark, sf_dir).documents
+    scores = text.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in ("en", "de", "es", "fr", "zh")],
+        text.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+       substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp64
+FROM documents
+"""
+
+
+@query("doc_fingerprint", oracle=FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (md5 full + 64-bit hex prefix) of normalized text."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        text.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        text.fingerprint_prefix64(F.col("text")).alias("fp64"),
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard pairs (blocked) — exact, oracle-checked
+# --------------------------------------------------------------------------
+
+NGRAM_JACCARD_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id,
+         lang || '#' || CAST(n_chars // 100 AS VARCHAR) AS block,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(norm) - 2, 1)),
+           i -> norm[i:i+2]
+         )) AS g
+  FROM (SELECT doc_id, lang, n_chars,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents)
+)
+SELECT a.block AS block,
+       a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       round(len(list_intersect(a.g, b.g)) * 1.0
+             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+"""
+
+
+@query("ngram_jaccard_pairs", oracle=NGRAM_JACCARD_ORACLE)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for all pairs within a blocking key
+    (language × length bucket). Blocking bounds the pair explosion — the
+    join shuffles once on the block key, never corpus²."""
+    d = Catalog(spark, sf_dir).documents.withColumn(
+        "block",
+        F.concat_ws("#", F.col("lang"), (F.col("n_chars") / 100).cast("long").cast("string")),
+    )
+    return neardup.ngram_jaccard_pairs(d, "doc_id", "text", "block", shingle_k=3).select(
+        "block",
+        F.col("id_a"),
+        F.col("id_b"),
+        "jaccard",
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search — exact brute-force (oracle) + LSH (rows-only)
+# --------------------------------------------------------------------------
+
+SIM_BRUTE_ORACLE = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 8),
+     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+SELECT * FROM (
+  SELECT q.vec_id AS query_id,
+         c.vec_id AS corpus_id,
+         round(list_dot_product(c.v, q.v)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6)
+             AS sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_dot_product(c.v, q.v)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) DESC,
+             c.vec_id ASC) AS BIGINT) AS rank
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.vec_id
+) WHERE rank <= 5
+"""
+
+
+@query("similarity_topk_bruteforce", oracle=SIM_BRUTE_ORACLE)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query vector (query set broadcast, corpus
+    scanned once, dot products as JVM higher-order functions)."""
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk(e, queries, k=5)
+
+
+@query("similarity_topk_lsh")
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (8 tables × 6 planes,
+    1-bit multiprobe) — the scale path (exact scoring only inside matched
+    buckets). Table/plane counts are tuned for the near-uniform testdata
+    embeddings (top-5 cosine ≈ 0.3 — the hardest LSH regime); clustered
+    real-world embeddings would use more planes per table. Recall vs the
+    brute-force baseline is asserted in tests/test_neardup.py."""
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(
+        e, queries, dim=64, k=5, n_planes=6, n_tables=8, multiprobe_bits=1
+    )
+
+
+@query("embedding_neardup_pairs")
+def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets (semantic dedup)."""
+    e = Catalog(spark, sf_dir).embeddings
+    return similarity.embedding_neardup_pairs(e, cosine_threshold=0.8, dim=64)
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH + SimHash near-dup (rows-only; invariants in tests)
+# --------------------------------------------------------------------------
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidate pairs, exact-Jaccard verified
+    at ≥0.5 — shingle→minhash→band→bucket-join, all columnar."""
+    d = Catalog(spark, sf_dir).documents
+    return neardup.minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.5)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 signatures + block-join pairs within hamming ≤ 3."""
+    d = Catalog(spark, sf_dir).documents
+    sigs = neardup.simhash64(d, "doc_id", "text")
+    return neardup.simhash_block_pairs(sigs, "doc_id", max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary column plumbing (rows-only; decode is stubbed)
+# --------------------------------------------------------------------------
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: synthesize payload bytes from text (the
+    testdata has no real media), attach no-decode metadata (magic sniff,
+    md5, size), then Arrow-batched feature extraction through the decoder
+    seam (deterministic fake decoder — real decoders plug into the same
+    signature; see operators/multimodal.py)."""
+    from eligibility_etl_airflow_spark.operators import multimodal
+
+    d = Catalog(spark, sf_dir).documents
+    with_bin = d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).withColumn("meta", multimodal.binary_metadata(F.col("payload")))
+    feats = multimodal.decode_features(with_bin, "payload", "doc_id")
+    return (
+        with_bin.select("doc_id", "meta.n_bytes", "meta.format", "meta.content_md5")
+        .join(feats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "format",
+            "content_md5",
+            F.round(F.element_at("features", 9), 6).alias("mean_byte"),
+            F.size("features").cast("long").alias("feature_dim"),
+        )
+    )

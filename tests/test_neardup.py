@@ -1,0 +1,140 @@
+"""Invariant + recall tests for the hash-family near-dup / ANN operators
+(the rows-only queries the driver can't oracle-check).
+
+Strategy: plant known near-duplicates/exact duplicates into a small
+DataFrame, assert the LSH/SimHash pipelines find them, and measure LSH
+top-k recall against the exact brute-force baseline on the real
+embeddings testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.catalog import Catalog
+from eligibility_etl_airflow_spark.operators import neardup, similarity
+
+
+def _planted_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain falls mainly on the plain and every good boy does fine"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy dog", "sleepy dog")),  # near dup of 1
+        (4, "completely different content about spark catalyst tungsten "
+            "adaptive query execution and shuffle partitions at scale"),
+        (5, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            "eiusmod tempor incididunt ut labore et dolore magna aliqua"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    docs = _planted_docs(spark)
+    pairs = _pairs(neardup.minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5))
+    assert (1, 2) in pairs  # exact dup must always surface
+    assert (1, 3) in pairs and (2, 3) in pairs  # one-word edit
+    # unrelated docs never pass exact-Jaccard verification
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_exact_dup_has_identical_signature(spark):
+    docs = _planted_docs(spark)
+    sigs = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id",
+            neardup.minhash_signature(neardup.char_shingles(F.col("text"))).alias("sig"),
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_simhash_block_pairs_finds_planted_dups(spark):
+    docs = _planted_docs(spark)
+    sigs = neardup.simhash64(docs, "doc_id", "text")
+    by_id = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert by_id[1] == by_id[2]  # identical text → identical signature
+    pairs = neardup.simhash_block_pairs(sigs, "doc_id", max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got  # one-token edit stays within hamming 3
+    assert (4, 5) not in got
+
+
+def test_bucket_cap_drops_degenerate_buckets(spark):
+    # 20 identical docs: every band bucket has size 20 > cap 10 → no pairs.
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere in the corpus") for i in range(20)],
+        "doc_id long, text string",
+    )
+    capped = neardup.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = neardup.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=1000)
+    assert uncapped.count() == 20 * 19 // 2
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(e, queries, k=5)
+    approx = similarity.lsh_topk(
+        e, queries, dim=64, k=5, n_planes=6, n_tables=8, multiprobe_bits=1
+    )
+    exact_set = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # Testdata embeddings are near-uniform random (top-5 cosine ≈ 0.3, the
+    # hardest LSH regime); 8 tables × 6 planes + 1-bit multiprobe gives
+    # ~0.83 expected recall there. Floor at 0.5 to stay deterministic-safe.
+    assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+    # every approx hit must carry the exact cosine (scoring is exact inside buckets)
+    joined = approx.alias("a").join(
+        exact.alias("e"), ["query_id", "corpus_id"]
+    ).filter(F.abs(F.col("a.sim") - F.col("e.sim")) > 1e-9)
+    assert joined.count() == 0
+
+
+def test_lsh_topk_planted_neighbors(spark):
+    """Planted high-cosine neighbors (the regime LSH has guarantees in)
+    must be found with near-perfect recall."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((8, 64))
+    rows = []
+    vid = 0
+    for q in range(8):
+        rows.append((vid, [float(x) for x in base[q]]))  # the query itself
+        vid += 1
+        for _ in range(3):  # 3 planted neighbors at cosine ~0.99
+            rows.append((vid, [float(x) for x in base[q] + 0.05 * rng.standard_normal(64)]))
+            vid += 1
+    for _ in range(200):  # noise corpus
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)]))
+        vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = e.filter(F.col("vec_id") % 4 == 0).filter(F.col("vec_id") < 32)
+    approx = similarity.lsh_topk(
+        e, queries, dim=64, k=3, n_planes=6, n_tables=8, multiprobe_bits=1
+    )
+    got = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    expected = {(q * 4, q * 4 + j) for q in range(8) for j in (1, 2, 3)}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.95, f"planted-neighbor recall {recall:.2f}"
+
+
+def test_embedding_neardup_pairs_symmetric_and_thresholded(spark, sf_dir):
+    e = Catalog(spark, sf_dir).embeddings
+    pairs = similarity.embedding_neardup_pairs(e, cosine_threshold=0.8, dim=64)
+    rows = pairs.collect()
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(r.cos >= 0.8 for r in rows)
