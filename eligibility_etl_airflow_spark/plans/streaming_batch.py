@@ -1,1 +1,131 @@
-"""Placeholder — populated in later milestones."""
+"""Batch twins of the streaming operators (SURVEY.md §2.11).
+
+Each registered query runs the SAME transformation builder as the real
+Structured Streaming plan in ``streaming/ops.py`` — on the batch events
+table (``withWatermark`` is a no-op under batch execution) — so the
+driver's DuckDB oracle certifies the window semantics, and
+``tests/test_streaming.py`` separately asserts stream == batch on the
+same input. Window epochs are UTC-aligned in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.catalog import Catalog
+from eligibility_etl_airflow_spark.registry import query
+from eligibility_etl_airflow_spark.streaming import ops
+
+# --------------------------------------------------------------------------
+# Watermark dedup (overlap-redelivery removal)
+# --------------------------------------------------------------------------
+
+DEDUP_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+@query("stream_dedup_overlap", oracle=DEDUP_ORACLE)
+def stream_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-delivered rows (the reference's 30-min extraction overlap,
+    sql/eligibility_enhanced.sql:74-75) removed by keyed dedup: the input
+    is events ∪ a 10% resample of itself; dropDuplicates(event_id)
+    restores exactly the original relation."""
+    e = Catalog(spark, sf_dir).events
+    redelivered = e.unionByName(e.filter(F.col("event_id") % 10 == 0))
+    return ops.dedup_under_watermark(redelivered)
+
+
+# --------------------------------------------------------------------------
+# Tumbling 1-day window
+# --------------------------------------------------------------------------
+
+TUMBLING_ORACLE = """
+SELECT date_trunc('day', ts) AS window_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_tumbling_daily", oracle=TUMBLING_ORACLE)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window per event_type (resubmission's "yesterday"
+    cron, generalized to every day)."""
+    return ops.tumbling_daily(Catalog(spark, sf_dir).events)
+
+
+# --------------------------------------------------------------------------
+# Sliding window(270 min, 240 min)
+# --------------------------------------------------------------------------
+
+# Spark assigns an event at t to window start s0 = floor(epoch/240min)*240min
+# always, and additionally to s0 - 240min iff t < s0 + 30min.
+SLIDING_ORACLE = """
+WITH e AS (
+  SELECT ts, value,
+         CAST(floor(epoch(ts) / 14400) AS BIGINT) * 14400 AS s0
+  FROM events
+),
+cand AS (
+  SELECT make_timestamp((s0 - k * 14400) * 1000000) AS window_start, ts, value
+  FROM e, (SELECT unnest([0, 1]) AS k)
+  WHERE epoch(ts) >= s0 - k * 14400
+    AND epoch(ts) <  s0 - k * 14400 + 16200
+)
+SELECT window_start,
+       window_start + INTERVAL 270 MINUTE AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM cand
+GROUP BY 1, 2
+"""
+
+
+@query("stream_sliding_270_240", oracle=SLIDING_ORACLE)
+def stream_sliding_270_240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window(270 min, slide 240 min) — the eligibility DAG's
+    exact extraction geometry as a real sliding window."""
+    return ops.sliding_270_240(Catalog(spark, sf_dir).events)
+
+
+# --------------------------------------------------------------------------
+# Session windows (30-min gap per user)
+# --------------------------------------------------------------------------
+
+# Gaps-and-islands twin: a new session starts when the gap to the previous
+# event is >= 30 min (Spark sessions span [ts, ts+gap); an event landing
+# exactly at the previous end starts a new session).
+SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+  ) AS sess_id
+  FROM o
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM s
+GROUP BY user_id, sess_id
+"""
+
+
+@query("stream_session_windows", oracle=SESSION_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap session windows (new capability vs reference)."""
+    return ops.session_windows(Catalog(spark, sf_dir).events)

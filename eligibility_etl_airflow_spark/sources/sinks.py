@@ -1,0 +1,171 @@
+"""Sinks, upsert, and resume — SURVEY.md §2.1 S2–S8 / §7.5.
+
+The reference's loaders are hand-rolled: chunked ``to_sql`` appends with
+retries (src/etl_utils.py:211-253), a staging-table + T-SQL MERGE upsert
+(src/etl_utils.py:87-145), pyodbc ``executemany`` batches
+(src/eligibility.py:21-137), and JSON/CSV processed-key checkpoints for
+resume (src/eligibility_recovery.py:262-281). Here each becomes an
+engine primitive over columnar files:
+
+- ``write_parquet`` / ``write_csv`` / ``write_json``  (S2, S3, S5)
+- ``merge_upsert``  — MERGE semantics over a parquet target (S7). On a
+  cluster with a transactional table format this is exactly
+  ``MERGE INTO target USING source ON key WHEN MATCHED UPDATE WHEN NOT
+  MATCHED INSERT``; the parquet emulation computes the same result as
+  anti-join + union and swaps the directory atomically-enough for tests.
+- ``append_dedup`` — idempotent append: anti-join the incoming batch
+  against the sink's existing keys so retried batches can't duplicate
+  (fixes the reference's duplicate-on-retry append, etl_utils.py:231-238).
+- ``resume_filter`` — anti-join resume (J7): skip rows whose key is
+  already in the sink, replacing processed-key JSON/CSV/Excel files.
+- ``expect`` — the quality-gate abort (P13, dags/eligibilty_etl.py:288-321)
+  as a reusable rule API: one aggregate pass computes the invalid ratio;
+  breach raises with a top-k breakdown by a label column.
+
+Scale notes: every helper is a single distributed plan — no collect, no
+driver-side loops. ``merge_upsert`` shuffles both sides once on the key;
+with a bucketed/partitioned target the join co-locates and only changed
+partitions would rewrite (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Audit-copy CSV (S3) — header on, one directory per table."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON archive (S5) — one JSON object per row, columnar write."""
+    df.write.mode(mode).json(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+) -> None:
+    """MERGE INTO over a parquet target: matched rows take the source
+    version, unmatched target rows are kept, new source rows insert.
+
+    If the source carries duplicate keys the LAST occurrence per key wins
+    only when an explicit ordering exists — so duplicates are rejected
+    here (callers dedup with an order key first; SURVEY.md §7.8)."""
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"merge_upsert: source has duplicate keys on {keys}")
+    if os.path.exists(target_path):
+        target = spark.read.parquet(target_path)
+        kept = target.join(source.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(source.select(*target.columns))
+    else:
+        merged = source
+    # write → swap: the reader-visible directory flips in one rename pair
+    tmp = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(target_path):
+        old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, target_path)
+
+
+def append_dedup(spark: SparkSession, target_path: str, batch: DataFrame, keys: list[str]) -> int:
+    """Idempotent append: only rows whose key is absent from the sink are
+    written, so a retried batch is a no-op. Returns rows appended."""
+    fresh = batch.dropDuplicates(keys)
+    if os.path.exists(target_path):
+        existing = spark.read.parquet(target_path).select(*keys)
+        fresh = fresh.join(existing, keys, "left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(target_path)
+    return n
+
+
+def resume_filter(df: DataFrame, spark: SparkSession, sink_path: str, keys: list[str]) -> DataFrame:
+    """Anti-join resume (J7): drop rows already present in the sink —
+    the engine's replacement for every processed-key checkpoint file in
+    the reference (run_predictions.py:215-226 et al.)."""
+    if not os.path.exists(sink_path):
+        return df
+    done = spark.read.parquet(sink_path).select(*keys)
+    return df.join(done, keys, "left_anti")
+
+
+def keep_last(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Deterministic keep-last dedup: pandas ``drop_duplicates(keep='last')``
+    depends on row order (dags/eligibilty_etl.py:146); the engine demands
+    an explicit ordering column (SURVEY.md §7.8)."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+class QualityGateError(ValueError):
+    """Raised when a load's invalid-row ratio breaches the threshold."""
+
+    def __init__(self, message: str, ratio: float, breakdown: list):
+        super().__init__(message)
+        self.ratio = ratio
+        self.breakdown = breakdown
+
+
+def expect(
+    df: DataFrame,
+    invalid: F.Column,
+    max_invalid_ratio: float = 0.5,
+    label_col: str | None = None,
+    top_k: int = 10,
+) -> dict:
+    """Quality gate (P13): one aggregate pass computes the invalid ratio;
+    a breach raises ``QualityGateError`` carrying the top-k ``label_col``
+    breakdown of invalid rows (the reference logs the top-10 note
+    distribution before aborting, dags/eligibilty_etl.py:288-321)."""
+    stats = df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(invalid, 1).otherwise(0)).alias("n_invalid"),
+    ).first()
+    total, n_invalid = stats["total"], stats["n_invalid"] or 0
+    ratio = n_invalid / total if total else 0.0
+    result = {"total": total, "n_invalid": n_invalid, "invalid_ratio": ratio}
+    if ratio >= max_invalid_ratio:
+        breakdown = []
+        if label_col is not None:
+            breakdown = (
+                df.filter(invalid)
+                .groupBy(label_col)
+                .count()
+                .orderBy(F.desc("count"))
+                .limit(top_k)
+                .collect()
+            )
+        raise QualityGateError(
+            f"quality gate: invalid ratio {ratio:.3f} >= {max_invalid_ratio}",
+            ratio,
+            breakdown,
+        )
+    return result

@@ -1,0 +1,212 @@
+"""Structured Streaming operators — the proper replacements for the
+reference's cron-emulated streaming (SURVEY.md §2.11).
+
+The reference "streams" by re-running a 4-hour cron with a 30-minute
+overlap window (dags/eligibilty_etl.py:55, sql/eligibility_enhanced.sql:74-75)
+and removing the overlap duplicates downstream with pandas
+``drop_duplicates`` (dags/eligibilty_etl.py:137-147). Here each of those
+hacks becomes the real streaming primitive:
+
+- overlap + downstream dedup     → watermark + stateful ``dropDuplicates``
+- "yesterday's rejections" cron  → 1-day tumbling window
+- 270-min window / 240-min cron  → sliding window(270m, 240m)
+- (new capability)               → session windows per user
+- checkpoint-file resume loops   → ``foreachBatch`` + checkpointLocation
+
+Every aggregation is declared on the *streaming* DataFrame; the same
+builder functions are reused by the batch twins in
+``plans/streaming_batch.py`` so the driver's DuckDB oracle certifies the
+window semantics, and the streaming tests assert stream == batch on the
+same input (exactly-once replay via ``Trigger.AvailableNow``).
+
+Scale note: watermark + dropDuplicates keeps state only for the lateness
+horizon (30 min) instead of the reference's unbounded processed-key sets;
+windowed aggregations are partial-aggregated map-side before the shuffle
+on (window, key) — both hold at 1000-executor scale.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) parquet → long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _as_source_dir(path: str) -> str:
+    """The file stream source requires a directory; the testdata ships a
+    single parquet file, so stage a stable symlink directory for it."""
+    if os.path.isdir(path):
+        return path
+    staged = os.path.join(
+        tempfile.gettempdir(), f"stream_src_{abs(hash(os.path.abspath(path)))}"
+    )
+    os.makedirs(staged, exist_ok=True)
+    link = os.path.join(staged, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    return staged
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table replayed as a file-source stream.
+
+    One parquet file == one micro-batch replay of history; in production
+    the same plan binds to a Kafka/file-drop source unchanged.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_as_source_dir(os.path.join(sf_dir, "events.parquet")))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# --------------------------------------------------------------------------
+# Transformations — shared by streaming and batch twins
+# --------------------------------------------------------------------------
+
+
+def dedup_under_watermark(events: DataFrame, lateness: str = "30 minutes") -> DataFrame:
+    """Stateful exactly-once dedup on event_id.
+
+    Replaces the reference's overlap-window hack: state is bounded by the
+    watermark horizon, so re-delivered rows inside the lateness window drop
+    and state older than the watermark is evicted (the unbounded
+    processed-key JSON sets of lch_eligibility.py:58-80 never evict)."""
+    return events.withWatermark("ts", lateness).dropDuplicates(["event_id"])
+
+
+def tumbling_daily(events: DataFrame, lateness: str = "30 minutes") -> DataFrame:
+    """1-day tumbling window per event_type — the streaming form of the
+    resubmission DAG's "yesterday's rejections" daily cron
+    (sql/resubmission.sql:7,21)."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_270_240(events: DataFrame, lateness: str = "30 minutes") -> DataFrame:
+    """Sliding window(270 min, slide 240 min) — the exact extraction
+    geometry of sql/eligibility_enhanced.sql:74-75 (4-h cron reading the
+    last 4.5 h), expressed as a real sliding window so rows land in the
+    overlap deterministically instead of duplicating."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "270 minutes", "240 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", lateness: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-based) — a capability the reference
+    lacks entirely; sessions close when a user is idle for ``gap``."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sinks / execution helpers
+# --------------------------------------------------------------------------
+
+
+def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink and
+    return the materialized result (test/driver helper: bounded replay of
+    all available input, then stop — the batch-equivalence harness)."""
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def foreach_batch_parquet_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    dedup_keys: list[str] | None = None,
+) -> None:
+    """Checkpointed ``foreachBatch`` parquet sink with idempotent restart.
+
+    Replaces the reference's manual checkpoint files + anti-join resume
+    (§2.10 G9): each micro-batch writes to a batchId-named subdirectory,
+    so a replayed batch (restart after failure between write and commit)
+    overwrites its own output instead of appending duplicates.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(out_dir, f"batch_id={batch_id}")
+        if dedup_keys:
+            batch_df = batch_df.dropDuplicates(dedup_keys)
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

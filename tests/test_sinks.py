@@ -1,0 +1,76 @@
+"""Sink/upsert/resume semantics (SURVEY.md §7.5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.sources import sinks
+
+
+@pytest.fixture
+def target(tmp_path):
+    return str(tmp_path / "target")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ord long")
+
+
+def test_merge_upsert_update_insert_keep(spark, target):
+    sinks.merge_upsert(spark, target, _df(spark, [(1, "a", 1), (2, "b", 1)]), ["k"])
+    sinks.merge_upsert(spark, target, _df(spark, [(2, "B", 2), (3, "c", 2)]), ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}  # keep / update / insert
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark, target):
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sinks.merge_upsert(spark, target, _df(spark, [(1, "a", 1), (1, "b", 2)]), ["k"])
+
+
+def test_append_dedup_is_idempotent(spark, target):
+    batch = _df(spark, [(1, "a", 1), (2, "b", 1)])
+    assert sinks.append_dedup(spark, target, batch, ["k"]) == 2
+    assert sinks.append_dedup(spark, target, batch, ["k"]) == 0  # retry: no-op
+    assert spark.read.parquet(target).count() == 2
+    mixed = _df(spark, [(2, "dup", 2), (3, "c", 1)])
+    assert sinks.append_dedup(spark, target, mixed, ["k"]) == 1
+    assert spark.read.parquet(target).count() == 3
+
+
+def test_resume_filter_skips_processed(spark, target):
+    sinks.write_parquet(_df(spark, [(1, "a", 1), (2, "b", 1)]), target)
+    incoming = _df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)])
+    left = sinks.resume_filter(incoming, spark, target, ["k"])
+    assert [r.k for r in left.collect()] == [3]
+    # no sink yet → everything passes through
+    assert sinks.resume_filter(incoming, spark, target + "_missing", ["k"]).count() == 3
+
+
+def test_keep_last_requires_explicit_order(spark):
+    df = _df(spark, [(1, "old", 1), (1, "new", 2), (2, "only", 1)])
+    got = {r.k: r.v for r in sinks.keep_last(df, ["k"], "ord").collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_expect_passes_and_raises(spark):
+    ok = _df(spark, [(1, "a", 1), (2, None, 1), (3, "c", 1), (4, "d", 1)])
+    res = sinks.expect(ok, F.col("v").isNull(), max_invalid_ratio=0.5)
+    assert res["n_invalid"] == 1 and res["total"] == 4
+
+    bad = _df(spark, [(1, None, 1), (2, None, 1), (3, None, 1), (4, "d", 1)])
+    with pytest.raises(sinks.QualityGateError) as exc:
+        sinks.expect(bad, F.col("v").isNull(), max_invalid_ratio=0.5, label_col="ord")
+    assert exc.value.ratio == 0.75
+    assert exc.value.breakdown[0]["count"] == 3
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = _df(spark, [(1, "a", 1), (2, "b,with,commas", 2)])
+    sinks.write_csv(df, str(tmp_path / "csv"))
+    back = spark.read.option("header", "true").csv(str(tmp_path / "csv"))
+    assert back.count() == 2 and set(back.columns) == {"k", "v", "ord"}
+    sinks.write_json(df, str(tmp_path / "json"))
+    jback = spark.read.json(str(tmp_path / "json"))
+    assert {r.v for r in jback.collect()} == {"a", "b,with,commas"}
