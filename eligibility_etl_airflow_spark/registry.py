@@ -37,6 +37,7 @@ def load_all() -> None:
         relational,
         resubmission,
         predictions,
+        fhir,
         llm_pipeline,
         streaming_batch,
     )
