@@ -23,22 +23,15 @@ from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark.operators.text import normalize_text
 
-# Affine MinHash permutations h_i(x) = (a_i * x32 + b_i) mod P.
-# x32 = xxhash64 folded to 31 bits so a*x stays < 2^62 (no ANSI overflow).
-_P = (1 << 61) - 1
-_SEED_A = 0x9E3779B97F4A7C15
-_SEED_B = 0xC2B2AE3D27D4EB4F
-
-
-def _perm_params(num_perm: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs via a splitmix-style scramble — no RNG
-    object, reproducible across sessions/partitions by construction."""
-    params = []
-    for i in range(num_perm):
-        a = ((_SEED_A * (i + 1)) ^ (_SEED_B >> (i % 13))) % ((1 << 31) - 1)
-        b = ((_SEED_B * (i + 7)) ^ (_SEED_A >> (i % 17))) % ((1 << 31) - 1)
-        params.append((a | 1, b))  # odd a → proper permutation mod 2^31
-    return params
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input (e.g. one small parquet file) across the
+    cluster before CPU-heavy per-row work; inputs that already have
+    enough partitions pass through untouched (no shuffle at 100 TB,
+    where the scan itself provides thousands of partitions)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def char_shingles(col: Column, k: int = 5) -> Column:
@@ -49,16 +42,53 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     return F.array_distinct(F.transform(starts, lambda i: F.substring(norm, i, k)))
 
 
-def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
-    """MinHash signature as an array<long> of length ``num_perm``."""
-    def perm_min(a: int, b: int) -> Column:
-        def h(s: Column) -> Column:
-            h32 = F.pmod(F.xxhash64(s), F.lit(1 << 31))
-            return F.pmod(F.lit(a) * h32 + F.lit(b), F.lit(_P))
+def hashed_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct 64-bit-hashed character k-shingles. Set ops over long
+    arrays are ~5× cheaper than over string arrays (no per-probe string
+    hashing), and w.h.p. preserve exact set cardinalities — the form used
+    wherever shingle sets are intersected at scale."""
+    norm = normalize_text(col)
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.xxhash64(F.substring(norm, i, k)))
+    )
 
-        return F.array_min(F.transform(shingles, h))
 
-    return F.array(*[perm_min(a, b) for a, b in _perm_params(num_perm)])
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """id → MinHash signature (array<long>, length ``num_perm``).
+
+    One pass: explode shingle hashes, then the ``num_perm`` component
+    mins run as plain MIN aggregates — partial-aggregated map-side before
+    one shuffle on id. (The naive form — 64 ``array_min(transform(...))``
+    expressions in one projection — duplicates the shingling subtree 64×
+    and overflows codegen; it was ~100× slower at sf0.1.) Duplicate
+    shingles don't change any MIN, so no distinct step is needed.
+
+    Each component uses an INDEPENDENT seeded hash ``xxhash64(i, h)``.
+    (An affine family ``(a·h+b) mod P`` with a,b below the wrap point of
+    P is order-preserving — every component shares one argmin, the
+    signature then estimates "P(shared minimum)" instead of Jaccard, and
+    banding degenerates into corpus-sized buckets.)"""
+    norm = normalize_text(F.col(text_col))
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
+    hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(norm, i, shingle_k)))
+    exploded = _ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.explode(hashes).alias("h")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(num_perm)
+    ]
+    return exploded.groupBy("id").agg(*mins).select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
 def lsh_band_table(
@@ -71,8 +101,7 @@ def lsh_band_table(
 ) -> DataFrame:
     """id → (band_idx, band_sig) rows: the LSH index relation."""
     rows_per_band = num_perm // bands
-    sig = minhash_signature(char_shingles(F.col(text_col), shingle_k), num_perm)
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+    banded = minhash_signatures(df, id_col, text_col, num_perm, shingle_k).select(
         "id",
         F.posexplode(
             F.array(
@@ -111,26 +140,37 @@ def minhash_lsh_pairs(
     scale one degenerate bucket is a quadratic bomb). Verification joins
     the shingle sets back and computes exact Jaccard.
     """
+    # Pairs come from collect_list per bucket, not a self-join: the LSH
+    # index is computed ONCE (one shuffle on the bucket key), buckets over
+    # the cap drop with a size filter, and in-bucket pair expansion is a
+    # local array transform bounded by cap² — no lineage re-execution, no
+    # persist needed.
     bandtab = lsh_band_table(df, id_col, text_col, num_perm, bands, shingle_k)
-    bucket_sizes = bandtab.groupBy("band_idx", "band_sig").count()
-    bandtab = (
-        bandtab.join(
-            bucket_sizes.filter(F.col("count") <= max_bucket_size),
-            ["band_idx", "band_sig"],
-        )
-        .drop("count")
+    buckets = (
+        bandtab.groupBy("band_idx", "band_sig")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    left = bandtab.withColumnRenamed("id", "id_a")
-    right = bandtab.withColumnRenamed("id", "id_b")
     candidates = (
-        left.join(right, ["band_idx", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    shingle_tab = df.select(
+    shingle_tab = _ensure_parallelism(df).select(
         F.col(id_col).alias("sid"),
-        char_shingles(F.col(text_col), shingle_k).alias("shingles"),
+        hashed_shingles(F.col(text_col), shingle_k).alias("shingles"),
     )
     verified = (
         candidates.join(shingle_tab.withColumnRenamed("sid", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
@@ -159,10 +199,10 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard for every pair inside a blocking key (e.g.
     same language + length bucket). Blocking bounds the pair count; the
     join shuffles once on the block key."""
-    sh = df.select(
+    sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
-        char_shingles(F.col(text_col), shingle_k).alias("sh"),
+        hashed_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
     a = sh.select(F.col("id").alias("id_a"), "block", F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), "block", F.col("sh").alias("sh_b"))
@@ -219,9 +259,14 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(batch, schema=f"{id_col} long, simhash long")
 
 
-def simhash_block_pairs(sim_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_block_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3, max_bucket_size: int = 10000
+) -> DataFrame:
     """Candidate pairs sharing ≥1 of 4 16-bit signature blocks, verified
-    by exact popcount hamming distance."""
+    by exact popcount hamming distance. Same collect-per-bucket shape as
+    MinHash-LSH: one shuffle on the block key (crucial here — the
+    signature input comes from a Python stage, so a self-join would run
+    that stage twice)."""
     u = F.col("simhash").cast("long")
     blocks = F.array(
         *[F.shiftrightunsigned(u, i * 16).bitwiseAND(F.lit(0xFFFF)).cast("long") for i in range(4)]
@@ -229,12 +274,31 @@ def simhash_block_pairs(sim_df: DataFrame, id_col: str, max_hamming: int = 3) ->
     tab = sim_df.select(
         F.col(id_col).alias("id"), "simhash", F.posexplode(blocks).alias("block_idx", "block_val")
     )
-    a = tab.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "block_idx", "block_val")
-    b = tab.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "block_idx", "block_val")
+    buckets = (
+        tab.groupBy("block_idx", "block_val")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket_size))
+    )
     pairs = (
-        a.join(b, ["block_idx", "block_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("members"), i + F.lit(2), F.size("members")),
+                            lambda y: F.struct(
+                                x.getField("id").alias("id_a"),
+                                y.getField("id").alias("id_b"),
+                                x.getField("simhash").alias("sig_a"),
+                                y.getField("simhash").alias("sig_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)

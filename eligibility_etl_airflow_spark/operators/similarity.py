@@ -96,6 +96,35 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bits.cast("long")
 
 
+def _bucket_matmul_udf(tables: list[list[list[float]]]):
+    """Per-table sign-bit bucket ids as ONE Arrow-batched matmul.
+
+    Bucket assignment is a (batch × dim) @ (dim × tables·planes) product;
+    doing it as n_tables × n_planes interpreted higher-order dot products
+    per row was ~10× slower at sf0.1. Sign convention matches
+    ``lsh_bucket`` (bit set when dot ≥ 0)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.asarray(t, dtype=np.float64).T for t in tables]  # dim × planes
+
+    def buckets(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(v.to_numpy())  # batch × dim
+        per_table = []
+        for planes in mats:
+            bits = (m @ planes) >= 0  # batch × n_planes
+            ids = (bits.astype(np.int64) << np.arange(bits.shape[1], dtype=np.int64)).sum(axis=1)
+            per_table.append(ids)
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    # real (non-stringified) hints: `from __future__ import annotations`
+    # would otherwise break pandas_udf's type inference
+    buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(buckets, "array<long>")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,13 +150,9 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    def bucket_array(vec: Column) -> Column:
-        return F.array(
-            *[
-                lsh_bucket(vec, hyperplanes(dim, n_planes, seed + 1000 * t))
-                for t in range(n_tables)
-            ]
-        )
+    bucket_array = _bucket_matmul_udf(
+        [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
 
     c = (
         corpus.select(

@@ -47,13 +47,7 @@ def test_minhash_lsh_finds_planted_dups(spark):
 
 def test_minhash_exact_dup_has_identical_signature(spark):
     docs = _planted_docs(spark)
-    sigs = {
-        r.doc_id: r.sig
-        for r in docs.select(
-            "doc_id",
-            neardup.minhash_signature(neardup.char_shingles(F.col("text"))).alias("sig"),
-        ).collect()
-    }
+    sigs = {r.id: r.sig for r in neardup.minhash_signatures(docs, "doc_id", "text").collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[4]
 
