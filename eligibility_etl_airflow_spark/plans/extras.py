@@ -1,0 +1,152 @@
+"""Coverage-completing queries: dropna variants (P11), frame-spec window
+aggregates (the capability SURVEY.md §2.5 notes "comes free" of
+Window.rowsBetween), and analytics the reference lacks but a complete
+engine needs (ROLLUP grouping sets, exact percentiles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eligibility_etl_airflow_spark.catalog import Catalog
+from eligibility_etl_airflow_spark.registry import query
+
+# --------------------------------------------------------------------------
+# P11 — dropna row/column filters
+# --------------------------------------------------------------------------
+
+DROPNA_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS clerk,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS comment
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN clerk IS NOT NULL AND comment IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_any,
+       CAST(sum(CASE WHEN clerk IS NOT NULL OR comment IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_all,
+       CAST(sum(CASE WHEN clerk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_clerk
+FROM base
+"""
+
+
+@query("dropna_filters", oracle=DROPNA_ORACLE)
+def dropna_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: na.drop("any") / na.drop("all") row filters plus the
+    null-count aggregate that drives column-wise drops (pandas
+    ``dropna(axis=1)`` becomes: aggregate null counts once, then drop
+    columns above a threshold — src/resubmission.py:146)."""
+    o = Catalog(spark, sf_dir).orders
+    base = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority")).alias("clerk"),
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_orderstatus")).alias("comment"),
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("clerk").isNull(), 1).otherwise(0)).cast("long").alias("n_null_clerk"),
+    )
+    drop_any = base.na.drop("any", subset=["clerk", "comment"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_drop_any")
+    )
+    drop_all = base.na.drop("all", subset=["clerk", "comment"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_drop_all")
+    )
+    return totals.crossJoin(drop_any).crossJoin(drop_all).select(
+        "n_total", "n_drop_any", "n_drop_all", "n_null_clerk"
+    )
+
+
+# --------------------------------------------------------------------------
+# Frame-spec windows — running totals / moving averages / lead-lag
+# --------------------------------------------------------------------------
+
+RUNNING_ORACLE = """
+SELECT o_custkey,
+       o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+       round(avg(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3,
+       lag(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order
+FROM orders
+"""
+
+
+@query("running_total_window", oracle=RUNNING_ORACLE)
+def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec windows (rowsBetween running sum, 3-row moving average,
+    lag) — beyond the reference's two top-1-per-group windows."""
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg_3"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP grouping sets
+# --------------------------------------------------------------------------
+
+ROLLUP_ORACLE = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("rollup_revenue", oracle=ROLLUP_ORACLE)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → priority → grand total) — one
+    shuffle computes every grouping set with partial aggregation."""
+    o = Catalog(spark, sf_dir).orders
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles / distribution stats
+# --------------------------------------------------------------------------
+
+PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("percentile_stats", oracle=PERCENTILE_ORACLE)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``); at 100 TB swap in approx_percentile —
+    same plan shape, sketch-mergeable."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )

@@ -129,3 +129,27 @@ GROUP BY user_id, sess_id
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 30-min-gap session windows (new capability vs reference)."""
     return ops.session_windows(Catalog(spark, sf_dir).events)
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState) — batch twin
+# --------------------------------------------------------------------------
+
+STATEFUL_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("stream_stateful_running_spend", oracle=STATEFUL_ORACLE)
+def stream_stateful_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState per-user running-spend
+    monitor (streaming/stateful.py); tests/test_stateful.py asserts the
+    stream's final state equals this aggregate on the same input."""
+    from eligibility_etl_airflow_spark.streaming import stateful
+
+    return stateful.running_spend_batch(Catalog(spark, sf_dir).events)

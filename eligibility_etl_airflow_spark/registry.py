@@ -40,4 +40,5 @@ def load_all() -> None:
         fhir,
         llm_pipeline,
         streaming_batch,
+        extras,
     )
