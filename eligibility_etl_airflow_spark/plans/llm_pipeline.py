@@ -252,6 +252,16 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_topk_ivf")
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF (16 k-means cells, nprobe=4) — the
+    learned-bucketing scale path; exact scoring inside probed cells only.
+    Recall vs brute force asserted in tests/test_neardup.py."""
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(e, queries, k=5, n_cells=16, nprobe=4)
+
+
 @query("embedding_neardup_pairs")
 def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (semantic dedup)."""

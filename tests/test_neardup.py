@@ -126,6 +126,22 @@ def test_lsh_topk_planted_neighbors(spark):
     assert recall >= 0.95, f"planted-neighbor recall {recall:.2f}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(e, queries, k=5)
+    approx = similarity.ivf_topk(e, queries, k=5, n_cells=16, nprobe=4)
+    exact_set = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+    # exact scoring inside probed cells: sims must match brute force
+    joined = approx.alias("a").join(exact.alias("e"), ["query_id", "corpus_id"]).filter(
+        F.abs(F.col("a.sim") - F.col("e.sim")) > 1e-9
+    )
+    assert joined.count() == 0
+
+
 def test_embedding_neardup_pairs_symmetric_and_thresholded(spark, sf_dir):
     e = Catalog(spark, sf_dir).embeddings
     pairs = similarity.embedding_neardup_pairs(e, cosine_threshold=0.8, dim=64)
