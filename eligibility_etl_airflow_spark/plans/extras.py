@@ -150,3 +150,62 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pure-SQL surface: ONE ANSI string runs on both engines
+# --------------------------------------------------------------------------
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary_sql", oracle=PRICING_SUMMARY_SQL)
+def pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) surface: the exact oracle string runs through
+    Spark's SQL parser over registered views — users of the engine can
+    submit ANSI SQL directly, not just DataFrame code."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(PRICING_SUMMARY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Salted skew join — identical semantics to the plain join
+# --------------------------------------------------------------------------
+
+SALTED_JOIN_ORACLE = """
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice), 2) AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@query("salted_join_skew", oracle=SALTED_JOIN_ORACLE)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salting (operators/skew.py): big side salted into 8
+    sub-keys, small side replicated ×8 — result provably identical to
+    the plain join (this oracle IS the plain join)."""
+    from eligibility_etl_airflow_spark.operators.skew import salted_join
+
+    c = Catalog(spark, sf_dir)
+    big = c.lineitem.select(F.col("l_orderkey").alias("okey"), "l_extendedprice")
+    small = c.orders.select(F.col("o_orderkey").alias("okey"), "o_orderstatus")
+    return (
+        salted_join(big, small, "okey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
