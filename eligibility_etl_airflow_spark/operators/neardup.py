@@ -98,11 +98,16 @@ def lsh_band_table(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    carry_sig: bool = False,
 ) -> DataFrame:
-    """id → (band_idx, band_sig) rows: the LSH index relation."""
+    """id → (band_idx, band_sig) rows: the LSH index relation.
+    ``carry_sig`` keeps the full signature on each band row (×bands data
+    through the shuffle, still tiny) so downstream candidate generation
+    can estimate Jaccard without re-deriving signatures."""
     rows_per_band = num_perm // bands
     banded = minhash_signatures(df, id_col, text_col, num_perm, shingle_k).select(
         "id",
+        *(["sig"] if carry_sig else []),
         F.posexplode(
             F.array(
                 *[
@@ -144,27 +149,47 @@ def minhash_lsh_pairs(
     # index is computed ONCE (one shuffle on the bucket key), buckets over
     # the cap drop with a size filter, and in-bucket pair expansion is a
     # local array transform bounded by cap² — no lineage re-execution, no
-    # persist needed.
-    bandtab = lsh_band_table(df, id_col, text_col, num_perm, bands, shingle_k)
+    # persist needed. Signatures ride along so each generated pair is
+    # prefiltered by ESTIMATED Jaccard (64 component compares) before the
+    # exact-verification join — a 3σ margin below the threshold keeps
+    # true near-dups with ~99.9% probability while discarding the
+    # low-similarity bulk that dominates candidate volume.
+    est_margin = 3.0 * (0.25 / num_perm) ** 0.5
+    bandtab = lsh_band_table(df, id_col, text_col, num_perm, bands, shingle_k, carry_sig=True)
     buckets = (
         bandtab.groupBy("band_idx", "band_sig")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket_size))
     )
+
+    def pair_with_est(x, y):
+        matches = F.size(
+            F.filter(
+                F.zip_with(x.getField("sig"), y.getField("sig"), lambda a, b: a == b),
+                lambda v: v,
+            )
+        )
+        return F.struct(
+            x.getField("id").alias("id_a"),
+            y.getField("id").alias("id_b"),
+            (matches / F.lit(float(num_perm))).alias("est"),
+        )
+
     candidates = (
         buckets.select(
             F.explode(
                 F.flatten(
                     F.transform(
-                        F.col("ids"),
+                        F.col("members"),
                         lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                            F.slice(F.col("members"), i + F.lit(2), F.size("members")),
+                            lambda y: pair_with_est(x, y),
                         ),
                     )
                 )
             ).alias("p")
         )
+        .filter(F.col("p.est") >= jaccard_threshold - est_margin)
         .select("p.id_a", "p.id_b")
         .distinct()
     )

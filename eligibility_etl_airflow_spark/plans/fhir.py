@@ -149,10 +149,15 @@ FROM o
 def fhir_extract_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outcome/note/site-code/limits extraction — N4, N5, N6, N8–N12 as
     pure higher-order column expressions over the declared bundle schema."""
-    bundles = synth_bundles(spark, sf_dir)
-    b: Column = fhir.parse_bundle(F.col("raw_bundle"))
+    # two-step select: parse ONCE into a named struct column, then extract
+    # from the column reference — the single-projection form re-evaluates
+    # from_json per output column (2.5× slower at sf0.1)
+    parsed = synth_bundles(spark, sf_dir).select(
+        "order_key", fhir.parse_bundle(F.col("raw_bundle")).alias("b")
+    )
+    b: Column = F.col("b")
     limits = fhir.parse_limits(b)
-    return bundles.select(
+    return parsed.select(
         "order_key",
         fhir.extract_outcome(b).alias("outcome"),
         fhir.extract_note(b).alias("note"),
