@@ -1,0 +1,80 @@
+"""End-to-end pipeline composition — the three reference DAG lifecycles
+(SURVEY.md §3) as single Spark jobs.
+
+The reference splits each pipeline into Airflow tasks that exchange
+parquet paths through XCom (dags/eligibilty_etl.py:100-103): extract →
+two parallel transforms → quality-gated load → cleanup, each a separate
+OS process. Here each pipeline is ONE lazy Spark plan: the "parallel"
+transforms are independent subtrees over a shared extract, the quality
+gate is an aggregate pass before the sink, and the sink is idempotent —
+so a retried run cannot duplicate rows (the reference's append can,
+src/etl_utils.py:231-238). Any orchestrator (Airflow, cron, a scheduler
+of your choice) calls one function per run; nothing in the engine
+depends on the orchestrator.
+
+Each run returns a small dict of metrics (row counts, gate stats,
+appended rows) — the engine-level replacement for the reference's log
+lines and XCom record counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark import registry
+from eligibility_etl_airflow_spark.sources import sinks
+
+
+def _query(name: str):
+    registry.load_all()
+    return registry.QUERIES[name]
+
+
+def run_eligibility_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    max_invalid_ratio: float = 0.5,
+    audit_csv: bool = True,
+) -> dict:
+    """§3.1 lifecycle: extract + enrich (flagship plan) → quality gate →
+    idempotent load → audit CSV copy. Raises QualityGateError (aborting
+    the load, reference behavior at dags/eligibilty_etl.py:288-321) if
+    the invalid ratio breaches."""
+    df = _query("eligibility_flagship")(spark, sf_dir)
+    gate = sinks.expect(
+        df,
+        F.col("status_name").isNull(),
+        max_invalid_ratio=max_invalid_ratio,
+        label_col="priority_class",
+    )
+    appended = sinks.append_dedup(
+        spark, os.path.join(out_dir, "eligibility"), df, keys=["order_id"]
+    )
+    if audit_csv:
+        sinks.write_csv(df, os.path.join(out_dir, "eligibility_audit_csv"))
+    return {"gate": gate, "rows_appended": appended}
+
+
+def run_predictions_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """§3.3 lifecycle: per-visit grouping → (mock) LLM → parse/validate →
+    merge-back → idempotent load, with anti-join resume making re-runs
+    no-ops (replaces the reference's checkpoint Excel files)."""
+    df = _query("llm_predictions_pipeline")(spark, sf_dir)
+    target = os.path.join(out_dir, "predictions")
+    fresh = sinks.resume_filter(df, spark, target, keys=["service_uid"])
+    appended = sinks.append_dedup(spark, target, fresh, keys=["service_uid"])
+    return {"rows_appended": appended}
+
+
+def run_resubmission_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """§3.2 lifecycle: two-branch union extract with latest-transaction
+    window dedup → per-visit justification → MERGE upsert into the final
+    table (stage+MERGE of src/etl_utils.py:87-145, here a parquet MERGE)."""
+    df = _query("resubmission_flagship")(spark, sf_dir)
+    deduped = sinks.keep_last(df, ["service_id"], order_col="request_date")
+    sinks.merge_upsert(spark, os.path.join(out_dir, "resubmission"), deduped, ["service_id"])
+    return {"rows_upserted": deduped.count()}

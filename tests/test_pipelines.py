@@ -1,0 +1,55 @@
+"""End-to-end pipeline lifecycles: run → idempotent re-run → verify sink."""
+
+from __future__ import annotations
+
+import pytest
+
+from eligibility_etl_airflow_spark import pipelines
+from eligibility_etl_airflow_spark.sources.sinks import QualityGateError
+
+
+def test_eligibility_pipeline_idempotent(spark, sf_dir, tmp_path):
+    out = str(tmp_path)
+    first = pipelines.run_eligibility_pipeline(spark, sf_dir, out)
+    assert first["rows_appended"] > 0
+    assert first["gate"]["invalid_ratio"] < 0.5
+    loaded = spark.read.parquet(f"{out}/eligibility")
+    assert loaded.count() == first["rows_appended"]
+    # retry of the same run appends nothing
+    second = pipelines.run_eligibility_pipeline(spark, sf_dir, out)
+    assert second["rows_appended"] == 0
+    assert spark.read.parquet(f"{out}/eligibility").count() == first["rows_appended"]
+    # audit CSV exists and row-counts match
+    audit = spark.read.option("header", "true").csv(f"{out}/eligibility_audit_csv")
+    assert audit.count() == first["rows_appended"]
+
+
+def test_eligibility_pipeline_gate_aborts(spark, sf_dir, tmp_path):
+    with pytest.raises(QualityGateError):
+        pipelines.run_eligibility_pipeline(
+            spark, sf_dir, str(tmp_path), max_invalid_ratio=0.0
+        )
+    # gate fired before the load: nothing written
+    import os
+
+    assert not os.path.exists(f"{tmp_path}/eligibility")
+
+
+def test_predictions_pipeline_resumes(spark, sf_dir, tmp_path):
+    out = str(tmp_path)
+    first = pipelines.run_predictions_pipeline(spark, sf_dir, out)
+    assert first["rows_appended"] > 0
+    second = pipelines.run_predictions_pipeline(spark, sf_dir, out)
+    assert second["rows_appended"] == 0
+
+
+def test_resubmission_pipeline_upserts(spark, sf_dir, tmp_path):
+    out = str(tmp_path)
+    first = pipelines.run_resubmission_pipeline(spark, sf_dir, out)
+    assert first["rows_upserted"] > 0
+    target = spark.read.parquet(f"{out}/resubmission")
+    n = target.count()
+    assert n == target.select("service_id").distinct().count()  # keyed
+    # re-run merges the same keys: no growth
+    pipelines.run_resubmission_pipeline(spark, sf_dir, out)
+    assert spark.read.parquet(f"{out}/resubmission").count() == n
