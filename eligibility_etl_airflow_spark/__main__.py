@@ -1,0 +1,73 @@
+"""CLI — the engine's standalone runner (parity with the reference's
+``python run_predictions.py --input ... --output ...`` entry point,
+SURVEY.md §3.3, but over Spark jobs).
+
+    python -m eligibility_etl_airflow_spark list
+    python -m eligibility_etl_airflow_spark query <name> [--sf-dir D] [--limit N]
+    python -m eligibility_etl_airflow_spark pipeline <eligibility|predictions|resubmission>
+        --out-dir OUT [--sf-dir D]
+    python -m eligibility_etl_airflow_spark bench [--sf-dir D]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from eligibility_etl_airflow_spark import pipelines, registry
+from eligibility_etl_airflow_spark.session import get_spark
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="eligibility_etl_airflow_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    qp = sub.add_parser("query", help="run one registered query, print rows")
+    qp.add_argument("name")
+    qp.add_argument("--sf-dir", default=DEFAULT_SF)
+    qp.add_argument("--limit", type=int, default=20)
+
+    pp = sub.add_parser("pipeline", help="run an end-to-end pipeline")
+    pp.add_argument("name", choices=["eligibility", "predictions", "resubmission"])
+    pp.add_argument("--out-dir", required=True)
+    pp.add_argument("--sf-dir", default=DEFAULT_SF)
+
+    args = ap.parse_args(argv)
+    registry.load_all()
+
+    if args.cmd == "list":
+        for name in sorted(registry.QUERIES):
+            tag = "oracle" if name in registry.ORACLES else "rows"
+            print(f"{name}  [{tag}]")
+        return 0
+
+    spark = get_spark("engine-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "query":
+        if args.name not in registry.QUERIES:
+            print(f"unknown query: {args.name}", file=sys.stderr)
+            return 2
+        df = registry.QUERIES[args.name](spark, args.sf_dir)
+        df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "pipeline":
+        fn = {
+            "eligibility": pipelines.run_eligibility_pipeline,
+            "predictions": pipelines.run_predictions_pipeline,
+            "resubmission": pipelines.run_resubmission_pipeline,
+        }[args.name]
+        print(json.dumps(fn(spark, args.sf_dir, args.out_dir), default=str))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

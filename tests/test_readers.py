@@ -1,0 +1,51 @@
+"""Schema-explicit source readers: FAILFAST drift detection and the
+PERMISSIVE quarantine pattern."""
+
+from __future__ import annotations
+
+import pytest
+
+from eligibility_etl_airflow_spark.sources import readers
+
+
+@pytest.fixture
+def csv_dir(tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("k,v,amt\n1,a,10.5\n2,b,20.0\n3,c,oops\n")
+    return str(p)
+
+
+def test_read_csv_failfast_raises_on_drift(spark, csv_dir):
+    df = readers.read_csv(spark, csv_dir, "k LONG, v STRING, amt DOUBLE")
+    with pytest.raises(Exception):  # FAILFAST surfaces the bad record
+        df.collect()
+
+
+def test_read_csv_quarantine_captures_bad_rows(spark, csv_dir):
+    df = readers.read_csv_quarantine(spark, csv_dir, "k LONG, v STRING, amt DOUBLE")
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert "oops" in bad[0]._corrupt_record
+
+
+def test_read_json_schema_explicit(spark, tmp_path):
+    p = tmp_path / "in.json"
+    p.write_text('{"k": 1, "v": "x"}\n{"k": 2, "v": "y"}\n')
+    df = readers.read_json(spark, str(p), "k LONG, v STRING")
+    assert {(r.k, r.v) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_read_jdbc_builds_partitioned_reader(spark):
+    # no DB in this environment: assert the option plumbing only
+    reader = readers.read_jdbc(
+        spark,
+        url="jdbc:sqlserver://example:1433;databaseName=dwh",
+        query="SELECT 1 AS one",
+        partition_column="one",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+    )
+    assert reader is not None
