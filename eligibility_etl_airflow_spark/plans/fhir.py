@@ -194,3 +194,75 @@ def fhir_find_keys_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("first_allowed_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Beneficiary API response — N1 (ApiStatus), N2 (Insurance[0]), N3 (struct
+# expansion), P10 (name-conflict coalesce) in one construct→parse query
+# --------------------------------------------------------------------------
+
+BENEFICIARY_DDL = """
+struct<response: struct<
+  ApiStatus: string,
+  Insurance: array<struct<
+    InsuranceCompanyEN: string,
+    InsuranceCompanyName: string,
+    IdentityNumber: string,
+    MemberIdentityNumber: string
+  >>
+>>
+"""
+
+BENEFICIARY_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS customer_key,
+       CASE WHEN c_custkey % 11 = 0 THEN 'Fail' ELSE 'Success' END AS api_status,
+       CASE WHEN c_custkey % 11 <> 0 THEN c_mktsegment END AS company,
+       CASE WHEN c_custkey % 11 <> 0 THEN CAST(c_custkey * 7 AS VARCHAR) END AS identity_number
+FROM customer
+"""
+
+
+@query("beneficiary_enrichment", oracle=BENEFICIARY_ORACLE)
+def beneficiary_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beneficiary-response path (§3.1 transform_iqama): ApiStatus gate
+    (N1), first Insurance element (N2), struct expansion (N3), and the
+    two-generation column-pair coalesce (P10, src/eligibility.py:158-176)
+    — either the primary or the alternate field is populated depending on
+    the API generation (keyed by customer parity), and coalesce restores
+    one column."""
+    c = Catalog(spark, sf_dir).customer
+    k = F.col("c_custkey")
+    ins_old = F.format_string(
+        '{"InsuranceCompanyName":"%s","MemberIdentityNumber":"%s"}',
+        F.col("c_mktsegment"),
+        (k * 7).cast("string"),
+    )
+    ins_new = F.format_string(
+        '{"InsuranceCompanyEN":"%s","IdentityNumber":"%s"}',
+        F.col("c_mktsegment"),
+        (k * 7).cast("string"),
+    )
+    raw = F.when(
+        k % 11 == 0, F.lit('{"response":{"ApiStatus":"Fail"}}')
+    ).otherwise(
+        F.format_string(
+            '{"response":{"ApiStatus":"Success","Insurance":[%s]}}',
+            F.when(k % 2 == 0, ins_new).otherwise(ins_old),
+        )
+    )
+    parsed = c.select(
+        k.cast("long").alias("customer_key"),
+        F.from_json(raw, BENEFICIARY_DDL).alias("b"),
+    )
+    status = F.col("b.response.ApiStatus")
+    ins0 = F.when(status == "Success", F.try_element_at("b.response.Insurance", F.lit(1)))
+    return parsed.select(
+        "customer_key",
+        status.alias("api_status"),
+        F.coalesce(
+            ins0.getField("InsuranceCompanyEN"), ins0.getField("InsuranceCompanyName")
+        ).alias("company"),
+        F.coalesce(
+            ins0.getField("IdentityNumber"), ins0.getField("MemberIdentityNumber")
+        ).alias("identity_number"),
+    )

@@ -102,3 +102,17 @@ def test_with_processed_anti_join_resume(spark):
     done = spark.createDataFrame([(i,) for i in range(0, 10, 2)], ["k"])
     remaining = with_processed_anti_join(todo, done, "k").toPandas()
     assert sorted(remaining.k) == [1, 3, 5, 7, 9]
+
+
+def test_metrics_totals_sums_token_columns(spark):
+    from eligibility_etl_airflow_spark.operators.external import metrics_totals
+
+    df = spark.createDataFrame(
+        [(100, 20, 0.5), (200, 30, 1.0), (50, 10, 0.25)],
+        "in_tokens long, out_tokens long, cost double",
+    )
+    row = metrics_totals(
+        df,
+        {"total_in": "in_tokens", "total_out": "out_tokens", "total_cost": "cost"},
+    ).first()
+    assert (row.total_in, row.total_out, row.total_cost) == (350, 60, 1.75)
