@@ -79,3 +79,72 @@ def test_foreach_batch_sink_idempotent_restart(spark, sf_dir, tmp_path):
     stream2 = ops.events_stream(spark, sf_dir)
     ops.foreach_batch_parquet_sink(stream2, out, ckpt, dedup_keys=["event_id"])
     assert spark.read.parquet(out).count() == first
+
+
+def test_watermark_drops_late_rows_in_windowed_agg(spark, tmp_path):
+    """Append-mode windowed aggregation: rows arriving after the
+    watermark has passed their window are dropped, emitted windows are
+    final. The reference has no late-data story at all (README
+    acknowledges gaps); this pins the engine's."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(table, src / name)
+
+    # batch 1: two on-time events on day 1 and day 3 (watermark → day3 - 30min)
+    write_file("a.parquet", [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-03 10:00:00", 1, "click", 1.0, "{}"),
+    ])
+    raw = (
+        spark.readStream.schema(ops.EVENTS_SCHEMA).format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = ops.tumbling_daily(events, lateness="30 minutes")
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "late_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _time.sleep(0.2)
+    # batch 2: a LATE event for day 1 (already far behind the watermark)
+    # plus an on-time day-3 event
+    write_file("b.parquet", [
+        (3, "2024-01-01 11:00:00", 2, "click", 5.0, "{}"),
+        (4, "2024-01-03 11:00:00", 2, "click", 1.0, "{}"),
+    ])
+    q2 = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    out = spark.read.parquet(out_dir).toPandas()
+    day1 = out[out.window_start.astype(str).str.startswith("2024-01-01")]
+    # day-1 window was finalized by the watermark before the late row:
+    # it must contain ONLY the on-time event (n=1), the late row dropped
+    assert not day1.empty
+    assert int(day1.n_events.sum()) == 1
