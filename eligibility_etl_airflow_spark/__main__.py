@@ -33,7 +33,9 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--limit", type=int, default=20)
 
     pp = sub.add_parser("pipeline", help="run an end-to-end pipeline")
-    pp.add_argument("name", choices=["eligibility", "predictions", "resubmission"])
+    pp.add_argument(
+        "name", choices=["eligibility", "predictions", "resubmission", "events-stream"]
+    )
     pp.add_argument("--out-dir", required=True)
     pp.add_argument("--sf-dir", default=DEFAULT_SF)
 
@@ -62,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
             "eligibility": pipelines.run_eligibility_pipeline,
             "predictions": pipelines.run_predictions_pipeline,
             "resubmission": pipelines.run_resubmission_pipeline,
+            "events-stream": pipelines.run_events_stream_pipeline,
         }[args.name]
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir), default=str))
         return 0

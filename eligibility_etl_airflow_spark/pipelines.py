@@ -78,3 +78,22 @@ def run_resubmission_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) ->
     deduped = sinks.keep_last(df, ["service_id"], order_col="request_date")
     sinks.merge_upsert(spark, os.path.join(out_dir, "resubmission"), deduped, ["service_id"])
     return {"rows_upserted": deduped.count()}
+
+
+def run_events_stream_pipeline(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str | None = None
+) -> dict:
+    """§2.11 lifecycle as one streaming job: events replayed from files →
+    watermark dedup → checkpointed idempotent foreachBatch parquet sink.
+    Re-running with the same checkpoint is a no-op (no new input) — the
+    streaming replacement for every cron-plus-overlap extraction in the
+    reference."""
+    from eligibility_etl_airflow_spark.streaming import ops
+
+    ckpt = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    stream = ops.dedup_under_watermark(ops.events_stream(spark, sf_dir))
+    ops.foreach_batch_parquet_sink(
+        stream, os.path.join(out_dir, "events_clean"), ckpt, dedup_keys=["event_id"]
+    )
+    n = spark.read.parquet(os.path.join(out_dir, "events_clean")).count()
+    return {"rows_in_sink": n}

@@ -53,3 +53,11 @@ def test_resubmission_pipeline_upserts(spark, sf_dir, tmp_path):
     # re-run merges the same keys: no growth
     pipelines.run_resubmission_pipeline(spark, sf_dir, out)
     assert spark.read.parquet(f"{out}/resubmission").count() == n
+
+
+def test_events_stream_pipeline_idempotent(spark, sf_dir, tmp_path):
+    out = str(tmp_path)
+    first = pipelines.run_events_stream_pipeline(spark, sf_dir, out)
+    assert first["rows_in_sink"] > 0
+    second = pipelines.run_events_stream_pipeline(spark, sf_dir, out)
+    assert second["rows_in_sink"] == first["rows_in_sink"]
