@@ -114,3 +114,39 @@ def frame_sample_plan(df: DataFrame, binary_col: str, every_n_bytes: int = 1024)
     n = F.length(F.col(binary_col)).cast("long")
     offsets = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
     return df.withColumn("frame_offset", F.explode(offsets))
+
+
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: truncates/cycles the
+    payload to width*height bytes (a real resizer decodes, resamples,
+    re-encodes behind the same signature)."""
+    target = max(width * height, 1)
+    if not payload:
+        return bytes(target)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resizer,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads — the third leg of
+    the decode/feature/resize seam family. Output is again an opaque
+    binary column + metadata, so resize → decode_features composes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resizer(bytes(p), width, height) if p is not None else None
+                for p in pdf[binary_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": resized})
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run, schema=f"{id_col} long, resized binary"
+    )
