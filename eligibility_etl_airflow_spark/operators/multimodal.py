@@ -113,7 +113,9 @@ def frame_sample_plan(df: DataFrame, binary_col: str, every_n_bytes: int = 1024)
     behind the same decoder seam as ``decode_features``."""
     n = F.length(F.col(binary_col)).cast("long")
     offsets = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
-    return df.withColumn("frame_offset", F.explode(offsets))
+    return df.where(F.col(binary_col).isNotNull()).withColumn(
+        "frame_offset", F.explode_outer(offsets)
+    )
 
 
 def fake_resizer(payload: bytes, width: int, height: int) -> bytes:

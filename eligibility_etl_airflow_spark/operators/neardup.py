@@ -80,9 +80,18 @@ def minhash_signatures(
     n = F.length(norm)
     starts = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
     hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(norm, i, shingle_k)))
-    exploded = _ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", F.explode(hashes).alias("h")
-    )
+    # explode_outer, not explode: plain explode triggers the optimizer's
+    # InferFiltersFromGenerate rule, whose size(...)>0 filter gets the
+    # whole shingling expression substituted into it by predicate
+    # pushdown — evaluated interpreted, once more per row (jstack-verified
+    # hot spot). The hash array is never empty (sequence lower bound 1),
+    # so outer semantics are identical; null-text rows are excluded by a
+    # scan-level filter instead.
+    exploded = _ensure_parallelism(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col)
+        )
+    ).select("id", F.explode_outer(hashes).alias("h"))
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(num_perm)
     ]
@@ -108,7 +117,7 @@ def lsh_band_table(
     banded = minhash_signatures(df, id_col, text_col, num_perm, shingle_k).select(
         "id",
         *(["sig"] if carry_sig else []),
-        F.posexplode(
+        F.posexplode_outer(
             F.array(
                 *[
                     F.xxhash64(
@@ -177,7 +186,7 @@ def minhash_lsh_pairs(
 
     candidates = (
         buckets.select(
-            F.explode(
+            F.explode_outer(
                 F.flatten(
                     F.transform(
                         F.col("members"),
@@ -306,7 +315,7 @@ def simhash_block_pairs(
     )
     pairs = (
         buckets.select(
-            F.explode(
+            F.explode_outer(
                 F.flatten(
                     F.transform(
                         F.col("members"),
@@ -328,5 +337,81 @@ def simhash_block_pairs(
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    window_w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    scheme): hash every k-gram, then keep the minimum hash of each
+    sliding window of ``window_w`` consecutive k-grams. Guarantees any
+    shared substring of length ≥ w+k-1 contributes a shared fingerprint,
+    while storing ~2/(w+1) of the hashes — the compact rolling-hash
+    fingerprint family for overlap detection. Pure column expressions;
+    matching is a bucket join on fingerprint values (explode → join),
+    never pairwise text comparison."""
+    # Stage the k-gram hash array as a materialized column before the
+    # window pass. Inlining it into the window transform's lambda would
+    # re-evaluate the whole O(len) hash array (and the regex normalize
+    # under it) once per window element — O(len^2 * regex) per row.
+    # As a multi-referenced non-trivial projection it stays an attribute
+    # (CollapseProject refuses to duplicate it), so each row hashes its
+    # text exactly once and the window pass is pure array indexing.
+    norm = normalize_text(F.col(text_col))
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
+    hashed = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            starts, lambda i: F.xxhash64(F.substring(norm, i, shingle_k))
+        ).alias("_hashes"),
+    )
+    wins = F.sequence(
+        F.lit(0), F.greatest(F.size("_hashes") - window_w, F.lit(0))
+    )
+    fp = F.array_distinct(
+        F.transform(
+            wins, lambda i: F.array_min(F.slice(F.col("_hashes"), i + 1, window_w))
+        )
+    )
+    return hashed.select("id", fp.alias("fingerprints"))
+
+
+def fingerprint_overlap_pairs(
+    fp_df: DataFrame, min_shared: int = 2, max_bucket_size: int = 10000
+) -> DataFrame:
+    """Pairs of documents sharing ≥ ``min_shared`` winnowing fingerprints
+    — explode to (fingerprint, id), collect per bucket, expand pairs
+    locally, count shared prints per pair. Same bucket-bounded shape as
+    the LSH pair generators."""
+    inv = fp_df.select("id", F.explode_outer("fingerprints").alias("fp"))
+    buckets = (
+        inv.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    pairs = (
+        buckets.select(
+            F.explode_outer(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
     )
     return pairs

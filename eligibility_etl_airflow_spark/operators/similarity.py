@@ -160,7 +160,7 @@ def lsh_topk(
             as_double_array(F.col(vec_col)).alias("cvec"),
         )
         .withColumn("cnorm", _norm(F.col("cvec")))
-        .select("*", F.posexplode(bucket_array(F.col("cvec"))).alias("table", "bucket"))
+        .select("*", F.posexplode_outer(bucket_array(F.col("cvec"))).alias("table", "bucket"))
     )
 
     q = (
@@ -169,13 +169,13 @@ def lsh_topk(
             as_double_array(F.col(vec_col)).alias("qvec"),
         )
         .withColumn("qnorm", _norm(F.col("qvec")))
-        .select("*", F.posexplode(bucket_array(F.col("qvec"))).alias("table", "bucket0"))
+        .select("*", F.posexplode_outer(bucket_array(F.col("qvec"))).alias("table", "bucket0"))
     )
 
     probes = [F.col("bucket0")]
     if multiprobe_bits >= 1:
         probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-    q_probed = q.withColumn("bucket", F.explode(F.array(*probes)))
+    q_probed = q.withColumn("bucket", F.explode_outer(F.array(*probes)))
 
     scored = (
         c.join(F.broadcast(q_probed), ["table", "bucket"])
@@ -282,7 +282,7 @@ def ivf_topk(
             as_double_array(F.col(vec_col)).alias("qvec"),
         )
         .withColumn("qnorm", _norm(F.col("qvec")))
-        .withColumn("cell", F.explode(_cell_assign_udf(cents, nprobe)(F.col("qvec"))))
+        .withColumn("cell", F.explode_outer(_cell_assign_udf(cents, nprobe)(F.col("qvec"))))
     )
     scored = (
         c.join(F.broadcast(q), "cell")

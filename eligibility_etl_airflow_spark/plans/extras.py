@@ -209,3 +209,75 @@ def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HLL sketch distinct counting — the 100 TB form of COUNT(DISTINCT)
+# --------------------------------------------------------------------------
+
+
+# --------------------------------------------------------------------------
+# As-of join — purchase events enriched with the latest prior click
+# --------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+@query("asof_join_events", oracle=ASOF_ORACLE)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (capability beyond the reference — SURVEY.md §2.3 notes
+    it has no as-of/range joins): each purchase event picks up the most
+    recent click by the same user at or before the purchase timestamp.
+    Implemented via the union + ordered-window pattern in
+    operators/asof.py (one shuffle + one sort, no pairwise expansion);
+    the oracle is DuckDB's native ASOF JOIN."""
+    from eligibility_etl_airflow_spark.operators.asof import asof_join
+
+    e = Catalog(spark, sf_dir).events
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_cols=["ts", "value"],
+        how="inner",
+        suffix="",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+
+
+@query("approx_distinct_sketch")
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the sketch is mergeable across partitions (one pass, no
+    distinct-expansion shuffle), which is what replaces exact
+    COUNT(DISTINCT) at 100 TB. Registered rows-only (sketch estimates
+    aren't oracle-matchable); the relative-error bound is asserted in
+    tests/test_extras.py."""
+    o = Catalog(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).cast("long").alias("approx_customers"),
+    )

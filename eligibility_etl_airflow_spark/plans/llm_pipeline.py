@@ -322,3 +322,85 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("features").cast("long").alias("feature_dim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document
+# --------------------------------------------------------------------------
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, count(*) AS dfreq FROM tf GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(dfreq.dfreq AS BIGINT) AS dfreq,
+         tf.tf * ln(n.n_docs / dfreq.dfreq) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, dfreq,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+       tf, dfreq, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("tfidf_top_terms", oracle=TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: tokenize, term frequency per doc,
+    document frequency, idf = ln(N/df), top-3 terms per doc. Entirely
+    built-in expressions — two hash aggregates plus a shuffle join on
+    term (term dictionary is tiny relative to the corpus, so Catalyst/AQE
+    broadcasts it) and a per-doc top-k window. Outputs integer tf/df and
+    the rank (float scores stay internal so the DuckDB oracle hash-matches
+    bit-exactly)."""
+    from pyspark.sql.window import Window
+
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dfreq").cast("long").alias("dfreq"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@query("winnow_fingerprint_pairs")
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint overlap pairs — rolling-hash document
+    fingerprinting with guaranteed detection of shared substrings of
+    length ≥ w+k-1; invariants in tests/test_neardup.py."""
+    d = Catalog(spark, sf_dir).documents
+    fps = neardup.winnow_fingerprints(d, "doc_id", "text")
+    return neardup.fingerprint_overlap_pairs(fps, min_shared=3)

@@ -698,7 +698,7 @@ def split_explode_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return csv.select(
         "order_id",
-        F.explode(F.split("keys_csv", ",")).alias("part_token"),
+        F.explode_outer(F.split("keys_csv", ",")).alias("part_token"),
     ).select("order_id", F.trim("part_token").cast("long").alias("part_id"))
 
 

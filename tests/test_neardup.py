@@ -148,3 +148,27 @@ def test_embedding_neardup_pairs_symmetric_and_thresholded(spark, sf_dir):
     rows = pairs.collect()
     assert all(r.id_a < r.id_b for r in rows)
     assert all(r.cos >= 0.8 for r in rows)
+
+
+def test_winnowing_guarantee_and_compression(spark):
+    """Shared substrings ≥ w+k-1 chars must share a fingerprint; the
+    fingerprint set must be much smaller than the full shingle set."""
+    shared = "this exact long passage is copied verbatim between documents"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text aaa " + shared + " outro one"),
+            (2, "different opening bbb " + shared + " other ending"),
+            (3, "totally unrelated content with zero overlap whatsoever xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = neardup.winnow_fingerprints(docs, "doc_id", "text")
+    rows = {r.id: set(r.fingerprints) for r in fps.collect()}
+    assert rows[1] & rows[2], "copied passage must share fingerprints"
+    # compression: ~2/(w+1) of hashes kept (w=4 → well under half)
+    n_chars = len("intro text aaa " + shared + " outro one")
+    assert len(rows[1]) < n_chars / 2
+    pairs = neardup.fingerprint_overlap_pairs(fps, min_shared=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
