@@ -268,6 +268,71 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Range (interval) join — no equality key, bucketized
+# --------------------------------------------------------------------------
+
+RANGE_JOIN_ORACLE = """
+SELECT e.event_id AS error_id,
+       CAST(count(*) AS BIGINT) AS n_nearby_clicks,
+       ROUND(sum(c.value), 4) AS sum_click_value
+FROM events e
+JOIN events c
+  ON e.event_type = 'error' AND c.event_type = 'click'
+ AND abs(epoch(e.ts) - epoch(c.ts)) <= 120
+GROUP BY e.event_id
+"""
+
+
+@query("range_join_events", oracle=RANGE_JOIN_ORACLE)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with no equi key (beyond the reference): for each
+    error event, aggregate the click events within ±120 s regardless of
+    user. A raw inequality join is a BroadcastNestedLoopJoin (corpus²);
+    operators/rangejoin.py rewrites it to an equi-join on quantized time
+    buckets with 3× replication of the right side — ordinary shuffle
+    join cost, AQE-safe at scale. The oracle is the naive inequality
+    join, which DuckDB can afford at sf0.01."""
+    from eligibility_etl_airflow_spark.operators.rangejoin import range_join
+
+    e = Catalog(spark, sf_dir).events
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    return (
+        range_join(errors, clicks, "e_ts", "c_ts", tolerance_s=120)
+        .groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nearby_clicks"),
+            F.round(F.sum("c_value"), 4).alias("sum_click_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling — training-data curation primitive
+# --------------------------------------------------------------------------
+
+
+@query("stratified_sample")
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) over documents by
+    language — the corpus-rebalancing primitive for training-data
+    mixes. Seeded, executor-side, no shuffle (a map-only filter over the
+    scan). Registered rows-only: the sample membership is Spark-seed-
+    specific, so there is no DuckDB twin; the per-stratum rate bounds
+    are asserted in tests/test_extras.py."""
+    d = Catalog(spark, sf_dir).documents
+    fractions = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.1}
+    sample = d.sampleBy("lang", fractions, seed=42)
+    return sample.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
+
+
 @query("approx_distinct_sketch")
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) next to the exact count —

@@ -325,6 +325,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PII redaction — corpus scrubbing before training
+# --------------------------------------------------------------------------
+
+_PII = {
+    "email": r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+    "phone": r"\d{3}[-.]\d{3}[-.]\d{4}",
+}
+
+PII_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII["ssn"]}')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '{_PII["phone"]}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII["email"]}', '<EMAIL>', 'g'),
+           '{_PII["ssn"]}', '<SSN>', 'g'),
+           '{_PII["phone"]}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+@query("pii_redaction", oracle=PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / SSN-like / phone-like patterns → typed
+    placeholder tokens) with per-class match counts — the standard
+    pre-training corpus scrubbing pass. Pure JVM regexes inside
+    whole-stage codegen; one map-only pass over the scan, embarrassingly
+    parallel at any scale. The redacted text is compared to the oracle
+    via md5 so the full scrubbed corpus is value-checked without hashing
+    megabytes through the driver."""
+    d = Catalog(spark, sf_dir).documents
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII["email"], "<EMAIL>"),
+            _PII["ssn"],
+            "<SSN>",
+        ),
+        _PII["phone"],
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII["email"]), F.lit(0))).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII["ssn"]), F.lit(0))).cast("long").alias("n_ssn"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII["phone"]), F.lit(0))).cast("long").alias("n_phone"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # TF-IDF top terms per document
 # --------------------------------------------------------------------------
 
@@ -403,4 +455,9 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     length ≥ w+k-1; invariants in tests/test_neardup.py."""
     d = Catalog(spark, sf_dir).documents
     fps = neardup.winnow_fingerprints(d, "doc_id", "text")
-    return neardup.fingerprint_overlap_pairs(fps, min_shared=3)
+    # max_bucket_size acts as a stop-fingerprint filter: a fingerprint
+    # shared by >64 documents is template boilerplate (zero discriminative
+    # signal) and would only fuel quadratic pair expansion — the MOSS
+    # analogue of dropping stopwords. Without it the templated synthetic
+    # corpus exploded to ~25k pairs/doc and dominated the whole bench.
+    return neardup.fingerprint_overlap_pairs(fps, min_shared=3, max_bucket_size=64)
