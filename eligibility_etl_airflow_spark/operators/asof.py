@@ -53,6 +53,11 @@ def asof_join(
     left_out = [c for c in left.columns]
 
     payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    # NULL-timestamp right rows must never match (DuckDB/kdb ASOF compares
+    # right_ts <= left_ts, which is never true for NULL); without this
+    # filter they sort nulls-first and would be carried as "infinitely old"
+    # matches onto every left row until the first real one.
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         *[F.col(k).alias(f"_k_{i}") for i, k in enumerate(keys)],
         F.col(right_ts).alias("_t"),

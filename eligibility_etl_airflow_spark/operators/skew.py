@@ -26,7 +26,21 @@ def salted_join(
     exploded ×salt so every (key, salt) combination exists. The shuffle
     key becomes (key, salt) — a hot key's rows spread over ``salt``
     reducers instead of one. Replication cost: |small| × salt rows, so
-    keep the replicated side the smaller one."""
+    keep the replicated side the smaller one.
+
+    ``how`` is restricted to joins whose semantics survive replicating the
+    small side: inner/left/left_semi/left_anti (big-side rows pass through
+    once regardless of replication). right/full/outer would emit each
+    unmatched small-side row ``salt`` times — once per replica — so they
+    are rejected rather than silently wrong."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "replicating the small side would duplicate its unmatched rows "
+            "under right/full joins"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt))
     )

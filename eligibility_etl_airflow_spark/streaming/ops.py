@@ -27,44 +27,78 @@ on (window, key) — both hold at 1000-executor scale.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructType
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) parquet → long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from eligibility_etl_airflow_spark.catalog import nanos_timestamp_columns
 
 
 def _as_source_dir(path: str) -> str:
     """The file stream source requires a directory; the testdata ships a
-    single parquet file, so stage a stable symlink directory for it."""
+    single parquet file, so stage a stable symlink directory for it.
+
+    The staging dir name is a content-independent *stable* digest of the
+    absolute path (not Python's salt-randomized ``hash()``), so a restarted
+    process resumes a checkpointed query against the same source dir.
+    """
     if os.path.isdir(path):
         return path
-    staged = os.path.join(
-        tempfile.gettempdir(), f"stream_src_{abs(hash(os.path.abspath(path)))}"
-    )
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
+    staged = os.path.join(tempfile.gettempdir(), f"stream_src_{digest}")
     os.makedirs(staged, exist_ok=True)
     link = os.path.join(staged, os.path.basename(path))
     if not os.path.exists(link):
         os.symlink(os.path.abspath(path), link)
     return staged
+
+
+def _sample_parquet(path: str) -> str:
+    """One representative parquet file under ``path`` (file or directory)
+    to sniff the schema from."""
+    if not os.path.isdir(path):
+        return path
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    raise FileNotFoundError(f"no parquet file under {path}")
+
+
+def stream_from_dir(spark: SparkSession, path: str, **reader_options) -> DataFrame:
+    """A parquet file/directory as a file-source stream with the same
+    nanos-column handling as the batch ``Catalog`` (one shared helper, one
+    place the testdata format is interpreted): TIMESTAMP(NANOS) columns
+    are declared LongType in the stream schema and restored to timestamps
+    with the identical ns→us conversion.
+
+    ``reader_options`` pass through to the stream reader (e.g.
+    ``maxFilesPerTrigger=1`` for multi-micro-batch replays).
+    """
+    import pyarrow.parquet as _pq
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    sample = _sample_parquet(path)
+    nanos_cols = set(nanos_timestamp_columns(sample))
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType()
+    for field in _pq.read_schema(sample):
+        if field.name in nanos_cols:
+            schema = schema.add(field.name, LongType())
+        else:
+            schema = schema.add(field.name, from_arrow_type(field.type))
+    reader = spark.readStream.schema(schema).format("parquet")
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    raw = reader.load(_as_source_dir(path))
+    for col in nanos_cols:
+        raw = raw.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return raw
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,12 +107,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     One parquet file == one micro-batch replay of history; in production
     the same plan binds to a Kafka/file-drop source unchanged.
     """
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(_as_source_dir(os.path.join(sf_dir, "events.parquet")))
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream_from_dir(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 # --------------------------------------------------------------------------
@@ -89,10 +118,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_under_watermark(events: DataFrame, lateness: str = "30 minutes") -> DataFrame:
     """Stateful exactly-once dedup on event_id.
 
-    Replaces the reference's overlap-window hack: state is bounded by the
-    watermark horizon, so re-delivered rows inside the lateness window drop
-    and state older than the watermark is evicted (the unbounded
-    processed-key JSON sets of lch_eligibility.py:58-80 never evict)."""
+    Replaces the reference's overlap-window hack. Streaming uses
+    ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` without the
+    event-time column in its keys never evicts state (Spark only expires
+    dedup state when the watermark column is part of the subset), so the
+    within-watermark variant is what actually bounds state to the lateness
+    horizon — vs the unbounded processed-key JSON sets of
+    lch_eligibility.py:58-80 that never evict. The batch twin (where the
+    operator is unsupported and a global dedup is exact anyway) uses
+    ``dropDuplicates``."""
+    if events.isStreaming:
+        return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
     return events.withWatermark("ts", lateness).dropDuplicates(["event_id"])
 
 

@@ -54,6 +54,26 @@ def test_asof_left_keeps_unmatched(spark):
     assert got[3] is None
 
 
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL timestamp must not be treated as infinitely
+    old (DuckDB ASOF: right_ts <= left_ts is never true for NULL)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T10:00:00"))], "trade_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, None, 7.0), (10, _ts("2024-01-01T09:00:00"), 2.0)],
+        "k long, ts timestamp, px double",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    right_cols=["px"], how="inner").collect()
+    assert [(r.trade_id, r.px_asof) for r in out] == [(1, 2.0)]
+
+    only_null = right.filter(right.ts.isNull())
+    got = asof_join(left, only_null, on="k", left_ts="ts", right_ts="ts",
+                    right_cols=["px"], how="inner").collect()
+    assert got == []  # nothing to match: inner drops the left row
+
+
 def test_asof_matches_duckdb_oracle(spark, sf_dir):
     """The registered query's Spark plan equals DuckDB's native ASOF JOIN
     on the same events parquet."""

@@ -9,7 +9,6 @@ import os
 import shutil
 
 import pytest
-from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark.catalog import Catalog
 from eligibility_etl_airflow_spark.streaming import ops
@@ -56,12 +55,9 @@ def redelivery_dir(tmp_path, sf_dir):
 
 
 def test_stream_dedup_survives_redelivery(spark, sf_dir, redelivery_dir):
-    raw = (
-        spark.readStream.schema(ops.EVENTS_SCHEMA)
-        .format("parquet")
-        .load(os.path.join(redelivery_dir, "events_redelivered"))
+    events = ops.stream_from_dir(
+        spark, os.path.join(redelivery_dir, "events_redelivered")
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     got = ops.run_available_now(ops.dedup_under_watermark(events), "t_dedup")
     n_distinct = Catalog(spark, sf_dir).events.select("event_id").distinct().count()
     assert got.count() == n_distinct
@@ -107,12 +103,7 @@ def test_watermark_drops_late_rows_in_windowed_agg(spark, tmp_path):
         (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
         (2, "2024-01-03 10:00:00", 1, "click", 1.0, "{}"),
     ])
-    raw = (
-        spark.readStream.schema(ops.EVENTS_SCHEMA).format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(str(src))
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
     agg = ops.tumbling_daily(events, lateness="30 minutes")
 
     ckpt = str(tmp_path / "ckpt")
