@@ -55,43 +55,43 @@ def hashed_shingles(col: Column, k: int = 5) -> Column:
     )
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_perm: int = 64,
-    shingle_k: int = 5,
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 5
 ) -> DataFrame:
-    """id → MinHash signature (array<long>, length ``num_perm``).
+    """(id, shingles) staging relation: distinct 64-bit-hashed k-shingles
+    per document. Computed ONCE and shared by both the MinHash signature
+    derivation and the exact-Jaccard verification join (persist it when
+    both consumers run in one job — otherwise each branch re-runs the
+    scan + regex normalize + shingling pass over the full corpus)."""
+    return _ensure_parallelism(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col)
+        )
+    ).select("id", hashed_shingles(F.col(text_col), shingle_k).alias("shingles"))
+
+
+def signatures_from_shingles(shingle_tab: DataFrame, num_perm: int = 64) -> DataFrame:
+    """(id, shingles) → (id, sig): MinHash signature (array<long>, length
+    ``num_perm``).
 
     One pass: explode shingle hashes, then the ``num_perm`` component
     mins run as plain MIN aggregates — partial-aggregated map-side before
     one shuffle on id. (The naive form — 64 ``array_min(transform(...))``
     expressions in one projection — duplicates the shingling subtree 64×
-    and overflows codegen; it was ~100× slower at sf0.1.) Duplicate
-    shingles don't change any MIN, so no distinct step is needed.
+    and overflows codegen; it was ~100× slower at sf0.1.)
 
     Each component uses an INDEPENDENT seeded hash ``xxhash64(i, h)``.
     (An affine family ``(a·h+b) mod P`` with a,b below the wrap point of
     P is order-preserving — every component shares one argmin, the
     signature then estimates "P(shared minimum)" instead of Jaccard, and
     banding degenerates into corpus-sized buckets.)"""
-    norm = normalize_text(F.col(text_col))
-    n = F.length(norm)
-    starts = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
-    hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(norm, i, shingle_k)))
     # explode_outer, not explode: plain explode triggers the optimizer's
     # InferFiltersFromGenerate rule, whose size(...)>0 filter gets the
     # whole shingling expression substituted into it by predicate
     # pushdown — evaluated interpreted, once more per row (jstack-verified
-    # hot spot). The hash array is never empty (sequence lower bound 1),
-    # so outer semantics are identical; null-text rows are excluded by a
-    # scan-level filter instead.
-    exploded = _ensure_parallelism(
-        df.where(F.col(text_col).isNotNull()).select(
-            F.col(id_col).alias("id"), F.col(text_col)
-        )
-    ).select("id", F.explode_outer(hashes).alias("h"))
+    # hot spot). The shingle array is never empty (sequence lower bound 1),
+    # so outer semantics are identical.
+    exploded = shingle_tab.select("id", F.explode_outer("shingles").alias("h"))
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(num_perm)
     ]
@@ -100,21 +100,33 @@ def minhash_signatures(
     )
 
 
-def lsh_band_table(
+def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_perm: int = 64,
-    bands: int = 16,
     shingle_k: int = 5,
+) -> DataFrame:
+    """id → MinHash signature straight from raw text (single-consumer
+    form; ``minhash_lsh_pairs`` stages the shingle table instead so the
+    verification join shares it)."""
+    return signatures_from_shingles(
+        shingle_table(df, id_col, text_col, shingle_k), num_perm
+    )
+
+
+def band_rows(
+    sigs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
     carry_sig: bool = False,
 ) -> DataFrame:
-    """id → (band_idx, band_sig) rows: the LSH index relation.
+    """(id, sig) → (band_idx, band_sig) rows: the LSH index relation.
     ``carry_sig`` keeps the full signature on each band row (×bands data
     through the shuffle, still tiny) so downstream candidate generation
     can estimate Jaccard without re-deriving signatures."""
     rows_per_band = num_perm // bands
-    banded = minhash_signatures(df, id_col, text_col, num_perm, shingle_k).select(
+    banded = sigs.select(
         "id",
         *(["sig"] if carry_sig else []),
         F.posexplode_outer(
@@ -154,17 +166,30 @@ def minhash_lsh_pairs(
     scale one degenerate bucket is a quadratic bomb). Verification joins
     the shingle sets back and computes exact Jaccard.
     """
+    from pyspark import StorageLevel
+
     # Pairs come from collect_list per bucket, not a self-join: the LSH
     # index is computed ONCE (one shuffle on the bucket key), buckets over
     # the cap drop with a size filter, and in-bucket pair expansion is a
-    # local array transform bounded by cap² — no lineage re-execution, no
-    # persist needed. Signatures ride along so each generated pair is
+    # local array transform bounded by cap² — no lineage re-execution.
+    # Signatures ride along so each generated pair is
     # prefiltered by ESTIMATED Jaccard (64 component compares) before the
     # exact-verification join — a 3σ margin below the threshold keeps
     # true near-dups with ~99.9% probability while discarding the
     # low-similarity bulk that dominates candidate volume.
     est_margin = 3.0 * (0.25 / num_perm) ** 0.5
-    bandtab = lsh_band_table(df, id_col, text_col, num_perm, bands, shingle_k, carry_sig=True)
+    # The hashed-shingle relation feeds BOTH the signature derivation and
+    # the exact-Jaccard verification join; persisted (disk-spillable) so
+    # the corpus is scanned + normalized + shingled exactly once instead
+    # of twice. At cluster scale this trades one full text pass for
+    # shingle-array storage ≈ a few × corpus size, the standard dedup
+    # pipeline trade (the alternative recompute pass rereads the corpus).
+    shingle_tab = shingle_table(df, id_col, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bandtab = band_rows(
+        signatures_from_shingles(shingle_tab, num_perm), num_perm, bands, carry_sig=True
+    )
     buckets = (
         bandtab.groupBy("band_idx", "band_sig")
         .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("members"))
@@ -202,13 +227,9 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    shingle_tab = _ensure_parallelism(df).select(
-        F.col(id_col).alias("sid"),
-        hashed_shingles(F.col(text_col), shingle_k).alias("shingles"),
-    )
     verified = (
-        candidates.join(shingle_tab.withColumnRenamed("sid", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(shingle_tab.withColumnRenamed("sid", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        candidates.join(shingle_tab.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(shingle_tab.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -257,40 +278,67 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document (Arrow-batched numpy, no per-row Python).
+    """64-bit SimHash per document.
+
+    Token hashing happens JVM-side — ``xxhash64`` over each element of the
+    whitespace-token array via ``F.transform`` (codegen, no explode, no
+    shuffle) — so the Python stage never touches text. The Arrow-batched
+    ``mapInPandas`` stage only does the bit arithmetic, fully vectorized
+    across the batch: unpack all token hashes' bits at once and segment-sum
+    per document with ``np.add.reduceat``. (The previous per-token
+    ``hashlib.md5`` Python loop was the repo's one row-at-a-time hot spot —
+    this form is the same signature family at memory-bandwidth speed.)
 
     Hamming-close signatures ≈ near-duplicates; pairing is done by
     splitting the signature into 4 × 16-bit blocks (documents within
     hamming distance 3 share at least one block) — same ban-the-cross-join
     philosophy as MinHash-LSH.
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    hashed = df.select(
+        F.col(id_col).alias(id_col),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+    )
+
+    # bound the unpacked bit matrix: 64 int32 per token ≈ 256 B → ~64 MB
+    chunk_tokens = 256_000
+
     def batch(frames):
+        bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in frames:
-            sigs = []
-            for text in pdf[text_col].astype(str):
-                toks = text.lower().split()
-                if not toks:
-                    sigs.append(0)
-                    continue
-                hashes = np.array(
-                    [
-                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
-                )
-                bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-                counts = bits.sum(axis=0)
-                sig = ((counts * 2 > len(hashes)).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
-                sigs.append(int(sig) - (1 << 63))  # store as signed long
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["th"]]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            sigs = np.zeros(len(arrs), dtype=np.int64)
+            start = 0
+            while start < len(arrs):
+                end = start
+                total = 0
+                while end < len(arrs) and (total == 0 or total + lens[end] <= chunk_tokens):
+                    total += lens[end]
+                    end += 1
+                idx = [i for i in range(start, end) if lens[i] > 0]
+                if idx:
+                    flat = np.concatenate([arrs[i] for i in idx]).view(np.uint64)
+                    # little-endian byte view → per-bit columns 0..63
+                    bits = np.unpackbits(
+                        flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                    ).astype(np.int32)
+                    seg_lens = lens[idx]
+                    offsets = np.zeros(len(idx), dtype=np.int64)
+                    np.cumsum(seg_lens[:-1], out=offsets[1:])
+                    counts = np.add.reduceat(bits, offsets, axis=0)
+                    majority = counts * 2 > seg_lens[:, None]
+                    vals = (majority.astype(np.uint64) << bit_idx).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                    sigs[idx] = vals.view(np.int64)
+                start = end
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(batch, schema=f"{id_col} long, simhash long")
+    return hashed.mapInPandas(batch, schema=f"{id_col} long, simhash long")
 
 
 def simhash_block_pairs(

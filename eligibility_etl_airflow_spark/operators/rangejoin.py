@@ -24,8 +24,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _epoch_s(ts: Column) -> Column:
+    """Seconds since epoch as double, for both TIMESTAMP and
+    TIMESTAMP_NTZ inputs. ANSI mode (Spark 4 default) forbids a direct
+    NTZ→DOUBLE cast; NTZ→TIMESTAMP is allowed and interprets the naive
+    value in the session time zone (UTC here) — the same convention as
+    DuckDB's epoch() over naive timestamps."""
+    return F.unix_micros(ts.cast("timestamp")) / F.lit(1_000_000.0)
+
+
 def _bucket(ts: Column, width_s: int) -> Column:
-    return (ts.cast("double") / F.lit(float(width_s))).cast("long")
+    return (_epoch_s(ts) / F.lit(float(width_s))).cast("long")
 
 
 def range_join(
@@ -61,7 +70,7 @@ def range_join(
         ),
     )
     joined = lb.join(rb, "_rb").where(
-        F.abs(F.col(left_ts).cast("double") - F.col(right_ts).cast("double"))
+        F.abs(_epoch_s(F.col(left_ts)) - _epoch_s(F.col(right_ts)))
         <= F.lit(float(tolerance_s))
     )
     # a right row can land in the same bucket as a left row via at most

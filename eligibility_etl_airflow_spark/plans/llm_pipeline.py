@@ -259,7 +259,9 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs brute force asserted in tests/test_neardup.py."""
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(F.col("vec_id") < 8)
-    return similarity.ivf_topk(e, queries, k=5, n_cells=16, nprobe=4)
+    return similarity.ivf_topk(
+        e, queries, k=5, n_cells=16, nprobe=4, cache_key=f"{sf_dir}/embeddings.parquet"
+    )
 
 
 @query("embedding_neardup_pairs")

@@ -33,7 +33,13 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from eligibility_etl_airflow_spark.catalog import nanos_timestamp_columns
 
@@ -52,8 +58,14 @@ def _as_source_dir(path: str) -> str:
     staged = os.path.join(tempfile.gettempdir(), f"stream_src_{digest}")
     os.makedirs(staged, exist_ok=True)
     link = os.path.join(staged, os.path.basename(path))
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(path), link)
+    target = os.path.abspath(path)
+    # lexists, not exists: a dangling symlink from a prior run (source file
+    # deleted) must be detected and replaced, not silently re-created over.
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) == target:
+            return staged
+        os.unlink(link)
+    os.symlink(target, link)
     return staged
 
 
@@ -79,19 +91,33 @@ def stream_from_dir(spark: SparkSession, path: str, **reader_options) -> DataFra
     ``reader_options`` pass through to the stream reader (e.g.
     ``maxFilesPerTrigger=1`` for multi-micro-batch replays).
     """
-    import pyarrow.parquet as _pq
-    from pyspark.sql.pandas.types import from_arrow_type
-
     sample = _sample_parquet(path)
     nanos_cols = set(nanos_timestamp_columns(sample))
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType()
-    for field in _pq.read_schema(sample):
-        if field.name in nanos_cols:
-            schema = schema.add(field.name, LongType())
-        else:
-            schema = schema.add(field.name, from_arrow_type(field.type))
+    # Derive the stream schema from a footer-only batch read (stable public
+    # API) instead of pyspark.sql.pandas.types.from_arrow_type, a private
+    # module whose signature drifts between pyspark versions. With the
+    # nanosAsLong conf set, nanos columns already surface as LongType.
+    # TIMESTAMP_NTZ columns (Spark 4 infers NTZ for tz-less parquet) are
+    # declared TIMESTAMP instead: watermarks/windows require event-time to
+    # be TIMESTAMP, and with the session tz at UTC the values are identical.
+    schema = StructType(
+        [
+            StructField(
+                f.name,
+                TimestampType()
+                if isinstance(f.dataType, TimestampNTZType)
+                else f.dataType,
+                f.nullable,
+            )
+            for f in spark.read.parquet(sample).schema.fields
+        ]
+    )
+    for col in nanos_cols:
+        assert schema[col].dataType == LongType(), (
+            f"nanos column {col} expected LongType, got {schema[col].dataType}"
+        )
     reader = spark.readStream.schema(schema).format("parquet")
     for k, v in reader_options.items():
         reader = reader.option(k, v)
@@ -116,7 +142,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_under_watermark(events: DataFrame, lateness: str = "30 minutes") -> DataFrame:
-    """Stateful exactly-once dedup on event_id.
+    """Stateful dedup on event_id, bounded by the ``lateness`` horizon.
+
+    Contract: the streaming side only removes duplicates that arrive within
+    ``lateness`` of each other (``dropDuplicatesWithinWatermark`` evicts
+    dedup state past the watermark); re-deliveries spaced farther apart than
+    ``lateness`` are re-emitted by the stream but removed by the batch twin's
+    global ``dropDuplicates``. The stream==batch oracle equivalence is
+    therefore valid only for inputs whose duplicates are within-horizon —
+    which is the reference's own re-delivery model (a 30-minute cron overlap,
+    sql/eligibility_enhanced.sql:74-75).
 
     Replaces the reference's overlap-window hack. Streaming uses
     ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` without the

@@ -53,15 +53,40 @@ def test_minhash_exact_dup_has_identical_signature(spark):
 
 
 def test_simhash_block_pairs_finds_planted_dups(spark):
-    docs = _planted_docs(spark)
+    # SimHash hamming distance tracks the *fraction* of tokens edited, so
+    # the planted near-dup is a 1-in-300-token edit (hamming 2 under the
+    # deterministic xxhash64 token family) — a 1-in-24 edit like
+    # _planted_docs' drifts ~7 bits, beyond the 4-block ≤3 guarantee.
+    base_toks = [f"tok{i}" for i in range(300)]
+    edited = [("edited" if i == 50 else t) for i, t in enumerate(base_toks)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base_toks)),
+            (2, " ".join(base_toks)),  # exact dup of 1
+            (3, " ".join(edited)),  # near dup of 1
+            (4, "completely different content about spark catalyst"),
+            (5, "lorem ipsum dolor sit amet consectetur adipiscing"),
+        ],
+        "doc_id long, text string",
+    )
     sigs = neardup.simhash64(docs, "doc_id", "text")
     by_id = {r.doc_id: r.simhash for r in sigs.collect()}
     assert by_id[1] == by_id[2]  # identical text → identical signature
     pairs = neardup.simhash_block_pairs(sigs, "doc_id", max_hamming=3)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert got[(1, 2)] == 0
-    assert (1, 3) in got  # one-token edit stays within hamming 3
+    assert (1, 3) in got and 0 < got[(1, 3)] <= 3  # small edit, found
     assert (4, 5) not in got
+
+
+def test_simhash_empty_and_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one token")],
+        "doc_id long, text string",
+    )
+    by_id = {r.doc_id: r.simhash for r in neardup.simhash64(docs, "doc_id", "text").collect()}
+    assert by_id[1] == 0 and by_id[2] == 0  # no tokens → zero signature
+    assert by_id[3] != 0
 
 
 def test_bucket_cap_drops_degenerate_buckets(spark):
@@ -148,6 +173,52 @@ def test_embedding_neardup_pairs_symmetric_and_thresholded(spark, sf_dir):
     rows = pairs.collect()
     assert all(r.id_a < r.id_b for r in rows)
     assert all(r.cos >= 0.8 for r in rows)
+
+
+def test_embedding_neardup_pairs_finds_planted_dups(spark):
+    """The testdata embeddings have no pairs above 0.8 cosine (verified:
+    max pairwise cosine ≈ 0.51), so the sf-dir query legitimately returns
+    0 rows — this planted test is what makes the operator falsifiable."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((10, 64))
+    rows = []
+    vid = 0
+    planted = set()
+    for q in range(10):
+        rows.append((vid, [float(x) for x in base[q]]))
+        # near-dup at cosine ~0.995
+        rows.append((vid + 1, [float(x) for x in base[q] + 0.03 * rng.standard_normal(64)]))
+        planted.add((vid, vid + 1))
+        vid += 2
+    for _ in range(100):  # noise corpus, mutually near-orthogonal
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)]))
+        vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.embedding_neardup_pairs(e, cosine_threshold=0.95).collect()
+    }
+    found = planted & set(got)
+    # an LSH bucket split can lose a pair when the pair straddles a
+    # hyperplane; at cosine 0.995 with 10 planes that's rare — require
+    # near-perfect recall and perfect precision
+    assert len(found) >= 9, f"planted recall {len(found)}/10"
+    assert all(c >= 0.95 for c in got.values())
+    assert all(a < b for a, b in got)
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    """A degenerate bucket (identical vectors) larger than
+    max_bucket_size must be dropped, not quadratically expanded."""
+    vec = [float(i % 7) + 1.0 for i in range(64)]
+    rows = [(i, vec) for i in range(30)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = similarity.embedding_neardup_pairs(e, cosine_threshold=0.95, max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = similarity.embedding_neardup_pairs(e, cosine_threshold=0.95, max_bucket_size=1000)
+    assert uncapped.count() == 30 * 29 // 2
 
 
 def test_winnowing_guarantee_and_compression(spark):

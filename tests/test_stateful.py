@@ -4,8 +4,7 @@ input arrives split across multiple micro-batches."""
 
 from __future__ import annotations
 
-import os
-import shutil
+from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark.catalog import Catalog
 from eligibility_etl_airflow_spark.streaming import ops, stateful
@@ -24,20 +23,24 @@ def test_stateful_running_spend_matches_batch(spark, sf_dir, tmp_path):
     # two files → two micro-batches → state must carry across them
     src = tmp_path / "events_src"
     src.mkdir()
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), src / "a.parquet")
+    all_events = Catalog(spark, sf_dir).events
+    # parity split: most users get events in BOTH micro-batches, so the
+    # per-user state must genuinely carry across the batch boundary
+    first = all_events.filter(F.col("event_id") % 2 == 0)
+    second = all_events.filter(F.col("event_id") % 2 == 1)
+    # the file-stream source lists flat files, not Spark output dirs —
+    # write each half then hoist the single part-file up as <name>.parquet
+    for name, half in [("a", first), ("b", second)]:
+        out = tmp_path / f"w_{name}"
+        half.coalesce(1).write.parquet(str(out))
+        (part,) = out.glob("part-*.parquet")
+        part.rename(src / f"{name}.parquet")
 
-    stream = ops.events_stream(spark, str(tmp_path).replace("events.parquet", ""))
-    # point the stream at our staged dir instead
-    raw = (
-        spark.readStream.schema(ops.EVENTS_SCHEMA).format("parquet").load(str(src))
-    )
-    from pyspark.sql import functions as F
-
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
     got = ops.run_available_now(
         stateful.running_spend_stream(events), "t_stateful", output_mode="update"
     )
-    want = stateful.running_spend_batch(Catalog(spark, sf_dir).events)
+    want = stateful.running_spend_batch(all_events)
     got_map = _final_rows(got)
     want_map = {
         r.user_id: (r.n_events, round(r.total_value, 4), r.last_ts)
