@@ -18,6 +18,8 @@ The standard LLM-corpus dedup stack, built Spark-first:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -27,9 +29,34 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input (e.g. one small parquet file) across the
     cluster before CPU-heavy per-row work; inputs that already have
     enough partitions pass through untouched (no shuffle at 100 TB,
-    where the scan itself provides thousands of partitions)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    where the scan itself provides thousands of partitions).
+
+    The partition estimate comes from the input files' total size vs
+    ``spark.sql.files.maxPartitionBytes`` (``inputFiles`` is an
+    analysis-only call) — NOT ``df.rdd.getNumPartitions()``, which
+    builds the physical RDD DAG on every invocation. Non-file inputs
+    (in-memory test relations) estimate 0 and get repartitioned, which
+    is correct for them too."""
+    import urllib.parse
+    import urllib.request
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try:
+        max_bytes = int(raw.rstrip("bB"))
+    except ValueError:  # e.g. "128MB" spelled with a unit suffix
+        max_bytes = 128 * 1024 * 1024
+    files = df.inputFiles()
+    total = 0
+    for uri in files:
+        p = urllib.request.url2pathname(urllib.parse.urlparse(uri).path)
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return df  # non-local storage: trust the scan's own splitting
+    est = max(len(files), -(-total // max_bytes) if total else 0)
+    if est < target:
         return df.repartition(target)
     return df
 
@@ -42,16 +69,44 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     return F.array_distinct(F.transform(starts, lambda i: F.substring(norm, i, k)))
 
 
-def hashed_shingles(col: Column, k: int = 5) -> Column:
-    """Distinct 64-bit-hashed character k-shingles. Set ops over long
-    arrays are ~5× cheaper than over string arrays (no per-probe string
-    hashing), and w.h.p. preserve exact set cardinalities — the form used
-    wherever shingle sets are intersected at scale."""
-    norm = normalize_text(col)
+def hashed_shingles_of_norm(norm: Column, k: int = 5) -> Column:
+    """Distinct 64-bit-hashed character k-shingles of ALREADY-NORMALIZED
+    text. Set ops over long arrays are ~5× cheaper than over string
+    arrays (no per-probe string hashing), and w.h.p. preserve exact set
+    cardinalities — the form used wherever shingle sets are intersected
+    at scale.
+
+    ``norm`` MUST be a materialized column reference, not an inline
+    expression: the ``substring(norm, i, k)`` inside the transform lambda
+    evaluates its argument once PER ELEMENT, so an inlined regex
+    normalize would run ~len(text) times per row (measured 4.2 s → 0.6 s
+    for the shingle stage at sf0.1). Callers stage it with
+    ``_with_normalized_text``."""
     n = F.length(norm)
     starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(starts, lambda i: F.xxhash64(F.substring(norm, i, k)))
+    )
+
+
+def _with_normalized_text(
+    df: DataFrame, id_col: str, text_col: str, extra: dict[str, Column] | None = None
+) -> DataFrame:
+    """(id, [extra...], _norm) staging projection. As a multi-referenced
+    non-trivial projection, ``_norm`` stays an attribute (CollapseProject
+    refuses to duplicate it into consumers), so the regex normalization
+    runs exactly once per row no matter how many shingle expressions
+    reference it downstream."""
+    extra = extra or {}
+    staged = _ensure_parallelism(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            *[e.alias(n) for n, e in extra.items()],
+            F.col(text_col),
+        )
+    )
+    return staged.select(
+        "id", *extra.keys(), normalize_text(F.col(text_col)).alias("_norm")
     )
 
 
@@ -63,41 +118,31 @@ def shingle_table(
     derivation and the exact-Jaccard verification join (persist it when
     both consumers run in one job — otherwise each branch re-runs the
     scan + regex normalize + shingling pass over the full corpus)."""
-    return _ensure_parallelism(
-        df.where(F.col(text_col).isNotNull()).select(
-            F.col(id_col).alias("id"), F.col(text_col)
-        )
-    ).select("id", hashed_shingles(F.col(text_col), shingle_k).alias("shingles"))
+    return _with_normalized_text(df, id_col, text_col).select(
+        "id", hashed_shingles_of_norm(F.col("_norm"), shingle_k).alias("shingles")
+    )
 
 
 def signatures_from_shingles(shingle_tab: DataFrame, num_perm: int = 64) -> DataFrame:
     """(id, shingles) → (id, sig): MinHash signature (array<long>, length
-    ``num_perm``).
+    ``num_perm``), as a SHUFFLE-FREE Arrow-batched map.
 
-    One pass: explode shingle hashes, then the ``num_perm`` component
-    mins run as plain MIN aggregates — partial-aggregated map-side before
-    one shuffle on id. (The naive form — 64 ``array_min(transform(...))``
-    expressions in one projection — duplicates the shingling subtree 64×
-    and overflows codegen; it was ~100× slower at sf0.1.)
+    Each document's signature depends only on its own shingle set, so
+    this is a per-row map — the earlier ``explode → groupBy(id).agg(64
+    mins)`` formulation shuffled its partial aggregates UNREDUCED (ids
+    are unique, so map-side combine never combines anything) and paid
+    ~5 s of one-shot Janino compilation for the 64-expression aggregate.
+    The numpy form is one (shingles × num_perm) broadcasted mix + min
+    per batch: no shuffle, no codegen, vectorized.
 
-    Each component uses an INDEPENDENT seeded hash ``xxhash64(i, h)``.
-    (An affine family ``(a·h+b) mod P`` with a,b below the wrap point of
-    P is order-preserving — every component shares one argmin, the
-    signature then estimates "P(shared minimum)" instead of Jaccard, and
-    banding degenerates into corpus-sized buckets.)"""
-    # explode_outer, not explode: plain explode triggers the optimizer's
-    # InferFiltersFromGenerate rule, whose size(...)>0 filter gets the
-    # whole shingling expression substituted into it by predicate
-    # pushdown — evaluated interpreted, once more per row (jstack-verified
-    # hot spot). The shingle array is never empty (sequence lower bound 1),
-    # so outer semantics are identical.
-    exploded = shingle_tab.select("id", F.explode_outer("shingles").alias("h"))
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(num_perm)
-    ]
-    return exploded.groupBy("id").agg(*mins).select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
-    )
+    Each component uses an INDEPENDENT mix of the shingle hash — the
+    splitmix64 finalizer over ``h XOR seed_i`` (public-domain constant
+    family; the standard 64-bit bias-free mixer). (An affine family
+    ``(a·h+b) mod P`` with a,b below the wrap point of P is
+    order-preserving — every component shares one argmin, the signature
+    then estimates "P(shared minimum)" instead of Jaccard, and banding
+    degenerates into corpus-sized buckets.)"""
+    return signature_band_table(shingle_tab, num_perm).select("id", "sig")
 
 
 def minhash_signatures(
@@ -115,38 +160,53 @@ def minhash_signatures(
     )
 
 
-def band_rows(
-    sigs: DataFrame,
-    num_perm: int = 64,
-    bands: int = 16,
-    carry_sig: bool = False,
+def signature_band_table(
+    shingle_tab: DataFrame, num_perm: int = 64, bands: int = 16
 ) -> DataFrame:
-    """(id, sig) → (band_idx, band_sig) rows: the LSH index relation.
-    ``carry_sig`` keeps the full signature on each band row (×bands data
-    through the shuffle, still tiny) so downstream candidate generation
-    can estimate Jaccard without re-deriving signatures."""
+    """(id, shingles) → (id, sig, bands): MinHash signature plus per-band
+    bucket hashes, ONE shuffle-free Arrow-batched map.
+
+    Fusing banding into the signature stage matters twice: no second pass
+    over the signatures, and no 16-way ``concat_ws``/``xxhash64`` column
+    expression — that one-shot generated class cost multiple seconds of
+    Janino compilation per query (cold-run profile), which at bench scale
+    dwarfed the actual work. The band hash is a splitmix64 fold over the
+    band's signature components."""
+    import numpy as np
+    import pandas as pd
+
     rows_per_band = num_perm // bands
-    banded = sigs.select(
-        "id",
-        *(["sig"] if carry_sig else []),
-        F.posexplode_outer(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ":",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_sig"),
+    golden = np.uint64(0x9E3779B97F4A7C15)
+    seeds = (np.arange(1, num_perm + 1, dtype=np.uint64) * golden).reshape(1, -1)
+    band_seeds = np.arange(1, bands + 1, dtype=np.uint64) * np.uint64(0xD6E8FEB86659FD93)
+
+    def mix(x):
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+
+    def batch(frames):
+        for pdf in frames:
+            sigs, bnds = [], []
+            for arr in pdf["shingles"]:
+                h = np.asarray(arr, dtype=np.int64).view(np.uint64).reshape(-1, 1)
+                if h.size == 0:
+                    sig_u = np.full(num_perm, np.uint64(2**63 - 1), dtype=np.uint64)
+                else:
+                    sig_u = mix(h ^ seeds).min(axis=0)
+                # fold each band's components through the mixer
+                comps = sig_u.reshape(bands, rows_per_band)
+                acc = band_seeds.copy()
+                for r in range(rows_per_band):
+                    acc = mix(acc ^ comps[:, r])
+                sigs.append(sig_u.view(np.int64))
+                bnds.append(acc.view(np.int64))
+            yield pd.DataFrame({"id": pdf["id"], "sig": sigs, "bands": bnds})
+
+    return shingle_tab.mapInPandas(
+        batch, schema="id long, sig array<long>, bands array<long>"
     )
-    return banded
 
 
 def minhash_lsh_pairs(
@@ -187,8 +247,8 @@ def minhash_lsh_pairs(
     shingle_tab = shingle_table(df, id_col, text_col, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    bandtab = band_rows(
-        signatures_from_shingles(shingle_tab, num_perm), num_perm, bands, carry_sig=True
+    bandtab = signature_band_table(shingle_tab, num_perm, bands).select(
+        "id", "sig", F.posexplode_outer("bands").alias("band_idx", "band_sig")
     )
     buckets = (
         bandtab.groupBy("band_idx", "band_sig")
@@ -196,35 +256,37 @@ def minhash_lsh_pairs(
         .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket_size))
     )
 
-    def pair_with_est(x, y):
-        matches = F.size(
-            F.filter(
-                F.zip_with(x.getField("sig"), y.getField("sig"), lambda a, b: a == b),
-                lambda v: v,
-            )
-        )
-        return F.struct(
-            x.getField("id").alias("id_a"),
-            y.getField("id").alias("id_b"),
-            (matches / F.lit(float(num_perm))).alias("est"),
-        )
+    # In-bucket pair expansion runs as an Arrow-batched map over the
+    # bucket rows (bounded by cap² per bucket): stack the bucket's
+    # signatures into an (m × num_perm) matrix, compute ALL pairwise
+    # estimated Jaccards as one broadcasted equality mean, and emit only
+    # the upper-triangle pairs above threshold − margin. (The equivalent
+    # nested transform/slice/zip_with column expression generated a class
+    # that cost seconds of one-shot Janino compilation — more than the
+    # actual bench-scale work.)
+    import numpy as np
+    import pandas as pd
+
+    est_floor = jaccard_threshold - est_margin
+
+    def expand(frames):
+        for pdf in frames:
+            out_a, out_b = [], []
+            for members in pdf["members"]:
+                ids = np.fromiter((m["id"] for m in members), dtype=np.int64)
+                sigs = np.vstack([np.asarray(m["sig"], dtype=np.int64) for m in members])
+                est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+                ia, ib = np.triu_indices(len(ids), k=1)
+                keep = est[ia, ib] >= est_floor
+                out_a.append(ids[ia[keep]])
+                out_b.append(ids[ib[keep]])
+            a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+            b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+            yield pd.DataFrame({"id_a": a, "id_b": b})
 
     candidates = (
-        buckets.select(
-            F.explode_outer(
-                F.flatten(
-                    F.transform(
-                        F.col("members"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("members"), i + F.lit(2), F.size("members")),
-                            lambda y: pair_with_est(x, y),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .filter(F.col("p.est") >= jaccard_threshold - est_margin)
-        .select("p.id_a", "p.id_b")
+        buckets.select("members")
+        .mapInPandas(expand, schema="id_a long, id_b long")
         .distinct()
     )
     verified = (
@@ -254,10 +316,12 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard for every pair inside a blocking key (e.g.
     same language + length bucket). Blocking bounds the pair count; the
     join shuffles once on the block key."""
-    sh = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("block"),
-        hashed_shingles(F.col(text_col), shingle_k).alias("sh"),
+    sh = _with_normalized_text(
+        df, id_col, text_col, extra={"block": F.col(block_col)}
+    ).select(
+        "id",
+        "block",
+        hashed_shingles_of_norm(F.col("_norm"), shingle_k).alias("sh"),
     )
     a = sh.select(F.col("id").alias("id_a"), "block", F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), "block", F.col("sh").alias("sh_b"))
@@ -404,18 +468,20 @@ def winnow_fingerprints(
     fingerprint family for overlap detection. Pure column expressions;
     matching is a bucket join on fingerprint values (explode → join),
     never pairwise text comparison."""
-    # Stage the k-gram hash array as a materialized column before the
-    # window pass. Inlining it into the window transform's lambda would
-    # re-evaluate the whole O(len) hash array (and the regex normalize
-    # under it) once per window element — O(len^2 * regex) per row.
-    # As a multi-referenced non-trivial projection it stays an attribute
-    # (CollapseProject refuses to duplicate it), so each row hashes its
-    # text exactly once and the window pass is pure array indexing.
-    norm = normalize_text(F.col(text_col))
+    # Stage normalized text, then the k-gram hash array, each as a
+    # materialized column before the window pass. Inlining either into a
+    # downstream lambda would re-evaluate it once per element (the regex
+    # normalize per shingle, or the whole O(len) hash array per window) —
+    # O(len² · regex) per row. As multi-referenced non-trivial
+    # projections they stay attributes (CollapseProject refuses to
+    # duplicate them), so each row normalizes and hashes exactly once and
+    # the window pass is pure array indexing.
+    normed = _with_normalized_text(df, id_col, text_col)
+    norm = F.col("_norm")
     n = F.length(norm)
     starts = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
-    hashed = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
+    hashed = normed.select(
+        "id",
         F.transform(
             starts, lambda i: F.xxhash64(F.substring(norm, i, shingle_k))
         ).alias("_hashes"),

@@ -336,11 +336,25 @@ def embedding_neardup_pairs(
     would otherwise expand quadratically at corpus scale. With
     ``n_planes`` sign bits there are ≤ 2^n_planes buckets, so the
     bucket-size relation is tiny and broadcast."""
+    from pyspark import StorageLevel
+
     planes = hyperplanes(dim, n_planes, seed)
-    t = df.select(
-        F.col(id_col).alias("id"),
-        as_double_array(F.col(vec_col)).alias("vec"),
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), planes)).withColumn("norm", _norm(F.col("vec")))
+    # bucket assignment as ONE Arrow-batched matmul (same sign convention
+    # as lsh_bucket; same rationale as lsh_topk — n_planes interpreted
+    # higher-order dot products per row were ~3× slower at sf0.1).
+    # persisted: the bucketed relation feeds the bucket-size aggregate and
+    # BOTH sides of the self-join — without the persist the hyperplane
+    # projection (the expensive part) re-executes three times
+    bucket_udf = _bucket_matmul_udf([planes])
+    t = (
+        df.select(
+            F.col(id_col).alias("id"),
+            as_double_array(F.col(vec_col)).alias("vec"),
+        )
+        .withColumn("bucket", F.element_at(bucket_udf(F.col("vec")), 1))
+        .withColumn("norm", _norm(F.col("vec")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ok_buckets = (
         t.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bsz"))

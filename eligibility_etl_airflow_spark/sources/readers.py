@@ -66,8 +66,7 @@ def read_csv_quarantine(
     )
 
 
-def read_jdbc(
-    spark: SparkSession,
+def jdbc_options(
     url: str,
     query: str,
     driver: str | None = None,
@@ -76,24 +75,46 @@ def read_jdbc(
     upper_bound: int | None = None,
     num_partitions: int | None = None,
     fetch_size: int = 1000,
+) -> dict[str, str]:
+    """The JDBC reader's option map as a pure, testable function —
+    validation lives here so a misconfigured reader fails at build time,
+    not minutes later inside an executor.
+
+    Partitioned reads require column + both bounds together: Spark
+    silently single-streams when partitionColumn is present without
+    bounds, which at 100 TB is the difference between a parallel scan
+    and one cursor (the reference's pd.read_sql_query failure mode,
+    src/etl_utils.py:58-81)."""
+    opts = {"url": url, "query": query, "fetchsize": str(fetch_size)}
+    if driver:
+        opts["driver"] = driver
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound "
+                "(without bounds Spark reads through a single cursor)"
+            )
+        if "query" in opts:
+            # Spark rejects query+partitionColumn together; the documented
+            # pattern is dbtable with a subquery alias.
+            opts["dbtable"] = f"({opts.pop('query')}) spark_subq"
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions or 8),
+        )
+    return opts
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    **kwargs,
 ):
     """S1: query-pushdown JDBC reader builder. With partition bounds the
     scan parallelizes into ``num_partitions`` range-partitioned queries —
     the distributed replacement for the reference's single-cursor
     ``pd.read_sql_query`` (src/etl_utils.py:58-81)."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-        .option("fetchsize", str(fetch_size))
-    )
-    if driver:
-        reader = reader.option("driver", driver)
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions or 8))
-        )
-    return reader
+    return spark.read.format("jdbc").options(**jdbc_options(url, query, **kwargs))

@@ -169,3 +169,54 @@ def expect(
             breakdown,
         )
     return result
+
+
+# --------------------------------------------------------------------------
+# Excel source/sink (S4) — toPandas-boundary shim
+# --------------------------------------------------------------------------
+
+MAX_EXCEL_ROWS = 1_000_000  # below the xlsx sheet limit (1,048,576)
+
+
+def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> int:
+    """Excel report sink (S4): the reference writes styled workbooks for
+    humans (src/run_predictions.py:125-130, src/lch_eligibility.py:284-308).
+    A workbook is a driver-side, human-scale artifact — so the shim is an
+    explicit ``toPandas`` boundary with a hard row cap, NOT a distributed
+    writer: exceeding the cap means the caller wanted a parquet/CSV sink.
+    Gated on openpyxl (absent in this environment → ImportError with the
+    remediation in the message). Returns rows written."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "write_excel needs the 'openpyxl' package (pip install openpyxl); "
+            "for machine-consumed output use write_parquet/write_csv instead"
+        ) from e
+    n = df.count()
+    if n > MAX_EXCEL_ROWS:
+        raise ValueError(
+            f"write_excel: {n} rows exceeds the {MAX_EXCEL_ROWS} cap — an xlsx "
+            "is a driver-side report, not a data sink; use write_parquet"
+        )
+    df.toPandas().to_excel(path, sheet_name=sheet_name, index=False, engine="openpyxl")
+    return n
+
+
+def read_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> DataFrame:
+    """Excel source (S4): the reference reads hand-maintained workbooks
+    with ``dtype=str`` (src/lch_eligibility.py:471) — every cell as a
+    string, types asserted downstream. Same contract here: the pandas
+    frame is read all-string and parallelized; schema enforcement is the
+    caller's cast step (a hand-edited workbook must not silently coerce)."""
+    try:
+        import pandas as pd
+    except ImportError as e:  # pragma: no cover - pandas ships with pyspark
+        raise ImportError("read_excel needs pandas") from e
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str, engine="openpyxl")
+    except ImportError as e:
+        raise ImportError(
+            "read_excel needs the 'openpyxl' package (pip install openpyxl)"
+        ) from e
+    return spark.createDataFrame(pdf.where(pd.notna(pdf), None))

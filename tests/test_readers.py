@@ -49,3 +49,45 @@ def test_read_jdbc_builds_partitioned_reader(spark):
         num_partitions=4,
     )
     assert reader is not None
+
+
+def test_jdbc_options_plain_query():
+    opts = readers.jdbc_options(
+        url="jdbc:sqlserver://example:1433;databaseName=dwh",
+        query="SELECT a, b FROM t WHERE x > 5",
+        driver="com.microsoft.sqlserver.jdbc.SQLServerDriver",
+        fetch_size=5000,
+    )
+    assert opts == {
+        "url": "jdbc:sqlserver://example:1433;databaseName=dwh",
+        "query": "SELECT a, b FROM t WHERE x > 5",
+        "driver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+        "fetchsize": "5000",
+    }
+
+
+def test_jdbc_options_partitioned_rewrites_query_to_dbtable():
+    # Spark rejects query+partitionColumn together; the builder must
+    # emit the dbtable-subquery form with all four partition options
+    opts = readers.jdbc_options(
+        url="jdbc:postgresql://h/db",
+        query="SELECT id, v FROM t",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=16,
+    )
+    assert "query" not in opts
+    assert opts["dbtable"] == "(SELECT id, v FROM t) spark_subq"
+    assert opts["partitionColumn"] == "id"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000")
+    assert opts["numPartitions"] == "16"
+
+
+def test_jdbc_options_partition_requires_bounds():
+    with pytest.raises(ValueError, match="bound"):
+        readers.jdbc_options(
+            url="jdbc:postgresql://h/db",
+            query="SELECT id FROM t",
+            partition_column="id",
+        )

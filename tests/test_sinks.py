@@ -74,3 +74,32 @@ def test_csv_json_roundtrip(spark, tmp_path):
     sinks.write_json(df, str(tmp_path / "json"))
     jback = spark.read.json(str(tmp_path / "json"))
     assert {r.v for r in jback.collect()} == {"a", "b,with,commas"}
+
+
+def _has_openpyxl() -> bool:
+    try:
+        import openpyxl  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_openpyxl(), reason="openpyxl installed; gate inactive")
+def test_excel_shim_gates_on_missing_openpyxl(spark, tmp_path):
+    df = _df(spark, [(1, "a", 1)])
+    with pytest.raises(ImportError, match="openpyxl"):
+        sinks.write_excel(df, str(tmp_path / "r.xlsx"))
+    with pytest.raises(ImportError, match="openpyxl"):
+        sinks.read_excel(spark, str(tmp_path / "r.xlsx"))
+
+
+@pytest.mark.skipif(not _has_openpyxl(), reason="openpyxl not installed")
+def test_excel_roundtrip_all_strings(spark, tmp_path):
+    df = _df(spark, [(1, "a", 1), (2, "b", 2)])
+    path = str(tmp_path / "r.xlsx")
+    assert sinks.write_excel(df, path) == 2
+    back = sinks.read_excel(spark, path)
+    # dtype=str contract: every cell comes back as a string
+    assert {r.v for r in back.collect()} == {"a", "b"}
+    assert all(t == "string" for _, t in back.dtypes)
