@@ -413,6 +413,9 @@ def simhash_block_pairs(
     MinHash-LSH: one shuffle on the block key (crucial here — the
     signature input comes from a Python stage, so a self-join would run
     that stage twice)."""
+    import numpy as np
+    import pandas as pd
+
     u = F.col("simhash").cast("long")
     blocks = F.array(
         *[F.shiftrightunsigned(u, i * 16).bitwiseAND(F.lit(0xFFFF)).cast("long") for i in range(4)]
@@ -425,32 +428,53 @@ def simhash_block_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("members"))
         .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket_size))
     )
-    pairs = (
-        buckets.select(
-            F.explode_outer(
-                F.flatten(
-                    F.transform(
-                        F.col("members"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("members"), i + F.lit(2), F.size("members")),
-                            lambda y: F.struct(
-                                x.getField("id").alias("id_a"),
-                                y.getField("id").alias("id_b"),
-                                x.getField("simhash").alias("sig_a"),
-                                y.getField("simhash").alias("sig_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.*")
+
+    # In-bucket pair expansion + hamming verify as one Arrow-batched map
+    # (same rationale as minhash_lsh_pairs: the nested transform/slice
+    # column expression cost seconds of one-shot codegen compile). The
+    # popcount is a 16-bit lookup table; the pairwise XOR matrix is
+    # chunked by rows so a cap-sized bucket stays ~tens of MB.
+    lut = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+    mask = np.uint64(0xFFFF)
+    chunk = 1024
+
+    def popcount64(x):
+        total = lut[(x & mask).astype(np.int64)].astype(np.int32)
+        for shift in (16, 32, 48):
+            total += lut[((x >> np.uint64(shift)) & mask).astype(np.int64)]
+        return total
+
+    def expand(frames):
+        for pdf in frames:
+            out_a, out_b, out_h = [], [], []
+            for members in pdf["members"]:
+                ids = np.fromiter((m["id"] for m in members), dtype=np.int64)
+                sigs = np.fromiter(
+                    (m["simhash"] for m in members), dtype=np.int64
+                ).view(np.uint64)
+                m = len(ids)
+                for lo in range(0, m, chunk):
+                    hi = min(lo + chunk, m)
+                    ham = popcount64(sigs[lo:hi, None] ^ sigs[None, :])
+                    ia, ib = np.nonzero(ham <= max_hamming)
+                    keep = ids[lo + ia] < ids[ib]  # upper triangle by id
+                    out_a.append(ids[lo + ia[keep]])
+                    out_b.append(ids[ib[keep]])
+                    out_h.append(ham[ia[keep], ib[keep]])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                    "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                    "hamming": np.concatenate(out_h) if out_h else np.array([], dtype=np.int32),
+                }
+            )
+
+    return (
+        buckets.select("members")
+        .mapInPandas(expand, schema="id_a long, id_b long, hamming integer")
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .withColumn("hamming", F.col("hamming").cast("long"))
     )
-    return pairs
 
 
 def winnow_fingerprints(
@@ -502,30 +526,38 @@ def fingerprint_overlap_pairs(
 ) -> DataFrame:
     """Pairs of documents sharing ≥ ``min_shared`` winnowing fingerprints
     — explode to (fingerprint, id), collect per bucket, expand pairs
-    locally, count shared prints per pair. Same bucket-bounded shape as
-    the LSH pair generators."""
+    locally (vectorized Arrow map — same no-giant-codegen rationale as
+    the other pair generators), count shared prints per pair. Same
+    bucket-bounded shape as the LSH pair generators."""
+    import numpy as np
+    import pandas as pd
+
     inv = fp_df.select("id", F.explode_outer("fingerprints").alias("fp"))
     buckets = (
         inv.groupBy("fp")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    pairs = (
-        buckets.select(
-            F.explode_outer(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .groupBy("p.id_a", "p.id_b")
+
+    def expand(frames):
+        for pdf in frames:
+            out_a, out_b = [], []
+            for ids_arr in pdf["ids"]:
+                ids = np.asarray(ids_arr, dtype=np.int64)
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                    "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                }
+            )
+
+    return (
+        buckets.select("ids")
+        .mapInPandas(expand, schema="id_a long, id_b long")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
-    return pairs
