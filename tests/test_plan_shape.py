@@ -61,3 +61,51 @@ def test_catalog_scan_is_lazy_and_columnar(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" in plan
     assert "l_comment" not in plan  # pruned at the scan
+
+
+def test_shingle_stage_normalizes_exactly_once(spark, sf_dir):
+    """Regression guard for the lambda-inlining bug: a scalar expression
+    referenced inside a higher-order lambda is evaluated PER ELEMENT, so
+    the regex normalize must appear exactly once in the optimized plan
+    (staged as its own projection), never inside the transform lambda."""
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    d = Catalog(spark, sf_dir).documents
+    st = neardup.shingle_table(d, "doc_id", "text")
+    plan = st._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") == 1, plan
+
+
+def test_winnow_normalizes_and_hashes_once(spark, sf_dir):
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    d = Catalog(spark, sf_dir).documents
+    fp = neardup.winnow_fingerprints(d, "doc_id", "text")
+    plan = fp._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") == 1, plan
+    # the k-gram hash array is staged once, not rebuilt per window
+    assert plan.count("xxhash64") == 1, plan
+
+
+def test_minhash_signature_stage_has_no_shuffle(spark, sf_dir):
+    """Signatures are per-row — the Arrow map must run directly over the
+    shingle staging's partitioning (exactly the one repartition the
+    staging itself introduces for narrow inputs; no groupBy exchange)."""
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    d = Catalog(spark, sf_dir).documents
+    sigs = neardup.minhash_signatures(d, "doc_id", "text")
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_embedding_neardup_reuses_cached_buckets(spark, sf_dir):
+    """The bucketed relation feeds three consumers; the persist must show
+    up as InMemoryTableScan so the hyperplane projection runs once."""
+    from eligibility_etl_airflow_spark.operators import similarity
+
+    e = Catalog(spark, sf_dir).embeddings
+    pairs = similarity.embedding_neardup_pairs(e, cosine_threshold=0.8, dim=64)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
