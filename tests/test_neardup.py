@@ -243,3 +243,29 @@ def test_winnowing_guarantee_and_compression(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got
     assert all(3 not in p for p in got)
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """The MinHash guarantee itself: the fraction of matching signature
+    components estimates the true shingle-set Jaccard within sampling
+    error (64 permutations → σ = sqrt(J(1-J)/64) ≤ 0.0625; assert a 3σ
+    band). Catches order-preserving hash-family regressions, which keep
+    planted exact-dups working while silently breaking the estimator."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i:03d}" for i in range(400)]
+    shared = words[:200]
+    rows = []
+    for doc_id, extra in [(1, words[200:300]), (2, words[300:400])]:
+        toks = shared + extra  # |A∩B| / |A∪B| on token text ≈ 200/400
+        rng.shuffle(toks)
+        rows.append((doc_id, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    st = neardup.shingle_table(docs, "doc_id", "text")
+    sh = {r.id: set(r.shingles) for r in st.collect()}
+    true_j = len(sh[1] & sh[2]) / len(sh[1] | sh[2])
+    sigs = {r.id: np.array(r.sig) for r in neardup.signatures_from_shingles(st).collect()}
+    est = float((sigs[1] == sigs[2]).mean())
+    sigma = (true_j * (1 - true_j) / 64) ** 0.5
+    assert abs(est - true_j) <= 3 * sigma + 1e-9, (est, true_j)

@@ -103,3 +103,22 @@ def test_excel_roundtrip_all_strings(spark, tmp_path):
     # dtype=str contract: every cell comes back as a string
     assert {r.v for r in back.collect()} == {"a", "b"}
     assert all(t == "string" for _, t in back.dtypes)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    target = str(tmp_path / "frag")
+    # fragment: 8 single-row appends → ≥8 files
+    base = _df(spark, [(i, f"v{i}", i) for i in range(8)])
+    for i in range(8):
+        base.filter(F.col("k") == i).coalesce(1).write.mode("append").parquet(target)
+    before = spark.read.parquet(target)
+    n_files = len(before.inputFiles())
+    assert n_files >= 8
+    rows_before = {(r.k, r.v) for r in before.collect()}
+    stats = sinks.compact_parquet(spark, target)
+    assert stats["files_before"] == n_files and not stats["skipped"]
+    assert stats["files_after"] < n_files
+    after = spark.read.parquet(target)
+    assert {(r.k, r.v) for r in after.collect()} == rows_before
+    # already-compact directory is a no-op
+    assert sinks.compact_parquet(spark, target)["skipped"] is True
