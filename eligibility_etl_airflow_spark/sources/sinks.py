@@ -268,3 +268,36 @@ def compact_parquet(
     shutil.rmtree(old)
     n_after = len(spark.read.parquet(path).inputFiles())
     return {"files_before": n_before, "files_after": n_after, "skipped": False}
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """Range-clustered parquet write: ``repartitionByRange`` on the
+    cluster keys, then sort within each partition before writing.
+
+    Files come out key-disjoint and internally sorted, so parquet
+    row-group min/max statistics become *selective*: a pushed-down range
+    or point predicate on the cluster keys skips whole files/row-groups
+    at the scan (zone-map pruning). On 100 TB this — not compute — is
+    usually the difference between touching terabytes and touching
+    gigabytes for time-range or key-range queries. The reference has no
+    equivalent (its T-SQL relies on server indexes; files written by
+    pandas have random order).
+
+    ``num_files`` pins the range-partition count; leave it None to let
+    AQE size the shuffle (it will coalesce small outputs — right at
+    scale, but a test or a fixed layout contract wants it explicit)."""
+    if num_files is not None:
+        ranged = df.repartitionByRange(num_files, *cluster_by)
+    else:
+        ranged = df.repartitionByRange(*cluster_by)
+    (
+        ranged.sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )

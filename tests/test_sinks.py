@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -122,3 +124,27 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert {(r.k, r.v) for r in after.collect()} == rows_before
     # already-compact directory is a no-op
     assert sinks.compact_parquet(spark, target)["skipped"] is True
+
+
+def test_write_clustered_files_are_key_disjoint(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 10_000).withColumn("k", F.col("id") % 10_000)
+    path = str(tmp_path / "clustered")
+    sinks.write_clustered(df.repartition(8), path, ["k"], num_files=8)
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        col_idx = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "k"
+        )
+        mins = min(md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups))
+        maxs = max(md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((mins, maxs))
+    assert len(ranges) > 1  # actually clustered into multiple files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping key ranges {(lo1, hi1)} vs {(lo2, hi2)}"
