@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark.operators.text import normalize_text
 
+def _parse_byte_size(raw: str) -> int:
+    """Spark byte-size conf strings: bare bytes ('134217728') or a unit
+    suffix ('512m', '1g', '128MB') — mis-parsing must not silently fall
+    back to a default, or the partition estimate diverges 4× from the
+    scan's real behavior on clusters that tune this conf."""
+    s = raw.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input (e.g. one small parquet file) across the
     cluster before CPU-heavy per-row work; inputs that already have
@@ -43,10 +59,7 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    try:
-        max_bytes = int(raw.rstrip("bB"))
-    except ValueError:  # e.g. "128MB" spelled with a unit suffix
-        max_bytes = 128 * 1024 * 1024
+    max_bytes = _parse_byte_size(raw)
     files = df.inputFiles()
     total = 0
     for uri in files:
@@ -175,6 +188,10 @@ def signature_band_table(
     import numpy as np
     import pandas as pd
 
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a multiple of bands ({bands})"
+        )
     rows_per_band = num_perm // bands
     golden = np.uint64(0x9E3779B97F4A7C15)
     seeds = (np.arange(1, num_perm + 1, dtype=np.uint64) * golden).reshape(1, -1)
@@ -244,6 +261,11 @@ def minhash_lsh_pairs(
     # of twice. At cluster scale this trades one full text pass for
     # shingle-array storage ≈ a few × corpus size, the standard dedup
     # pipeline trade (the alternative recompute pass rereads the corpus).
+    # Cache lifecycle: Spark's CacheManager dedupes by analyzed plan, so
+    # repeated invocations over the same input reuse ONE entry; distinct
+    # corpora leave entries behind until LRU eviction — a long-lived
+    # driver cycling many corpora should spark.catalog.clearCache()
+    # between jobs (disk-spillable storage level bounds the memory side).
     shingle_tab = shingle_table(df, id_col, text_col, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -361,7 +383,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    # NULL text → empty token array → zero signature (same as empty text;
+    # without the coalesce the null propagates into a null array cell and
+    # np.asarray(None) blows up in the executor)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
     hashed = df.select(
         F.col(id_col).alias(id_col),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),

@@ -196,8 +196,12 @@ def lsh_topk(
 # Trained IVF centroids keyed by (cache_key, n_cells, sample_size, seed):
 # training is deterministic given these, so repeated invocations of the
 # same index (every bench/pipeline run re-calls ivf_topk) skip the k-means
-# collect+iterate entirely. Bounded: one entry is n_cells × dim floats.
+# collect+iterate entirely. Callers fold a content stamp (file mtime) into
+# cache_key so a rewritten corpus retrains. Entry count is capped: one
+# entry is only n_cells × dim floats, but a long-lived service cycling
+# cache keys must not grow without bound.
 _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+_CENTROID_CACHE_MAX = 64
 
 
 def train_ivf_centroids(
@@ -240,6 +244,8 @@ def train_ivf_centroids(
                 cents[c] = sample[mask].mean(axis=0)
     result = cents.tolist()
     if cache_key is not None:
+        if len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))  # drop oldest
         _CENTROID_CACHE[key] = result
     return result
 

@@ -257,10 +257,19 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF (16 k-means cells, nprobe=4) — the
     learned-bucketing scale path; exact scoring inside probed cells only.
     Recall vs brute force asserted in tests/test_neardup.py."""
+    import os
+
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(F.col("vec_id") < 8)
+    # cache key includes the file mtime so a rewritten corpus at the same
+    # path retrains instead of silently reusing stale centroids
+    corpus_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        stamp = os.path.getmtime(corpus_path)
+    except OSError:
+        stamp = 0.0
     return similarity.ivf_topk(
-        e, queries, k=5, n_cells=16, nprobe=4, cache_key=f"{sf_dir}/embeddings.parquet"
+        e, queries, k=5, n_cells=16, nprobe=4, cache_key=f"{corpus_path}:{stamp}"
     )
 
 

@@ -94,10 +94,9 @@ def jdbc_options(
                 "partition_column requires lower_bound and upper_bound "
                 "(without bounds Spark reads through a single cursor)"
             )
-        if "query" in opts:
-            # Spark rejects query+partitionColumn together; the documented
-            # pattern is dbtable with a subquery alias.
-            opts["dbtable"] = f"({opts.pop('query')}) spark_subq"
+        # Spark rejects query+partitionColumn together; the documented
+        # pattern is dbtable with a subquery alias.
+        opts["dbtable"] = f"({opts.pop('query')}) spark_subq"
         opts.update(
             partitionColumn=partition_column,
             lowerBound=str(lower_bound),

@@ -193,14 +193,17 @@ def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> int:
             "write_excel needs the 'openpyxl' package (pip install openpyxl); "
             "for machine-consumed output use write_parquet/write_csv instead"
         ) from e
-    n = df.count()
-    if n > MAX_EXCEL_ROWS:
+    # one plan execution, and the driver never materializes more than
+    # cap+1 rows even when the cap is breached (a count-first check would
+    # run the full upstream plan twice per report)
+    pdf = df.limit(MAX_EXCEL_ROWS + 1).toPandas()
+    if len(pdf) > MAX_EXCEL_ROWS:
         raise ValueError(
-            f"write_excel: {n} rows exceeds the {MAX_EXCEL_ROWS} cap — an xlsx "
+            f"write_excel: more than {MAX_EXCEL_ROWS} rows — an xlsx "
             "is a driver-side report, not a data sink; use write_parquet"
         )
-    df.toPandas().to_excel(path, sheet_name=sheet_name, index=False, engine="openpyxl")
-    return n
+    pdf.to_excel(path, sheet_name=sheet_name, index=False, engine="openpyxl")
+    return len(pdf)
 
 
 def read_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> DataFrame:
@@ -219,7 +222,12 @@ def read_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> Dat
         raise ImportError(
             "read_excel needs the 'openpyxl' package (pip install openpyxl)"
         ) from e
-    return spark.createDataFrame(pdf.where(pd.notna(pdf), None))
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # explicit all-string schema: the dtype=str contract makes it fully
+    # known, and inference would fail on an all-blank column (all None)
+    schema = StructType([StructField(str(c), StringType(), True) for c in pdf.columns])
+    return spark.createDataFrame(pdf.where(pd.notna(pdf), None), schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -239,24 +247,30 @@ def compact_parquet(
     count → staged write → atomic-enough directory swap (same swap
     discipline as ``merge_upsert``). Returns before/after file counts.
 
-    The file count comes from the scan's own listing (``inputFiles``),
-    not an os.walk — so the same code works against any Hadoop-compatible
-    filesystem, and nothing here is proportional to row count on the
-    driver."""
+    LOCAL-FILESYSTEM ONLY: the directory swap is two ``os.rename`` calls,
+    which have no meaning on an object store — on s3a/hdfs paths this
+    raises up front instead of mis-sizing the rewrite and failing at the
+    swap. (On a cluster, compaction of object-store tables belongs to a
+    transactional table format's OPTIMIZE, which rewrites manifests
+    instead of directories.) Nothing here is proportional to row count
+    on the driver."""
+    import urllib.parse
+    import urllib.request
+
     df = spark.read.parquet(path)
     files = df.inputFiles()
     n_before = len(files)
+    schemes = {urllib.parse.urlparse(u).scheme for u in files}
+    if schemes - {"file", ""}:
+        raise NotImplementedError(
+            f"compact_parquet swaps directories via os.rename and only "
+            f"supports local paths; got scheme(s) {sorted(schemes - {'file', ''})} "
+            "— use your table format's OPTIMIZE/rewrite on object stores"
+        )
     total_bytes = 0
     for uri in files:
-        import urllib.parse
-        import urllib.request
-
         p = urllib.request.url2pathname(urllib.parse.urlparse(uri).path)
-        try:
-            total_bytes += os.path.getsize(p)
-        except OSError:  # remote fs: fall back to row-count-free heuristic
-            total_bytes = 0
-            break
+        total_bytes += os.path.getsize(p)
     n_target = max(1, -(-total_bytes // target_file_bytes)) if total_bytes else 1
     if n_before <= n_target:
         return {"files_before": n_before, "files_after": n_before, "skipped": True}

@@ -81,12 +81,13 @@ def test_simhash_block_pairs_finds_planted_dups(spark):
 
 def test_simhash_empty_and_null_text(spark):
     docs = spark.createDataFrame(
-        [(1, ""), (2, "   "), (3, "one token")],
+        [(1, ""), (2, "   "), (3, "one token"), (4, None)],
         "doc_id long, text string",
     )
     by_id = {r.doc_id: r.simhash for r in neardup.simhash64(docs, "doc_id", "text").collect()}
     assert by_id[1] == 0 and by_id[2] == 0  # no tokens → zero signature
     assert by_id[3] != 0
+    assert by_id[4] == 0  # NULL text behaves like empty, never crashes
 
 
 def test_bucket_cap_drops_degenerate_buckets(spark):
@@ -269,3 +270,13 @@ def test_minhash_signature_estimates_jaccard(spark):
     est = float((sigs[1] == sigs[2]).mean())
     sigma = (true_j * (1 - true_j) / 64) ** 0.5
     assert abs(est - true_j) <= 3 * sigma + 1e-9, (est, true_j)
+
+
+def test_parse_byte_size_conf_strings():
+    f = neardup._parse_byte_size
+    assert f("134217728") == 134217728
+    assert f("134217728b") == 134217728
+    assert f("512m") == 512 * 1024 * 1024
+    assert f("128MB") == 128 * 1024 * 1024
+    assert f("1g") == 1 << 30
+    assert f(" 2K ") == 2048
