@@ -337,13 +337,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair inside a blocking key (e.g.
     same language + length bucket). Blocking bounds the pair count; the
-    join shuffles once on the block key."""
-    sh = _with_normalized_text(
-        df, id_col, text_col, extra={"block": F.col(block_col)}
-    ).select(
-        "id",
-        "block",
-        hashed_shingles_of_norm(F.col("_norm"), shingle_k).alias("sh"),
+    join shuffles once on the block key. The shingled relation is
+    persisted because BOTH sides of the self-join consume it — without
+    it the scan + normalize + shingling lineage executes twice."""
+    from pyspark import StorageLevel
+
+    sh = (
+        _with_normalized_text(df, id_col, text_col, extra={"block": F.col(block_col)})
+        .select(
+            "id",
+            "block",
+            hashed_shingles_of_norm(F.col("_norm"), shingle_k).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sh.select(F.col("id").alias("id_a"), "block", F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), "block", F.col("sh").alias("sh_b"))
