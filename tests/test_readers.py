@@ -91,3 +91,47 @@ def test_jdbc_options_partition_requires_bounds():
             query="SELECT id FROM t",
             partition_column="id",
         )
+
+
+def test_read_jdbc_roundtrip_against_embedded_derby(spark):
+    """REAL JDBC integration: Spark ships Derby jars (metastore
+    dependency), so the S1 path runs end-to-end against an in-memory
+    database — write via the JDBC sink, read back via read_jdbc with
+    query pushdown, then a bounds-partitioned parallel read. Derby
+    uppercases unquoted identifiers, hence the quoted column names."""
+    url = "jdbc:derby:memory:engine_test;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(0, 100).selectExpr("id", "cast(id % 7 as double) as v")
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t_roundtrip")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+
+    pushed = readers.read_jdbc(
+        spark,
+        url,
+        'SELECT "id", "v" FROM t_roundtrip WHERE "id" < 10',
+        driver=driver,
+    ).load()
+    assert pushed.count() == 10
+    assert {r.id for r in pushed.collect()} == set(range(10))
+
+    parallel = readers.read_jdbc(
+        spark,
+        url,
+        'SELECT "id", "v" FROM t_roundtrip',
+        driver=driver,
+        partition_column='"id"',
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+    ).load()
+    # the range-partitioned read really splits into num_partitions cursors
+    assert parallel.rdd.getNumPartitions() == 4
+    assert parallel.count() == 100
+    got = {(r.id, r.v) for r in parallel.collect()}
+    assert got == {(i, float(i % 7)) for i in range(100)}
