@@ -148,3 +148,31 @@ def test_write_clustered_files_are_key_disjoint(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"overlapping key ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_merge_upsert_jdbc_against_embedded_derby(spark):
+    """The reference's real S7 flow (stage table + MERGE statement) run
+    end-to-end against embedded Derby: first load creates the target,
+    second merges update + insert + keep."""
+    url = "jdbc:derby:memory:merge_test;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    first = _df(spark, [(1, "a", 1), (2, "b", 1)])
+    sinks.merge_upsert_jdbc(spark, url, driver, "t_merge", first, ["k"])
+    second = _df(spark, [(2, "B", 2), (3, "c", 2)])
+    sinks.merge_upsert_jdbc(spark, url, driver, "t_merge", second, ["k"])
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("query", 'SELECT "k", "v" FROM t_merge')
+        .load()
+    )
+    got = {r.k: r.v for r in back.collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}  # keep / update / insert
+
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sinks.merge_upsert_jdbc(
+            spark, url, driver, "t_merge", _df(spark, [(1, "x", 1), (1, "y", 2)]), ["k"]
+        )
