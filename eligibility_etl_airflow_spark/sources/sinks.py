@@ -386,3 +386,50 @@ def merge_upsert_jdbc(
             stmt.close()
     finally:
         conn.close()
+
+
+def append_dedup_jdbc(
+    spark: SparkSession,
+    url: str,
+    driver: str,
+    table: str,
+    batch: DataFrame,
+    keys: list[str],
+    batch_size: int = 1000,
+) -> int:
+    """S6 over a REAL database: idempotent chunked append. The reference
+    appends with retried ``to_sql`` chunks and duplicates rows when a
+    retry straddles a partial failure (src/etl_utils.py:211-253); here
+    the incoming batch is anti-joined against the table's existing keys
+    first, so a replayed batch inserts nothing. The write itself is the
+    distributed JDBC writer with ``batchsize`` batching (the chunked
+    ``executemany`` analog). Returns rows appended."""
+    fresh = batch.dropDuplicates(keys)
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        exists = conn.getMetaData().getTables(None, None, table.upper(), None).next()
+    finally:
+        conn.close()
+    if exists:
+        q = ", ".join(f'"{k}"' for k in keys)
+        existing = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("driver", driver)
+            .option("query", f"SELECT {q} FROM {table}")
+            .load()
+        )
+        fresh = fresh.join(existing, keys, "left_anti")
+    n = fresh.count()
+    if n:
+        (
+            fresh.write.format("jdbc")
+            .option("url", url)
+            .option("driver", driver)
+            .option("dbtable", table)
+            .option("batchsize", str(batch_size))
+            .mode("append")
+            .save()
+        )
+    return n

@@ -176,3 +176,21 @@ def test_merge_upsert_jdbc_against_embedded_derby(spark):
         sinks.merge_upsert_jdbc(
             spark, url, driver, "t_merge", _df(spark, [(1, "x", 1), (1, "y", 2)]), ["k"]
         )
+
+
+def test_append_dedup_jdbc_is_idempotent(spark):
+    url = "jdbc:derby:memory:append_test;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    batch = _df(spark, [(1, "a", 1), (2, "b", 1)])
+    assert sinks.append_dedup_jdbc(spark, url, driver, "t_app", batch, ["k"]) == 2
+    assert sinks.append_dedup_jdbc(spark, url, driver, "t_app", batch, ["k"]) == 0
+    mixed = _df(spark, [(2, "dup", 2), (3, "c", 1)])
+    assert sinks.append_dedup_jdbc(spark, url, driver, "t_app", mixed, ["k"]) == 1
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("query", 'SELECT "k" FROM t_app')
+        .load()
+    )
+    assert sorted(r.k for r in back.collect()) == [1, 2, 3]
