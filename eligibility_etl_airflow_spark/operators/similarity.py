@@ -377,3 +377,191 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= cosine_threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    codes_k: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    subspaces and k-means each independently (``codes_k`` centroids per
+    subspace) on a bounded driver-side sample — same training discipline
+    as IVF (the encode/score path stays fully distributed). Returns
+    ``m`` codebooks of shape codes_k × (dim/m)."""
+    import numpy as np
+
+    if cache_key is not None:
+        key = ("pq", cache_key, vec_col, m, codes_k, sample_size, iters, seed)
+        if key in _CENTROID_CACHE:
+            return _CENTROID_CACHE[key]
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(as_double_array(F.col(vec_col)))
+            .limit(sample_size)
+            .collect()
+        ]
+    )
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be a multiple of m ({m})")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        s = sample[:, j * sub : (j + 1) * sub]
+        cents = s[rng.choice(len(s), size=min(codes_k, len(s)), replace=False)].copy()
+        for _ in range(iters):
+            d = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cents)):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = s[mask].mean(axis=0)
+        books.append(cents.tolist())
+    if cache_key is not None:
+        if len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+        _CENTROID_CACHE[key] = books
+    return books
+
+
+def _pq_encode_udf(books: list[list[list[float]]]):
+    """Arrow-batched PQ encoder: vector → array<int> of ``m`` centroid
+    codes (at codes_k ≤ 256 each code is one byte of true storage — the
+    64-dim float corpus compresses 32×, which is what makes a 100 TB
+    embedding table scannable)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.asarray(b, dtype=np.float64) for b in books]  # m × (codes_k × sub)
+    sub = mats[0].shape[1]
+
+    def encode(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(v.to_numpy())
+        codes = np.empty((x.shape[0], len(mats)), dtype=np.int32)
+        for j, cents in enumerate(mats):
+            s = x[:, j * sub : (j + 1) * sub]
+            d = (s**2).sum(1)[:, None] - 2.0 * (s @ cents.T) + (cents**2).sum(1)[None, :]
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    encode.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(encode, "array<int>")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    codes_k: int = 16,
+    refine: int = 10,
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """PQ approximate top-k with exact re-ranking (ADC + refine).
+
+    Scale shape: the corpus is scanned as CODES (m bytes/vector instead
+    of dim floats — the memory/IO path that makes brute-force-style
+    scans viable at 100 TB); each query's asymmetric-distance lookup
+    table (m × codes_k partial dot products) scores every code row with
+    pure numpy gathers; the ``refine``·k ADC survivors per query are
+    joined back to raw vectors for EXACT cosine re-ranking, so returned
+    sims are true cosines (same contract as lsh_topk/ivf_topk: only
+    recall is approximate, never the reported similarity)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    books = train_pq_codebooks(
+        corpus, vec_col, m, codes_k, seed=seed, cache_key=cache_key
+    )
+    mats = np.stack([np.asarray(b, dtype=np.float64) for b in books])  # m×codes_k×sub
+    sub = mats.shape[2]
+    encode = _pq_encode_udf(books)
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        as_double_array(F.col(vec_col)).alias("cvec"),
+    ).withColumn("codes", encode(F.col("cvec")))
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(F.col(vec_col)).alias("qvec"),
+        )
+        .collect()
+    )
+    # per-query ADC lookup tables: LUT[qi, j, code] = q_sub_j · centroid
+    q_ids = np.array([r.query_id for r in q_rows])
+    q_vecs = np.vstack([np.asarray(r.qvec) for r in q_rows])
+    q_norms = np.linalg.norm(q_vecs, axis=1)
+    luts = np.einsum(
+        "qjs,jks->qjk", q_vecs.reshape(len(q_ids), m, sub), mats
+    )  # n_queries × m × codes_k
+
+    n_keep = refine * k
+
+    def score(frames):
+        for pdf in frames:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy())  # batch × m
+            ids = pdf["corpus_id"].to_numpy()
+            # approx dot = sum_j LUT[q, j, codes[:, j]]
+            j_idx = np.arange(m)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                approx = luts[qi][j_idx, codes].sum(axis=1)
+                keep = np.argsort(-approx)[:n_keep]
+                out_q.append(np.full(len(keep), q_ids[qi]))
+                out_c.append(ids[keep])
+                out_s.append(approx[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "corpus_id": np.concatenate(out_c),
+                    "approx": np.concatenate(out_s),
+                }
+            )
+
+    candidates = (
+        c.select("corpus_id", "codes")
+        .mapInPandas(score, schema="query_id long, corpus_id long, approx double")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+    )
+    # per-query global refine cut (partition-local candidates were n_keep
+    # per partition), then exact cosine re-rank on the survivors
+    w_ref = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("corpus_id"))
+    survivors = candidates.withColumn("r", F.row_number().over(w_ref)).filter(
+        F.col("r") <= n_keep
+    )
+    q_df = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnorm", _norm(F.col("qvec")))
+    rescored = (
+        survivors.join(c.select("corpus_id", "cvec"), "corpus_id")
+        .withColumn("cnorm", _norm(F.col("cvec")))
+        .join(F.broadcast(q_df), "query_id")
+        .withColumn(
+            "sim",
+            F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -273,6 +273,29 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_topk_pq")
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization (16 subspaces x 32
+    codes, ADC scoring, 20x refine with exact cosine re-rank) — the
+    memory-compressed ANN tier: the corpus scans as m bytes/vector
+    instead of dim floats, which is what makes a 100 TB embedding table
+    brute-scannable. Returned sims are exact cosines (only recall is
+    approximate). Recall floor asserted in tests/test_neardup.py."""
+    import os
+
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        stamp = os.path.getmtime(corpus_path)
+    except OSError:
+        stamp = 0.0
+    return similarity.pq_topk(
+        e, queries, k=5, m=16, codes_k=32, refine=20,
+        cache_key=f"{corpus_path}:{stamp}",
+    )
+
+
 @query("embedding_neardup_pairs")
 def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (semantic dedup)."""

@@ -280,3 +280,47 @@ def test_parse_byte_size_conf_strings():
     assert f("128MB") == 128 * 1024 * 1024
     assert f("1g") == 1 << 30
     assert f(" 2K ") == 2048
+
+
+def test_pq_topk_recall_and_exact_sims(spark, sf_dir):
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(e, queries, k=5)
+    approx = similarity.pq_topk(e, queries, k=5, m=16, codes_k=32, refine=20)
+    exact_set = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # uniform-random embeddings are PQ's hardest regime; measured ~0.97
+    # at these params — floor at 0.6 to stay deterministic-safe
+    assert recall >= 0.6, f"PQ recall {recall:.2f} below floor"
+    # the refine step re-ranks with true cosine: overlapping pairs must
+    # carry sims identical to brute force
+    joined = approx.alias("a").join(exact.alias("e"), ["query_id", "corpus_id"]).filter(
+        F.abs(F.col("a.sim") - F.col("e.sim")) > 1e-9
+    )
+    assert joined.count() == 0
+
+
+def test_pq_topk_planted_neighbors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((6, 64))
+    rows = []
+    vid = 0
+    for q in range(6):
+        rows.append((vid, [float(x) for x in base[q]]))
+        vid += 1
+        for _ in range(3):  # planted neighbors at cosine ~0.99
+            rows.append((vid, [float(x) for x in base[q] + 0.05 * rng.standard_normal(64)]))
+            vid += 1
+    for _ in range(150):
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)]))
+        vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = e.filter(F.col("vec_id") % 4 == 0).filter(F.col("vec_id") < 24)
+    approx = similarity.pq_topk(e, queries, k=3, m=16, codes_k=32, refine=20)
+    got = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    expected = {(q * 4, q * 4 + j) for q in range(6) for j in (1, 2, 3)}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.9, f"PQ planted recall {recall:.2f}"
