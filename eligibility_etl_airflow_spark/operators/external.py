@@ -153,10 +153,13 @@ def llm_per_group(
         # groups are contiguous post-sort: boundaries via adjacent-diff
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         ends = np.r_[starts[1:], len(keys)]
-        parsed = pd.Series([None] * len(batch), index=batch.index, dtype=object)
+        # fill through a raw object ndarray: per-group pandas .iloc
+        # assignment re-validates the index on every group (~40% of the
+        # batch time with tens of thousands of small groups)
+        vals = np.empty(len(batch), dtype=object)
         for s, e in zip(starts, ends):
-            result = handle(batch.iloc[s:e])
-            parsed.iloc[s:e] = [result] * (e - s)
+            vals[s:e] = handle(batch.iloc[s:e])
+        parsed = pd.Series(vals, index=batch.index)
         return merge_batch(batch, parsed)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
