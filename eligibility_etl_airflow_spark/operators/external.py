@@ -155,10 +155,13 @@ def llm_per_group(
         ends = np.r_[starts[1:], len(keys)]
         # fill through a raw object ndarray: per-group pandas .iloc
         # assignment re-validates the index on every group (~40% of the
-        # batch time with tens of thousands of small groups)
+        # batch time with tens of thousands of small groups). The repeat
+        # list (not a bare scalar assign) keeps broadcast semantics even
+        # if a caller's parse returns an array-like — numpy would
+        # otherwise spread a list result element-wise across the rows.
         vals = np.empty(len(batch), dtype=object)
         for s, e in zip(starts, ends):
-            vals[s:e] = handle(batch.iloc[s:e])
+            vals[s:e] = [handle(batch.iloc[s:e])] * (e - s)
         parsed = pd.Series(vals, index=batch.index)
         return merge_batch(batch, parsed)
 

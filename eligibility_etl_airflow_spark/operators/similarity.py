@@ -490,11 +490,12 @@ def pq_topk(
     mats = np.stack([np.asarray(b, dtype=np.float64) for b in books])  # m×codes_k×sub
     sub = mats.shape[2]
     encode = _pq_encode_udf(books)
+    id_type = corpus.schema[id_col].dataType.simpleString()
 
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         as_double_array(F.col(vec_col)).alias("cvec"),
-    ).withColumn("codes", encode(F.col("cvec")))
+    ).withColumn("codes", encode(F.col("cvec"))).withColumn("cn", _norm(F.col("cvec")))
     q_rows = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -502,10 +503,12 @@ def pq_topk(
         )
         .collect()
     )
+    empty_schema = f"query_id {id_type}, corpus_id {id_type}, sim double, rank long"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], empty_schema)
     # per-query ADC lookup tables: LUT[qi, j, code] = q_sub_j · centroid
-    q_ids = np.array([r.query_id for r in q_rows])
+    q_ids = [r.query_id for r in q_rows]
     q_vecs = np.vstack([np.asarray(r.qvec) for r in q_rows])
-    q_norms = np.linalg.norm(q_vecs, axis=1)
     luts = np.einsum(
         "qjs,jks->qjk", q_vecs.reshape(len(q_ids), m, sub), mats
     )  # n_queries × m × codes_k
@@ -518,26 +521,32 @@ def pq_topk(
                 continue
             codes = np.vstack(pdf["codes"].to_numpy())  # batch × m
             ids = pdf["corpus_id"].to_numpy()
-            # approx dot = sum_j LUT[q, j, codes[:, j]]
+            # approx cosine ∝ (sum_j LUT[q, j, codes[:, j]]) / ||c||:
+            # ranking by raw ADC dot product would bias the candidate set
+            # toward large-norm corpus vectors on unnormalized embeddings
+            # (query norm is constant per query and cannot change ranks)
+            cnorms = np.maximum(pdf["cn"].to_numpy(), 1e-12)
             j_idx = np.arange(m)
             out_q, out_c, out_s = [], [], []
             for qi in range(len(q_ids)):
-                approx = luts[qi][j_idx, codes].sum(axis=1)
+                approx = luts[qi][j_idx, codes].sum(axis=1) / cnorms
                 keep = np.argsort(-approx)[:n_keep]
-                out_q.append(np.full(len(keep), q_ids[qi]))
+                out_q.extend([q_ids[qi]] * len(keep))
                 out_c.append(ids[keep])
                 out_s.append(approx[keep])
             yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(out_q),
+                    "query_id": out_q,
                     "corpus_id": np.concatenate(out_c),
                     "approx": np.concatenate(out_s),
                 }
             )
 
     candidates = (
-        c.select("corpus_id", "codes")
-        .mapInPandas(score, schema="query_id long, corpus_id long, approx double")
+        c.select("corpus_id", "codes", "cn")
+        .mapInPandas(
+            score, schema=f"query_id {id_type}, corpus_id {id_type}, approx double"
+        )
         .filter(F.col("query_id") != F.col("corpus_id"))
     )
     # per-query global refine cut (partition-local candidates were n_keep

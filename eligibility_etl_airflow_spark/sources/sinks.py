@@ -317,6 +317,29 @@ def write_clustered(
     )
 
 
+def _q_ident(c: str) -> str:
+    """Quote a column identifier (engines like Derby uppercase unquoted
+    names while Spark writes quoted lowercase ones)."""
+    return f'"{c}"'
+
+
+def _jdbc_table_exists(conn, table: str) -> bool:
+    """Case-folding-agnostic catalog lookup: Derby stores unquoted names
+    uppercase, Postgres lowercase, others as-is — JDBC table patterns are
+    case-sensitive, so checking only one folding silently misses the
+    table on other engines (which would break the idempotency contract
+    of the callers)."""
+    meta = conn.getMetaData()
+    for candidate in {table.upper(), table.lower(), table}:
+        rs = meta.getTables(None, None, candidate, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
+
+
 def merge_upsert_jdbc(
     spark: SparkSession,
     url: str,
@@ -353,14 +376,12 @@ def merge_upsert_jdbc(
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
-        meta = conn.getMetaData()
         # target may not exist yet (first load): CREATE TABLE AS the staging shape
-        rs = meta.getTables(None, None, table.upper(), None)
-        target_exists = rs.next()
+        target_exists = _jdbc_table_exists(conn, table)
         stmt = conn.createStatement()
+        q = _q_ident
         try:
             if not target_exists:
-                q = lambda c: f'"{c}"'  # noqa: E731
                 col_list = ", ".join(q(c) for c in cols)
                 stmt.executeUpdate(
                     f"CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA"
@@ -369,7 +390,6 @@ def merge_upsert_jdbc(
                     f"INSERT INTO {table} ({col_list}) SELECT {col_list} FROM {staging}"
                 )
             else:
-                q = lambda c: f'"{c}"'  # noqa: E731
                 on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
                 non_keys = [c for c in cols if c not in keys]
                 set_clause = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_keys)
@@ -381,8 +401,13 @@ def merge_upsert_jdbc(
                     f"{matched}"
                     f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
                 )
-            stmt.executeUpdate(f"DROP TABLE {staging}")
         finally:
+            # drop staging on failure too — a failed MERGE must not leak
+            # a {table}_stage_xxxx table per retry
+            try:
+                stmt.executeUpdate(f"DROP TABLE {staging}")
+            except Exception:
+                pass
             stmt.close()
     finally:
         conn.close()
@@ -404,22 +429,21 @@ def append_dedup_jdbc(
     first, so a replayed batch inserts nothing. The write itself is the
     distributed JDBC writer with ``batchsize`` batching (the chunked
     ``executemany`` analog). Returns rows appended."""
+    from eligibility_etl_airflow_spark.sources.readers import read_jdbc
+
     fresh = batch.dropDuplicates(keys)
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
-        exists = conn.getMetaData().getTables(None, None, table.upper(), None).next()
+        exists = _jdbc_table_exists(conn, table)
     finally:
         conn.close()
     if exists:
-        q = ", ".join(f'"{k}"' for k in keys)
-        existing = (
-            spark.read.format("jdbc")
-            .option("url", url)
-            .option("driver", driver)
-            .option("query", f"SELECT {q} FROM {table}")
-            .load()
-        )
+        q = ", ".join(_q_ident(k) for k in keys)
+        # read_jdbc, not a hand-rolled reader: keeps the fetchsize (and
+        # optional bounds-partitioning) the readers module already
+        # documents as the single-cursor guard
+        existing = read_jdbc(spark, url, f"SELECT {q} FROM {table}", driver=driver).load()
         fresh = fresh.join(existing, keys, "left_anti")
     n = fresh.count()
     if n:

@@ -324,3 +324,35 @@ def test_pq_topk_planted_neighbors(spark):
     expected = {(q * 4, q * 4 + j) for q in range(6) for j in (1, 2, 3)}
     recall = len(got & expected) / len(expected)
     assert recall >= 0.9, f"PQ planted recall {recall:.2f}"
+
+
+def test_pq_topk_empty_queries_and_heterogeneous_norms(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((4, 64))
+    rows = []
+    vid = 0
+    for q in range(4):
+        rows.append((vid, [float(x) for x in base[q]]))
+        vid += 1
+        for _ in range(2):
+            rows.append((vid, [float(x) for x in base[q] + 0.05 * rng.standard_normal(64)]))
+            vid += 1
+    for _ in range(100):  # large-norm noise: 10× magnitude, low cosine
+        rows.append((vid, [float(x) for x in 10.0 * rng.standard_normal(64)]))
+        vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # empty query set → empty result, not a crash
+    none = e.filter(F.col("vec_id") < 0)
+    assert similarity.pq_topk(e, none, k=3).count() == 0
+
+    # ADC candidate ranking must be norm-corrected: unit-norm planted
+    # neighbors must beat 10×-norm noise vectors
+    queries = e.filter(F.col("vec_id") % 3 == 0).filter(F.col("vec_id") < 12)
+    approx = similarity.pq_topk(e, queries, k=2, m=16, codes_k=32, refine=20)
+    got = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    expected = {(q * 3, q * 3 + j) for q in range(4) for j in (1, 2)}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.9, f"norm-heterogeneous recall {recall:.2f}"
