@@ -35,7 +35,14 @@ def main(argv: list[str] | None = None) -> int:
 
     pp = sub.add_parser("pipeline", help="run an end-to-end pipeline")
     pp.add_argument(
-        "name", choices=["eligibility", "predictions", "resubmission", "events-stream"]
+        "name",
+        choices=[
+            "eligibility",
+            "predictions",
+            "resubmission",
+            "events-stream",
+            "corpus-curation",
+        ],
     )
     pp.add_argument("--out-dir", required=True)
     pp.add_argument("--sf-dir", default=DEFAULT_SF)
@@ -73,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
             "predictions": pipelines.run_predictions_pipeline,
             "resubmission": pipelines.run_resubmission_pipeline,
             "events-stream": pipelines.run_events_stream_pipeline,
+            "corpus-curation": pipelines.run_corpus_curation_pipeline,
         }[args.name]
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir), default=str))
         return 0

@@ -97,3 +97,66 @@ def run_events_stream_pipeline(
     )
     n = spark.read.parquet(os.path.join(out_dir, "events_clean")).count()
     return {"rows_in_sink": n}
+
+
+def run_corpus_curation_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+    jaccard_threshold: float = 0.8,
+) -> dict:
+    """The LLM-training-data lifecycle the beyond-reference operators
+    exist for, composed end to end: quality filter → language mix →
+    exact dedup (hash keeper) → MinHash near-dup removal → clustered
+    curated write. Every stage is the already-tested operator; this
+    function is only the composition and the stats contract.
+
+    Scale shape: one documents scan feeds the quality/lang filter; exact
+    dedup is one hash aggregate; near-dup pairs come from the bucketed
+    LSH path (never corpus²) and removal is one anti-join keeping each
+    pair's lower doc_id; the curated output writes range-clustered by
+    doc_id so downstream range reads prune files. Stats are aggregate
+    counts only — nothing data-proportional reaches the driver."""
+    from eligibility_etl_airflow_spark.catalog import Catalog
+    from eligibility_etl_airflow_spark.operators import neardup, text
+
+    docs = Catalog(spark, sf_dir).documents
+    n_total = docs.count()
+
+    filtered = docs.filter(
+        (text.quality_score(F.col("text")) >= min_quality)
+        & (F.col("lang").isin(*langs))
+    )
+    n_filtered = filtered.count()
+
+    # exact dedup: keep min doc_id per content hash
+    keeper = (
+        filtered.select(
+            "doc_id", text.fingerprint_md5(F.col("text")).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_kept = filtered.join(keeper, "doc_id", "left_semi")
+    n_exact = exact_kept.count()
+
+    # near-dup removal: drop the higher doc_id of each verified pair
+    pairs = neardup.minhash_lsh_pairs(
+        exact_kept, "doc_id", "text", jaccard_threshold=jaccard_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    curated = exact_kept.join(losers, "doc_id", "left_anti")
+    n_curated = curated.count()
+
+    sinks.write_clustered(
+        curated, os.path.join(out_dir, "curated_docs"), ["doc_id"]
+    )
+    return {
+        "n_total": n_total,
+        "n_after_quality_lang": n_filtered,
+        "n_after_exact_dedup": n_exact,
+        "n_curated": n_curated,
+    }

@@ -61,3 +61,32 @@ def test_events_stream_pipeline_idempotent(spark, sf_dir, tmp_path):
     assert first["rows_in_sink"] > 0
     second = pipelines.run_events_stream_pipeline(spark, sf_dir, out)
     assert second["rows_in_sink"] == first["rows_in_sink"]
+
+
+def test_corpus_curation_pipeline(spark, sf_dir, tmp_path):
+    from eligibility_etl_airflow_spark import pipelines
+
+    stats = pipelines.run_corpus_curation_pipeline(
+        spark, sf_dir, str(tmp_path), min_quality=0.5
+    )
+    # monotone funnel: each stage can only shrink the corpus
+    assert (
+        stats["n_total"]
+        >= stats["n_after_quality_lang"]
+        >= stats["n_after_exact_dedup"]
+        >= stats["n_curated"]
+        > 0
+    )
+    curated = spark.read.parquet(str(tmp_path / "curated_docs"))
+    assert curated.count() == stats["n_curated"]
+    # curated corpus carries no exact duplicates
+    from eligibility_etl_airflow_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    dup = (
+        curated.groupBy(text_ops.fingerprint_md5(F.col("text")))
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
