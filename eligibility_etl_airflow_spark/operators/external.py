@@ -135,16 +135,31 @@ def llm_per_group(
 
     ``merge_batch(batch, parsed)`` receives the batch rows plus a Series
     (aligned to ``batch.index``) holding each row's group parse result.
+
+    Token accounting (A9, reference src/predictions.py:320-339): when
+    ``respond`` returns a :class:`~.transports.ChatResult` (anything with
+    ``.text``/``.input_tokens``/``.output_tokens``) instead of a bare
+    string, the group's parse dict is augmented with reserved
+    ``"__input_tokens__"`` / ``"__output_tokens__"`` keys so
+    ``merge_batch`` can emit per-row token columns and
+    :func:`metrics_totals` can roll them up. Reserved keys are
+    double-underscore-fenced; data keys must not collide with them.
     """
     import numpy as np
 
     retry = retry or RetryPolicy()
 
     def handle(group: pd.DataFrame) -> dict:
-        return retry.run(
-            lambda: parse(respond(group)),
-            lambda _exc: {"__failed__": True},
-        )
+        def call() -> dict:
+            resp = respond(group)
+            if isinstance(resp, str):
+                return parse(resp)
+            out = dict(parse(resp.text))
+            out["__input_tokens__"] = int(resp.input_tokens)
+            out["__output_tokens__"] = int(resp.output_tokens)
+            return out
+
+        return retry.run(call, lambda _exc: {"__failed__": True})
 
     parts = df.repartition(group_col).sortWithinPartitions(group_col)
 
@@ -197,3 +212,29 @@ def metrics_totals(df: DataFrame, token_cols: dict[str, str]) -> DataFrame:
     UDF-produced metric columns (predictions.py:320-339)."""
     aggs = [F.sum(F.col(src)).alias(dst) for dst, src in token_cols.items()]
     return df.agg(*aggs)
+
+
+def llm_cost_totals(
+    df: DataFrame,
+    input_col: str = "input_tokens",
+    output_col: str = "output_tokens",
+    input_price_nanousd: int = 560,
+    output_price_nanousd: int = 1680,
+) -> DataFrame:
+    """A9: the reference's cost rollup (predictions.py:320-339 — $0.56 /
+    $1.68 per 1M tokens, i.e. 560 / 1680 nano-USD per token) as ONE
+    partial-aggregatable pass. Cost is integer nano-USD so the result is
+    exact and oracle-hashable; divide by 1e9 for dollars at the edge."""
+    return df.agg(
+        F.sum(F.col(input_col)).cast("long").alias("total_input_tokens"),
+        F.sum(F.col(output_col)).cast("long").alias("total_output_tokens"),
+        (F.sum(F.col(input_col)) + F.sum(F.col(output_col)))
+        .cast("long")
+        .alias("total_tokens"),
+        (
+            F.sum(F.col(input_col)) * F.lit(input_price_nanousd)
+            + F.sum(F.col(output_col)) * F.lit(output_price_nanousd)
+        )
+        .cast("long")
+        .alias("total_cost_nanousd"),
+    )

@@ -24,9 +24,11 @@ from eligibility_etl_airflow_spark.catalog import Catalog
 from eligibility_etl_airflow_spark.functions.json_repair import repair_json
 from eligibility_etl_airflow_spark.operators.external import (
     RetryPolicy,
+    llm_cost_totals,
     llm_per_group,
     rest_enrich,
 )
+from eligibility_etl_airflow_spark.operators.transports import ChatResult
 from eligibility_etl_airflow_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -94,20 +96,33 @@ _REASON_LIMIT = "Quantity exceeds limit"
 _REASON_APPROVED = "pre-approved quantity"
 
 
-def _mock_llm_respond(group: pd.DataFrame) -> str:
+def _mock_llm_respond(group: pd.DataFrame) -> ChatResult:
     rejected = {}
+    n_flagged = 0
     for row in group.itertuples():
         if row.quantity > 49:
             rejected[row.service_uid] = _REASON_APPROVED
+            n_flagged += 1
         elif row.quantity > 45:
             rejected[row.service_uid] = _REASON_LIMIT
+            n_flagged += 1
     body = json.dumps({"Rejected": rejected})
     okey = int(group["order_id"].iloc[0])
     if okey % 3 == 1:
-        return f"```json\n{body}\n```"
-    if okey % 3 == 2:
-        return f"Sure! Here is the JSON you asked for: {body} — hope this helps."
-    return body
+        text = f"```json\n{body}\n```"
+    elif okey % 3 == 2:
+        text = f"Sure! Here is the JSON you asked for: {body} — hope this helps."
+    else:
+        text = body
+    # Deterministic token accounting (A9): the mock "charges" a fixed
+    # per-service prompt cost and a per-rejected-entry response cost, so
+    # the DuckDB oracle can state the counts with window expressions and
+    # the hash match proves the token plumbing end-to-end.
+    return ChatResult(
+        text=text,
+        input_tokens=3 + 7 * len(group),
+        output_tokens=2 + 5 * n_flagged,
+    )
 
 
 def _parse_response(text: str) -> dict:
@@ -116,6 +131,12 @@ def _parse_response(text: str) -> dict:
     # validate_outcome (predictions.py:179-191): drop entries whose reason
     # contains "approved" — the LLM saying approved inside Rejected is noise.
     return {k: v for k, v in rejected.items() if "approved" not in str(v).lower()}
+
+
+_OUT_COLS = [
+    "order_id", "service_uid", "part_id", "quantity",
+    "prediction", "reason", "input_tokens", "output_tokens",
+]
 
 
 def _merge_batch(batch: pd.DataFrame, parsed: pd.Series) -> pd.DataFrame:
@@ -128,20 +149,42 @@ def _merge_batch(batch: pd.DataFrame, parsed: pd.Series) -> pd.DataFrame:
     out = batch[["order_id", "service_uid", "part_id", "quantity"]].copy()
     out["reason"] = pd.Series(reasons, index=batch.index, dtype=object)
     out["prediction"] = ["Approved" if r is None else "Rejected" for r in reasons]
-    return out[["order_id", "service_uid", "part_id", "quantity", "prediction", "reason"]]
+    # A9: the LLM is billed per CALL, not per row, so every row of a group
+    # carries the same group-level counts; the rollup (llm_cost_metrics)
+    # collapses to one row per group before summing.
+    out["input_tokens"] = [
+        0 if m is None or m.get("__failed__") else m.get("__input_tokens__", 0)
+        for m in parsed
+    ]
+    out["output_tokens"] = [
+        0 if m is None or m.get("__failed__") else m.get("__output_tokens__", 0)
+        for m in parsed
+    ]
+    return out[_OUT_COLS]
 
 
 LLM_PIPELINE_ORACLE = """
-SELECT l_orderkey AS order_id,
-       CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)
-         || ':' || CAST(l_linenumber AS VARCHAR) AS service_uid,
-       l_partkey AS part_id,
-       l_quantity AS quantity,
-       CASE WHEN l_quantity > 45 AND l_quantity <= 49
-            THEN 'Rejected' ELSE 'Approved' END AS prediction,
-       CASE WHEN l_quantity > 45 AND l_quantity <= 49
-            THEN 'Quantity exceeds limit' END AS reason
-FROM lineitem
+SELECT order_id, service_uid, part_id, quantity, prediction, reason,
+       CAST(CASE WHEN needs_llm THEN 3 + 7 * n_services ELSE 0 END AS BIGINT)
+         AS input_tokens,
+       CAST(CASE WHEN needs_llm THEN 2 + 5 * n_flagged ELSE 0 END AS BIGINT)
+         AS output_tokens
+FROM (
+  SELECT l_orderkey AS order_id,
+         CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)
+           || ':' || CAST(l_linenumber AS VARCHAR) AS service_uid,
+         l_partkey AS part_id,
+         l_quantity AS quantity,
+         CASE WHEN l_quantity > 45 AND l_quantity <= 49
+              THEN 'Rejected' ELSE 'Approved' END AS prediction,
+         CASE WHEN l_quantity > 45 AND l_quantity <= 49
+              THEN 'Quantity exceeds limit' END AS reason,
+         MAX(l_quantity) OVER (PARTITION BY l_orderkey) > 45 AS needs_llm,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_services,
+         SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS n_flagged
+  FROM lineitem
+)
 """
 
 
@@ -184,7 +227,8 @@ def llm_predictions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse=_parse_response,
         result_schema=(
             "order_id long, service_uid string, part_id long, "
-            "quantity double, prediction string, reason string"
+            "quantity double, prediction string, reason string, "
+            "input_tokens long, output_tokens long"
         ),
         merge_batch=_merge_batch,
         retry=RetryPolicy(attempts=2, backoff_s=0.0),
@@ -196,8 +240,48 @@ def llm_predictions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantity",
         F.lit("Approved").alias("prediction"),
         F.lit(None).cast("string").alias("reason"),
+        F.lit(0).cast("long").alias("input_tokens"),
+        F.lit(0).cast("long").alias("output_tokens"),
     )
     return llm_side.unionByName(approved_side)
+
+
+# --------------------------------------------------------------------------
+# A9 — token/cost rollup over the LLM pipeline (predictions.py:320-339)
+# --------------------------------------------------------------------------
+
+LLM_COST_ORACLE = """
+SELECT CAST(SUM(input_tokens) AS BIGINT) AS total_input_tokens,
+       CAST(SUM(output_tokens) AS BIGINT) AS total_output_tokens,
+       CAST(SUM(input_tokens) + SUM(output_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(input_tokens) * 560 + SUM(output_tokens) * 1680 AS BIGINT)
+         AS total_cost_nanousd
+FROM (
+  SELECT l_orderkey,
+         CASE WHEN MAX(l_quantity) > 45 THEN 3 + 7 * COUNT(*) ELSE 0 END
+           AS input_tokens,
+         CASE WHEN MAX(l_quantity) > 45
+              THEN 2 + 5 * SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+              ELSE 0 END AS output_tokens
+  FROM lineitem
+  GROUP BY l_orderkey
+)
+"""
+
+
+@query("llm_cost_metrics", oracle=LLM_COST_ORACLE)
+def llm_cost_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 end-to-end: run the full LLM pipeline, collapse the per-row
+    group-level token columns back to one row per CALL (the billing unit,
+    reference predictions.py:320-339), then the exact nano-USD cost
+    rollup. Partial-aggregatable throughout — two shuffles total (the
+    pipeline's group key, then the rollup's), constant-size result."""
+    pipeline = llm_predictions_pipeline(spark, sf_dir)
+    per_call = pipeline.groupBy("order_id").agg(
+        F.max("input_tokens").alias("input_tokens"),
+        F.max("output_tokens").alias("output_tokens"),
+    )
+    return llm_cost_totals(per_call)
 
 
 # --------------------------------------------------------------------------

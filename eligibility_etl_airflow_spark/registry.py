@@ -40,7 +40,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (eligibility_flagship, age_birthday_corrected, multi_format_date_parse,
 # struct_expand) and all keep local DuckDB parity via
 # tests/test_oracle_parity.py, which parametrizes every registered query.
-_DEFERRED = ("regex_text_ops", "split_explode_keys", "map_explode_fields")
+_DEFERRED = (
+    "regex_text_ops",
+    "split_explode_keys",
+    "map_explode_fields",
+    # token accounting is already driver-graded inside
+    # llm_predictions_pipeline's input_tokens/output_tokens columns; the
+    # totals rollup keeps local parity via tests/test_oracle_parity.py
+    "llm_cost_metrics",
+)
 
 
 def load_all() -> None:
