@@ -7,6 +7,8 @@ SURVEY.md §3.3, but over Spark jobs).
     python -m eligibility_etl_airflow_spark pipeline <eligibility|predictions|resubmission>
         --out-dir OUT [--sf-dir D]
     python -m eligibility_etl_airflow_spark dag eligibility --work-dir DIR [--sf-dir D]
+    python -m eligibility_etl_airflow_spark multi-bu <query> --source bu_a=/dir/a
+        --source bu_b=/dir/b [--out-dir OUT]
     python -m eligibility_etl_airflow_spark bench [--sf-dir D]
 """
 
@@ -54,6 +56,22 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--work-dir", required=True)
     dp.add_argument("--sf-dir", default=DEFAULT_SF)
 
+    mp = sub.add_parser(
+        "multi-bu",
+        help="run one query across N business-unit sources, union with a BU column "
+        "(the clinics-DAG fan-out, dags/clinics_resubmission_etl.py:116-123)",
+    )
+    mp.add_argument("name", help="registered query to fan out")
+    mp.add_argument(
+        "--source",
+        action="append",
+        required=True,
+        metavar="BU=DIR",
+        help="repeatable business-unit source mapping, e.g. --source clinic_a=/data/a",
+    )
+    mp.add_argument("--out-dir", default=None)
+    mp.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args(argv)
     registry.load_all()
 
@@ -83,6 +101,17 @@ def main(argv: list[str] | None = None) -> int:
             "corpus-curation": pipelines.run_corpus_curation_pipeline,
         }[args.name]
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir), default=str))
+        return 0
+
+    if args.cmd == "multi-bu":
+        if args.name not in registry.QUERIES:
+            print(f"unknown query: {args.name}", file=sys.stderr)
+            return 2
+        sources = dict(s.split("=", 1) for s in args.source)
+        df = pipelines.run_multi_business_unit(
+            spark, args.name, sources, out_dir=args.out_dir
+        )
+        df.show(args.limit, truncate=False)
         return 0
 
     if args.cmd == "dag":

@@ -154,8 +154,12 @@ def signatures_from_shingles(shingle_tab: DataFrame, num_perm: int = 64) -> Data
     ``(a·h+b) mod P`` with a,b below the wrap point of P is
     order-preserving — every component shares one argmin, the signature
     then estimates "P(shared minimum)" instead of Jaccard, and banding
-    degenerates into corpus-sized buckets.)"""
-    return signature_band_table(shingle_tab, num_perm).select("id", "sig")
+    degenerates into corpus-sized buckets.)
+
+    No band-count constraint applies here: banding is skipped (bands=1),
+    so any ``num_perm`` ≥ 1 works — only the LSH pair path requires
+    ``num_perm`` divisible by its band count."""
+    return signature_band_table(shingle_tab, num_perm, bands=1).select("id", "sig")
 
 
 def minhash_signatures(
@@ -184,7 +188,11 @@ def signature_band_table(
     expression — that one-shot generated class cost multiple seconds of
     Janino compilation per query (cold-run profile), which at bench scale
     dwarfed the actual work. The band hash is a splitmix64 fold over the
-    band's signature components."""
+    band's signature components.
+
+    The id column passes through untouched, so any Spark-sortable id type
+    (long, string/UUID, ...) works — the output schema mirrors the
+    input's id type."""
     import numpy as np
     import pandas as pd
 
@@ -192,6 +200,7 @@ def signature_band_table(
         raise ValueError(
             f"num_perm ({num_perm}) must be a multiple of bands ({bands})"
         )
+    id_type = shingle_tab.schema["id"].dataType.simpleString()
     rows_per_band = num_perm // bands
     golden = np.uint64(0x9E3779B97F4A7C15)
     seeds = (np.arange(1, num_perm + 1, dtype=np.uint64) * golden).reshape(1, -1)
@@ -222,7 +231,7 @@ def signature_band_table(
             yield pd.DataFrame({"id": pdf["id"], "sig": sigs, "bands": bnds})
 
     return shingle_tab.mapInPandas(
-        batch, schema="id long, sig array<long>, bands array<long>"
+        batch, schema=f"id {id_type}, sig array<long>, bands array<long>"
     )
 
 
@@ -290,25 +299,29 @@ def minhash_lsh_pairs(
     import pandas as pd
 
     est_floor = jaccard_threshold - est_margin
+    # id type mirrors the input (long, string/UUID, ...): ids stay in
+    # numpy object/str arrays through the fancy indexing, never narrowed
+    id_type = shingle_tab.schema["id"].dataType.simpleString()
 
     def expand(frames):
         for pdf in frames:
             out_a, out_b = [], []
             for members in pdf["members"]:
-                ids = np.fromiter((m["id"] for m in members), dtype=np.int64)
+                ids = np.asarray([m["id"] for m in members])
                 sigs = np.vstack([np.asarray(m["sig"], dtype=np.int64) for m in members])
                 est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
                 ia, ib = np.triu_indices(len(ids), k=1)
                 keep = est[ia, ib] >= est_floor
                 out_a.append(ids[ia[keep]])
                 out_b.append(ids[ib[keep]])
-            a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
-            b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
-            yield pd.DataFrame({"id_a": a, "id_b": b})
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                )
 
     candidates = (
         buckets.select("members")
-        .mapInPandas(expand, schema="id_a long, id_b long")
+        .mapInPandas(expand, schema=f"id_a {id_type}, id_b {id_type}")
         .distinct()
     )
     verified = (
@@ -339,7 +352,14 @@ def ngram_jaccard_pairs(
     same language + length bucket). Blocking bounds the pair count; the
     join shuffles once on the block key. The shingled relation is
     persisted because BOTH sides of the self-join consume it — without
-    it the scan + normalize + shingling lineage executes twice."""
+    it the scan + normalize + shingling lineage executes twice.
+
+    Cache lifecycle (same contract as ``minhash_lsh_pairs``): Spark's
+    CacheManager dedupes by analyzed plan, so repeated invocations over
+    the same input reuse ONE entry; distinct corpora leave entries behind
+    until LRU eviction — a long-lived driver cycling many corpora should
+    ``spark.catalog.clearCache()`` between jobs (the disk-spillable
+    storage level bounds the memory side)."""
     from pyspark import StorageLevel
 
     sh = (
@@ -398,6 +418,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias(id_col),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
     )
+    # id passes through untouched — mirror its type (long, string, ...)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     # bound the unpacked bit matrix: 64 int32 per token ≈ 256 B → ~64 MB
     chunk_tokens = 256_000
@@ -434,7 +456,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 start = end
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": sigs})
 
-    return hashed.mapInPandas(batch, schema=f"{id_col} long, simhash long")
+    return hashed.mapInPandas(batch, schema=f"{id_col} {id_type}, simhash long")
 
 
 def simhash_block_pairs(
@@ -469,6 +491,7 @@ def simhash_block_pairs(
     lut = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
     mask = np.uint64(0xFFFF)
     chunk = 1024
+    id_type = sim_df.schema[id_col].dataType.simpleString()
 
     def popcount64(x):
         total = lut[(x & mask).astype(np.int64)].astype(np.int32)
@@ -480,9 +503,9 @@ def simhash_block_pairs(
         for pdf in frames:
             out_a, out_b, out_h = [], [], []
             for members in pdf["members"]:
-                ids = np.fromiter((m["id"] for m in members), dtype=np.int64)
+                ids = np.asarray([m["id"] for m in members])
                 sigs = np.fromiter(
-                    (m["simhash"] for m in members), dtype=np.int64
+                    (m["simhash"] for m in members), dtype=np.int64, count=len(members)
                 ).view(np.uint64)
                 m = len(ids)
                 for lo in range(0, m, chunk):
@@ -503,7 +526,7 @@ def simhash_block_pairs(
 
     return (
         buckets.select("members")
-        .mapInPandas(expand, schema="id_a long, id_b long, hamming integer")
+        .mapInPandas(expand, schema=f"id_a {id_type}, id_b {id_type}, hamming integer")
         .distinct()
         .withColumn("hamming", F.col("hamming").cast("long"))
     )
@@ -564,6 +587,7 @@ def fingerprint_overlap_pairs(
     import numpy as np
     import pandas as pd
 
+    id_type = fp_df.schema["id"].dataType.simpleString()
     inv = fp_df.select("id", F.explode_outer("fingerprints").alias("fp"))
     buckets = (
         inv.groupBy("fp")
@@ -575,20 +599,18 @@ def fingerprint_overlap_pairs(
         for pdf in frames:
             out_a, out_b = [], []
             for ids_arr in pdf["ids"]:
-                ids = np.asarray(ids_arr, dtype=np.int64)
+                ids = np.asarray(ids_arr)
                 ia, ib = np.triu_indices(len(ids), k=1)
                 out_a.append(ids[ia])
                 out_b.append(ids[ib])
-            yield pd.DataFrame(
-                {
-                    "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
-                    "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
-                }
-            )
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                )
 
     return (
         buckets.select("ids")
-        .mapInPandas(expand, schema="id_a long, id_b long")
+        .mapInPandas(expand, schema=f"id_a {id_type}, id_b {id_type}")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)

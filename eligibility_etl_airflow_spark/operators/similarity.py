@@ -341,7 +341,13 @@ def embedding_neardup_pairs(
     generator here: one all-alike bucket (e.g. a zero-vector cluster)
     would otherwise expand quadratically at corpus scale. With
     ``n_planes`` sign bits there are ≤ 2^n_planes buckets, so the
-    bucket-size relation is tiny and broadcast."""
+    bucket-size relation is tiny and broadcast.
+
+    Cache lifecycle (same contract as ``minhash_lsh_pairs``): the
+    bucketed relation is persisted (disk-spillable) and deduped by
+    analyzed plan, so repeated invocations over the same input reuse ONE
+    entry; a long-lived driver cycling distinct corpora should
+    ``spark.catalog.clearCache()`` between jobs."""
     from pyspark import StorageLevel
 
     planes = hyperplanes(dim, n_planes, seed)
@@ -469,6 +475,7 @@ def pq_topk(
     refine: int = 10,
     seed: int = 42,
     cache_key: str | None = None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """PQ approximate top-k with exact re-ranking (ADC + refine).
 
@@ -479,7 +486,16 @@ def pq_topk(
     pure numpy gathers; the ``refine``·k ADC survivors per query are
     joined back to raw vectors for EXACT cosine re-ranking, so returned
     sims are true cosines (same contract as lsh_topk/ivf_topk: only
-    recall is approximate, never the reported similarity)."""
+    recall is approximate, never the reported similarity).
+
+    The query set is collected to the driver to build the ADC LUT tensor
+    (n_queries × m × codes_k) that every task receives — standard ADC
+    practice for a bounded query batch, but data-proportional, so it is
+    explicitly capped: more than ``max_queries`` rows raises rather than
+    silently OOMing the driver (the same contract as ``write_excel``'s
+    row cap). For larger query sets, chunk the queries DataFrame and
+    union the per-chunk results — LUT memory stays flat per chunk and
+    the trained codebooks are reused via ``cache_key``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -496,13 +512,23 @@ def pq_topk(
         F.col(id_col).alias("corpus_id"),
         as_double_array(F.col(vec_col)).alias("cvec"),
     ).withColumn("codes", encode(F.col("cvec"))).withColumn("cn", _norm(F.col("cvec")))
+    # limit(cap+1) bounds the driver transfer by construction — the
+    # overflow check never materializes more than one extra row
     q_rows = (
         queries.select(
             F.col(id_col).alias("query_id"),
             as_double_array(F.col(vec_col)).alias("qvec"),
         )
+        .limit(max_queries + 1)
         .collect()
     )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk collects the query set to the driver for ADC LUTs; "
+            f"got > {max_queries} query rows (max_queries={max_queries}). "
+            f"Chunk the queries DataFrame and union the results, reusing "
+            f"the trained codebooks via cache_key."
+        )
     empty_schema = f"query_id {id_type}, corpus_id {id_type}, sim double, rank long"
     if not q_rows:
         return corpus.sparkSession.createDataFrame([], empty_schema)

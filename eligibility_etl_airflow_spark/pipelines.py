@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark import registry
@@ -118,7 +118,18 @@ def run_corpus_curation_pipeline(
     LSH path (never corpus²) and removal is one anti-join keeping each
     pair's lower doc_id; the curated output writes range-clustered by
     doc_id so downstream range reads prune files. Stats are aggregate
-    counts only — nothing data-proportional reaches the driver."""
+    counts only — nothing data-proportional reaches the driver.
+
+    Funnel-count discipline: ``filtered`` and ``exact_kept`` are
+    persisted before their counts, so the documents scan (and its
+    quality-regex work) runs ONCE — every downstream stage (the hash
+    keeper, the LSH near-dup stage, the anti-join, the clustered write)
+    reads the cache, not the source. ``n_total`` is a bare ``count()``
+    on the parquet source (footer metadata, no column IO) and
+    ``n_curated`` is counted from the written sink's own footers, so
+    neither triggers a recompute of the funnel lineage."""
+    from pyspark import StorageLevel
+
     from eligibility_etl_airflow_spark.catalog import Catalog
     from eligibility_etl_airflow_spark.operators import neardup, text
 
@@ -128,35 +139,79 @@ def run_corpus_curation_pipeline(
     filtered = docs.filter(
         (text.quality_score(F.col("text")) >= min_quality)
         & (F.col("lang").isin(*langs))
-    )
-    n_filtered = filtered.count()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    exact_kept = None
+    try:
+        n_filtered = filtered.count()  # materializes the one documents scan
 
-    # exact dedup: keep min doc_id per content hash
-    keeper = (
-        filtered.select(
-            "doc_id", text.fingerprint_md5(F.col("text")).alias("content_hash")
+        # exact dedup: keep min doc_id per content hash
+        keeper = (
+            filtered.select(
+                "doc_id", text.fingerprint_md5(F.col("text")).alias("content_hash")
+            )
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
         )
-        .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    exact_kept = filtered.join(keeper, "doc_id", "left_semi")
-    n_exact = exact_kept.count()
+        exact_kept = filtered.join(keeper, "doc_id", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_exact = exact_kept.count()
 
-    # near-dup removal: drop the higher doc_id of each verified pair
-    pairs = neardup.minhash_lsh_pairs(
-        exact_kept, "doc_id", "text", jaccard_threshold=jaccard_threshold
-    )
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    curated = exact_kept.join(losers, "doc_id", "left_anti")
-    n_curated = curated.count()
+        # near-dup removal: drop the higher doc_id of each verified pair
+        pairs = neardup.minhash_lsh_pairs(
+            exact_kept, "doc_id", "text", jaccard_threshold=jaccard_threshold
+        )
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        curated = exact_kept.join(losers, "doc_id", "left_anti")
 
-    sinks.write_clustered(
-        curated, os.path.join(out_dir, "curated_docs"), ["doc_id"]
-    )
+        out_path = os.path.join(out_dir, "curated_docs")
+        sinks.write_clustered(curated, out_path, ["doc_id"])
+        n_curated = spark.read.parquet(out_path).count()
+    finally:
+        filtered.unpersist()
+        if exact_kept is not None:
+            exact_kept.unpersist()
     return {
         "n_total": n_total,
         "n_after_quality_lang": n_filtered,
         "n_after_exact_dedup": n_exact,
         "n_curated": n_curated,
     }
+
+
+def run_multi_business_unit(
+    spark: SparkSession,
+    query_name: str,
+    sources: dict[str, str],
+    out_dir: str | None = None,
+    bu_col: str = "business_unit",
+) -> DataFrame:
+    """One plan × N business units → union with a BU label column.
+
+    The reference's clinics DAG runs the same resubmission query against
+    five separate databases in parallel tasks and concatenates the frames
+    (dags/clinics_resubmission_etl.py:116-123, one task per BU engine).
+    Here the fan-out is ONE Spark job: each source directory contributes
+    an independent subtree (scheduled concurrently by Spark — no
+    orchestrator-level parallelism needed), tagged with a literal BU
+    column and combined with ``unionByName``. At scale each subtree
+    prunes/pushes down independently; the union is a no-shuffle
+    concatenation of the subtrees' outputs.
+
+    ``sources`` maps BU name → source dir (a per-BU JDBC catalog slots in
+    the same way — anything ``registry`` queries accept as ``sf_dir``).
+    When ``out_dir`` is set the union is also written to
+    ``out_dir/<query_name>``; the lazy union is returned either way for
+    further composition.
+    """
+    fn = _query(query_name)
+    parts = [
+        fn(spark, src).withColumn(bu_col, F.lit(bu)) for bu, src in sources.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if out_dir is not None:
+        sinks.write_parquet(out, os.path.join(out_dir, query_name))
+    return out

@@ -68,7 +68,24 @@ def merge_upsert(
 
     If the source carries duplicate keys the LAST occurrence per key wins
     only when an explicit ordering exists — so duplicates are rejected
-    here (callers dedup with an order key first; SURVEY.md §7.8)."""
+    here (callers dedup with an order key first; SURVEY.md §7.8).
+
+    LOCAL-FILESYSTEM ONLY (same contract as ``compact_parquet``): the
+    reader-visible flip is an ``os.rename`` directory swap, which has no
+    meaning on an object store — non-local schemes raise up front instead
+    of failing obscurely at the swap. On object stores, upsert belongs to
+    a transactional table format's ``MERGE INTO`` (Delta/Iceberg), or to
+    a real database via ``merge_upsert_jdbc``."""
+    import urllib.parse
+
+    scheme = urllib.parse.urlparse(target_path).scheme
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"merge_upsert swaps directories via os.rename and only supports "
+            f"local paths; got scheme {scheme!r} — use a transactional table "
+            "format's MERGE INTO (Delta/Iceberg) or merge_upsert_jdbc on "
+            "object stores"
+        )
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError(f"merge_upsert: source has duplicate keys on {keys}")
@@ -328,13 +345,32 @@ def _jdbc_table_exists(conn, table: str) -> bool:
     uppercase, Postgres lowercase, others as-is — JDBC table patterns are
     case-sensitive, so checking only one folding silently misses the
     table on other engines (which would break the idempotency contract
-    of the callers)."""
+    of the callers).
+
+    ``getTables`` treats ``_``/``%`` as LIKE wildcards, so the pattern is
+    escaped with the driver's search-string escape when the driver has
+    one (Derby reports none and rejects escaped patterns), and — the
+    actual correctness guard — every returned TABLE_NAME must equal the
+    candidate exactly, so a wildcard hit like ``tXapp`` for ``t_app`` or
+    a same-named table in another schema can never false-positive."""
     meta = conn.getMetaData()
+    esc = meta.getSearchStringEscape() or ""
+
+    def escape_pattern(name: str) -> str:
+        if not esc:
+            return name  # exact-name verify below rejects wildcard hits
+        return (
+            name.replace(esc, esc + esc)
+            .replace("_", esc + "_")
+            .replace("%", esc + "%")
+        )
+
     for candidate in {table.upper(), table.lower(), table}:
-        rs = meta.getTables(None, None, candidate, None)
+        rs = meta.getTables(None, None, escape_pattern(candidate), None)
         try:
-            if rs.next():
-                return True
+            while rs.next():
+                if rs.getString("TABLE_NAME") == candidate:
+                    return True
         finally:
             rs.close()
     return False

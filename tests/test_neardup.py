@@ -9,6 +9,7 @@ embeddings testdata.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark.catalog import Catalog
@@ -356,3 +357,75 @@ def test_pq_topk_empty_queries_and_heterogeneous_norms(spark):
     expected = {(q * 3, q * 3 + j) for q in range(4) for j in (1, 2)}
     recall = len(got & expected) / len(expected)
     assert recall >= 0.9, f"norm-heterogeneous recall {recall:.2f}"
+
+
+def test_pq_topk_query_collect_is_capped(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # over the cap: a clear error instead of a silent driver OOM
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.pq_topk(e, e, k=2, m=4, codes_k=8, max_queries=10)
+
+    # the documented recipe — chunk the query set, reuse codebooks via
+    # cache_key, union the results — matches the uncapped answer
+    full = similarity.pq_topk(e, e, k=2, m=4, codes_k=8, refine=20,
+                              cache_key="captest")
+    chunks = [
+        similarity.pq_topk(e, e.filter(F.col("vec_id") < 20), k=2, m=4,
+                           codes_k=8, refine=20, max_queries=20,
+                           cache_key="captest"),
+        similarity.pq_topk(e, e.filter(F.col("vec_id") >= 20), k=2, m=4,
+                           codes_k=8, refine=20, max_queries=20,
+                           cache_key="captest"),
+    ]
+    got_full = {(r.query_id, r.corpus_id, r.rank) for r in full.collect()}
+    got_chunks = {
+        (r.query_id, r.corpus_id, r.rank)
+        for ch in chunks
+        for r in ch.collect()
+    }
+    assert got_full == got_chunks
+
+
+def test_minhash_signatures_any_num_perm(spark):
+    """num_perm need not divide by the LSH band count when only
+    signatures are requested — 100 permutations must work."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon eta")],
+        "doc_id long, text string",
+    )
+    sigs = neardup.minhash_signatures(docs, "doc_id", "text", num_perm=100)
+    got = {r.doc_id if hasattr(r, "doc_id") else r.id: r.sig for r in sigs.collect()}
+    assert all(len(s) == 100 for s in got.values())
+
+
+def test_neardup_pair_generators_accept_string_ids(spark):
+    """Doc ids are not always integral (UUIDs, URLs): the Arrow pair
+    stages must mirror the input id type instead of narrowing to long."""
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        ("doc-aaa", base),
+        ("doc-bbb", base + "extra tail"),          # near-dup of doc-aaa
+        ("doc-ccc", "completely different content about spark engines " * 6),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    pairs = neardup.minhash_lsh_pairs(
+        docs, "doc_id", "text", jaccard_threshold=0.5
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("doc-aaa", "doc-bbb")}
+
+    sims = neardup.simhash64(docs, "doc_id", "text")
+    assert set(sims.columns) == {"doc_id", "simhash"}
+    spairs = neardup.simhash_block_pairs(
+        sims.withColumnRenamed("doc_id", "id"), "id", max_hamming=10
+    ).collect()
+    assert ("doc-aaa", "doc-bbb") in {(r.id_a, r.id_b) for r in spairs}
+
+    fps = neardup.winnow_fingerprints(docs, "doc_id", "text")
+    fpairs = neardup.fingerprint_overlap_pairs(fps, min_shared=2).collect()
+    assert ("doc-aaa", "doc-bbb") in {(r.id_a, r.id_b) for r in fpairs}

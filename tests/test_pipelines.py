@@ -90,3 +90,49 @@ def test_corpus_curation_pipeline(spark, sf_dir, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+def test_corpus_curation_caches_the_docs_scan(spark, sf_dir, tmp_path, monkeypatch):
+    """Funnel discipline: by the time the curated write runs, every
+    document-side input in its plan is an InMemoryTableScan over the
+    persisted filtered/exact_kept relations — the quality-regex documents
+    scan ran once, not once per funnel count."""
+    from eligibility_etl_airflow_spark import pipelines as pl
+
+    captured = {}
+    real = pl.sinks.write_clustered
+
+    def spy(df, path, cols, **kw):
+        # snapshot the physical plan while the persists are live
+        captured["plan"] = df._jdf.queryExecution().executedPlan().toString()
+        return real(df, path, cols, **kw)
+
+    monkeypatch.setattr(pl.sinks, "write_clustered", spy)
+    stats = pl.run_corpus_curation_pipeline(spark, sf_dir, str(tmp_path))
+    assert stats["n_curated"] > 0
+    plan = captured["plan"]
+    # exact_kept feeds both the anti-join probe side and (via the LSH
+    # stage's shingles) the losers side — both must hit the cache
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_multi_business_unit_fanout(spark, tmp_path):
+    from eligibility_etl_airflow_spark import pipelines as pl
+    from pyspark.sql import functions as F
+
+    sources = {"bu_small": "/root/testdata/sf0.001", "bu_big": "/root/testdata/sf0.01"}
+    out = pl.run_multi_business_unit(
+        spark, "kpi_scalar_aggs", sources, out_dir=str(tmp_path)
+    )
+    rows = out.collect()
+    assert {r.business_unit for r in rows} == {"bu_small", "bu_big"}
+    assert len(rows) == 2  # one KPI row per BU
+    big = next(r for r in rows if r.business_unit == "bu_big")
+    small = next(r for r in rows if r.business_unit == "bu_small")
+    assert big.n_orders > small.n_orders  # each subtree really read its own source
+    # sink written when out_dir given
+    sunk = spark.read.parquet(str(tmp_path / "kpi_scalar_aggs"))
+    assert sunk.count() == 2
+    # the union is a no-shuffle concatenation of independent subtrees
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan

@@ -194,3 +194,33 @@ def test_append_dedup_jdbc_is_idempotent(spark):
         .load()
     )
     assert sorted(r.k for r in back.collect()) == [1, 2, 3]
+
+
+def test_merge_upsert_rejects_object_store_paths(spark):
+    df = _df(spark, [(1, "a", 1)])
+    with pytest.raises(NotImplementedError, match="MERGE INTO"):
+        sinks.merge_upsert(spark, "s3a://bucket/table", df, ["k"])
+    with pytest.raises(NotImplementedError, match="local paths"):
+        sinks.merge_upsert(spark, "hdfs://nn/table", df, ["k"])
+
+
+def test_jdbc_table_exists_escapes_like_wildcards(spark):
+    """'_' in a table name is a JDBC LIKE wildcard: an unescaped lookup
+    for t_wild would false-positive against tXwild and take the wrong
+    idempotency branch (skip CREATE / wrong MERGE path)."""
+    url = "jdbc:derby:memory:wildcard_test;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        # only the wildcard-collision sibling exists, not t_wild itself
+        st.execute('CREATE TABLE "TXWILD" ("k" INT)')
+        st.close()
+        assert sinks._jdbc_table_exists(conn, "txwild")
+        assert not sinks._jdbc_table_exists(conn, "t_wild")
+        st = conn.createStatement()
+        st.execute('CREATE TABLE "T_WILD" ("k" INT)')
+        st.close()
+        assert sinks._jdbc_table_exists(conn, "t_wild")
+    finally:
+        conn.close()
