@@ -152,6 +152,25 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("percentile_stats_approx")
+def percentile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``percentile_stats``: ``approx_percentile``
+    (KLL-family sketch — bounded-memory, partial-aggregatable, one
+    shuffle of constant-size sketches instead of a full sort buffer per
+    group). Registered rows-only because the sketch result is
+    rank-error-bounded, not value-exact; tests/test_extras.py pins the
+    error bound against the exact query. ``accuracy=10000`` bounds rank
+    error at 1/accuracy = 0.01% of rows per group."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).alias("p95"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Pure-SQL surface: ONE ANSI string runs on both engines
 # --------------------------------------------------------------------------

@@ -75,3 +75,22 @@ def test_stratified_sample_rates(spark, sf_dir):
         expect = frac * n
         sd = (n * frac * (1 - frac)) ** 0.5
         assert abs(got.get(lang, 0) - expect) <= 4 * sd + 1, (lang, got.get(lang), expect)
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The sketch twin must agree with the exact percentiles within the
+    accuracy bound. At accuracy=10000 the rank error on sf0.001 groups
+    (~tens of thousands of rows) is well under one rank — assert a tight
+    relative band on the returned values plus exact min/max/avg."""
+    exact = {r.l_returnflag: r for r in
+             registry.QUERIES["percentile_stats"](spark, sf_dir).collect()}
+    approx = {r.l_returnflag: r for r in
+              registry.QUERIES["percentile_stats_approx"](spark, sf_dir).collect()}
+    assert set(exact) == set(approx) and exact
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a.min_price == e.min_price and a.max_price == e.max_price
+        assert a.avg_price == e.avg_price
+        for col in ("p50", "p95"):
+            rel = abs(getattr(a, col) - getattr(e, col)) / max(abs(getattr(e, col)), 1e-9)
+            assert rel < 0.01, f"{flag}.{col}: rel err {rel:.5f}"

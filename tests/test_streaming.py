@@ -157,3 +157,15 @@ def test_kafka_options_plumbing():
         "failOnDataLoss": "true",
         "maxOffsetsPerTrigger": "100000",
     }
+
+
+def test_stream_from_kafka_gates_without_connector(spark):
+    """No Kafka jar in this environment: the gate must raise with setup
+    instructions BEFORE any stream is constructed, and the availability
+    probe must report False (Excel-shim discipline)."""
+    if ops.kafka_connector_available(spark):  # pragma: no cover - jar present
+        pytest.skip("kafka connector on classpath; gate inactive")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        ops.stream_from_kafka(
+            spark, "broker:9092", "events", "event_id long, value double"
+        )
