@@ -449,6 +449,70 @@ def merge_upsert_jdbc(
         conn.close()
 
 
+def build_merge_into_sql(
+    target_table: str,
+    columns: list[str],
+    keys: list[str],
+    source_view: str,
+) -> str:
+    """Spark-SQL ``MERGE INTO`` statement for a transactional catalog
+    table: matched rows take the source version, unmatched insert — the
+    same semantics as ``merge_upsert``/``merge_upsert_jdbc``. Pure
+    builder so the statement shape is unit-testable without a
+    transactional catalog installed. Identifiers are backtick-quoted
+    (Spark dialect, vs the double-quote JDBC path)."""
+    q = lambda c: f"`{c}`"  # noqa: E731
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    non_keys = [c for c in columns if c not in keys]
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET "
+        + ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_keys)
+        + " "
+        if non_keys
+        else ""
+    )
+    insert_cols = ", ".join(q(c) for c in columns)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in columns)
+    return (
+        f"MERGE INTO {target_table} t USING {source_view} s ON ({on}) "
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+
+
+def merge_upsert_table(
+    spark: SparkSession,
+    target_table: str,
+    source: DataFrame,
+    keys: list[str],
+) -> None:
+    """S7 against a transactional catalog table (Delta Lake, Iceberg, or
+    any Spark v2 catalog with row-level-operation support): ONE set-based
+    ``MERGE INTO`` executed by the table's own catalog — the object-store
+    upsert path that ``merge_upsert``'s local directory swap explicitly
+    refuses. At 100 TB this is the production shape: the format rewrites
+    only the touched files/manifests transactionally, readers never see a
+    half-merged table, and the shuffle is the MERGE join on the keys.
+
+    This environment ships no transactional catalog, so the statement
+    builder carries the unit coverage and this executor surfaces Spark's
+    own unsupported-table error unchanged when pointed at a v1 table
+    (the seam is the point: with Delta/Iceberg configured on the session
+    the same call is production-ready)."""
+    for k in keys:
+        if k not in source.columns:
+            raise ValueError(f"merge key {k!r} not in source columns {source.columns}")
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"merge_upsert_table: source has duplicate keys on {keys}")
+    view = f"__merge_src_{uuid.uuid4().hex[:8]}"
+    source.createOrReplaceTempView(view)
+    try:
+        spark.sql(build_merge_into_sql(target_table, source.columns, keys, view))
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def append_dedup_jdbc(
     spark: SparkSession,
     url: str,

@@ -224,3 +224,34 @@ def test_jdbc_table_exists_escapes_like_wildcards(spark):
         assert sinks._jdbc_table_exists(conn, "t_wild")
     finally:
         conn.close()
+
+
+def test_build_merge_into_sql_shape():
+    sql = sinks.build_merge_into_sql("cat.db.target", ["k", "v", "ts"], ["k"], "src")
+    assert sql == (
+        "MERGE INTO cat.db.target t USING src s ON (t.`k` = s.`k`) "
+        "WHEN MATCHED THEN UPDATE SET t.`v` = s.`v`, t.`ts` = s.`ts` "
+        "WHEN NOT MATCHED THEN INSERT (`k`, `v`, `ts`) VALUES (s.`k`, s.`v`, s.`ts`)"
+    )
+    # keys-only table: no UPDATE clause at all
+    keys_only = sinks.build_merge_into_sql("t2", ["a", "b"], ["a", "b"], "src")
+    assert "WHEN MATCHED" not in keys_only
+    assert "ON (t.`a` = s.`a` AND t.`b` = s.`b`)" in keys_only
+
+
+def test_merge_upsert_table_guards_and_gate(spark, tmp_path):
+    df = _df(spark, [(1, "a", 1)])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sinks.merge_upsert_table(
+            spark, "any_t", _df(spark, [(1, "x", 1), (1, "y", 2)]), ["k"]
+        )
+    with pytest.raises(ValueError, match="not in source columns"):
+        sinks.merge_upsert_table(spark, "any_t", df, ["nope"])
+    # v1 (non-transactional) table: Spark's own unsupported error surfaces
+    df.write.mode("overwrite").saveAsTable("merge_seam_v1")
+    try:
+        with pytest.raises(Exception) as ei:
+            sinks.merge_upsert_table(spark, "merge_seam_v1", df, ["k"])
+        assert "MERGE" in str(ei.value).upper()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS merge_seam_v1")
