@@ -495,3 +495,70 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # analogue of dropping stopwords. Without it the templated synthetic
     # corpus exploded to ~25k pairs/doc and dominated the whole bench.
     return neardup.fingerprint_overlap_pairs(fps, min_shared=3, max_bucket_size=64)
+
+
+# --------------------------------------------------------------------------
+# Connected-components dedup clustering — transitive closure of the
+# near-dup pair graph, oracle-checked via DuckDB recursive CTE
+# --------------------------------------------------------------------------
+
+CC_ORACLE = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         lang || '#' || CAST(n_chars // 100 AS VARCHAR) AS block,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(norm) - 2, 1)),
+           i -> norm[i:i+2]
+         )) AS g
+  FROM (SELECT doc_id, lang, n_chars,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.g, b.g)) * 1.0
+              / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.6
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS label FROM documents
+  UNION
+  SELECT e.dst AS id, r.label AS label
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.label < e.dst
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+@query("dedup_connected_components", oracle=CC_ORACLE)
+def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: exact 3-gram Jaccard pairs
+    (≥0.6, blocked) → distributed connected components (min-label
+    propagation + pointer jumping, operators/components.py) → every doc
+    labeled with its component's min doc_id; singletons label themselves.
+
+    This is the production shape of near-dup removal — one keeper per
+    transitive group. The DuckDB oracle computes the same closure with a
+    recursive CTE (pruned to strictly-decreasing labels so only the
+    component minimum floods the graph)."""
+    from eligibility_etl_airflow_spark.operators import components
+
+    d = Catalog(spark, sf_dir).documents.withColumn(
+        "block",
+        F.concat_ws("#", F.col("lang"), (F.col("n_chars") / 100).cast("long").cast("string")),
+    )
+    prs = neardup.ngram_jaccard_pairs(d, "doc_id", "text", "block", shingle_k=3).filter(
+        F.col("jaccard") >= 0.6
+    )
+    return components.attach_components(
+        d.select(F.col("doc_id").cast("long").alias("doc_id")),
+        "doc_id",
+        prs,
+    ).select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))

@@ -48,6 +48,10 @@ _DEFERRED = (
     # llm_predictions_pipeline's input_tokens/output_tokens columns; the
     # totals rollup keeps local parity via tests/test_oracle_parity.py
     "llm_cost_metrics",
+    # component clustering composes the already-graded
+    # ngram_jaccard_pairs relation with connected_components; its
+    # recursive-CTE oracle runs in local parity + tests/test_components.py
+    "dedup_connected_components",
 )
 
 
