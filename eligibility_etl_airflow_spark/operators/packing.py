@@ -1,0 +1,132 @@
+"""Sequence packing — group variable-length documents into fixed token
+budgets (the "pack to context length" step of an LLM training-data
+pipeline; maximizes tokens-per-batch so padding waste is bounded).
+
+Distributed shape: documents are hash-sharded into a bounded number of
+deterministic groups (one shuffle), then each shard runs best-fit-
+decreasing bin packing inside one Arrow-batched ``applyInPandas`` call.
+Per-shard state is the open-bin remainder list — O(bins-in-shard), never
+corpus-proportional — and nothing reaches the driver. The price of
+sharding is that each shard leaves its own partially-filled final bins
+(≤ one underfull bin per shard in the common case); that waste is
+amortized by ``shard_rows`` and is the standard trade for running the
+inherently-sequential packing heuristic in parallel at 100 TB.
+
+Determinism: the shard key is a hash of the id column, and items are
+packed in (tokens desc, id asc) order — same input, same packs, on any
+cluster layout. No Spark partitioning leaks into the result.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 64,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Assign every row to a pack whose token sum is ≤ ``budget``.
+
+    Returns ``(id_col, token_col, pack_col, oversize)``; ``pack_col`` is
+    a string ``"<shard>:<bin>"``. Rows with ``token_col > budget`` can
+    never fit and get a singleton pack with ``oversize = true`` (callers
+    decide whether to truncate or drop them — packing must not silently
+    mutate content).
+
+    Best-fit-decreasing: items sorted by descending size, each placed in
+    the open bin with the SMALLEST sufficient remainder (binary search
+    over a sorted remainder list). Within a shard this is the classic
+    ≤ 11/9·OPT + 1 guarantee; across shards add ≤ 1 underfull bin each.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        f"{token_col} long, {pack_col} string, oversize boolean"
+    )
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["__shard"].iloc[0])
+        # deterministic order: big items first, id breaks ties
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        tokens = pdf[token_col].to_numpy()
+        n = len(pdf)
+        assign = [0] * n
+        oversize = [False] * n
+        remainders: list[int] = []  # sorted remaining capacity of open bins
+        bin_of_rem: list[int] = []  # bin index aligned with remainders
+        next_bin = 0
+        for i in range(n):
+            t = int(tokens[i])
+            if t > budget:
+                assign[i] = next_bin
+                oversize[i] = True
+                next_bin += 1
+                continue
+            j = bisect_left(remainders, t)
+            if j < len(remainders):
+                rem = remainders.pop(j)
+                b = bin_of_rem.pop(j)
+            else:
+                rem = budget
+                b = next_bin
+                next_bin += 1
+            rem -= t
+            assign[i] = b
+            k = bisect_left(remainders, rem)
+            remainders.insert(k, rem)
+            bin_of_rem.insert(k, b)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                token_col: tokens.astype("int64"),
+                pack_col: [f"{shard}:{b}" for b in assign],
+                "oversize": oversize,
+            }
+        )
+
+    sharded = df.select(
+        id_col,
+        F.col(token_col).cast("long").alias(token_col),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))).alias("__shard"),
+    )
+    return sharded.groupBy("__shard").applyInPandas(pack_shard, schema=out_schema)
+
+
+def pack_stats(packed: DataFrame, token_col: str, pack_col: str, budget: int) -> DataFrame:
+    """Per-corpus packing quality: pack count, token utilization, waste.
+    One aggregate pass over the packed relation."""
+    per_pack = packed.groupBy(pack_col).agg(
+        F.sum(token_col).alias("pack_tokens"),
+        F.max(F.col("oversize").cast("int")).alias("is_oversize"),
+    )
+    return per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("is_oversize").cast("long").alias("n_oversize_packs"),
+        F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(
+                F.when(F.col("is_oversize") == 0, F.col("pack_tokens")).otherwise(0)
+            )
+            / (
+                F.sum(F.when(F.col("is_oversize") == 0, 1).otherwise(0))
+                * F.lit(float(budget))
+            ),
+            4,
+        ).alias("utilization"),
+    )

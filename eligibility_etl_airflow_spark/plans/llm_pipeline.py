@@ -562,3 +562,40 @@ def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         prs,
     ).select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
+# Sequence packing + domain-mix resampling — training-batch construction
+# --------------------------------------------------------------------------
+
+
+@query("sequence_packing")
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 512-token training batches (best-fit-
+    decreasing inside hash shards, operators/packing.py). Rows-only:
+    bin packing has no SQL closed form; the invariants (every doc packed
+    once, per-pack sum ≤ budget, utilization floor, determinism) are
+    asserted in tests/test_packing.py."""
+    from eligibility_etl_airflow_spark.operators import packing, text
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", text.token_count_bpe(F.col("text")).alias("n_tokens")
+    )
+    return packing.pack_sequences(d, "doc_id", "n_tokens", budget=512, n_shards=16)
+
+
+@query("domain_mix_resample")
+def domain_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to a target language mix (operators/
+    sampling.py): count per stratum, derive per-stratum Bernoulli
+    fractions for the largest feasible corpus at the requested shares,
+    seeded sampleBy. Rows-only: membership is Spark-seed-specific; the
+    proportion/feasibility/determinism invariants live in
+    tests/test_packing.py."""
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    d = Catalog(spark, sf_dir).documents
+    mix = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
+    return sampling.resample_to_mix(d, "lang", mix, seed=7).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -1,0 +1,117 @@
+"""Invariant tests for sequence packing and domain-mix resampling (the
+rows-only training-batch construction operators)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.catalog import Catalog
+from eligibility_etl_airflow_spark.operators import packing, sampling, text
+
+
+def _tokenized_docs(spark, sf_dir):
+    return Catalog(spark, sf_dir).documents.select(
+        "doc_id", text.token_count_bpe(F.col("text")).alias("n_tokens")
+    )
+
+
+def test_pack_every_doc_once_and_budget_respected(spark, sf_dir):
+    d = _tokenized_docs(spark, sf_dir)
+    budget = 512
+    packed = packing.pack_sequences(d, "doc_id", "n_tokens", budget, n_shards=8)
+    rows = packed.collect()
+    # every doc assigned exactly once
+    assert len(rows) == d.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    # per-pack token sum ≤ budget unless the pack is a flagged oversize
+    # singleton
+    by_pack: dict[str, list] = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for members in by_pack.values():
+        if any(m.oversize for m in members):
+            assert len(members) == 1
+            assert members[0].n_tokens > budget
+        else:
+            assert sum(m.n_tokens for m in members) <= budget
+
+
+def test_pack_count_near_lower_bound(spark, sf_dir):
+    d = _tokenized_docs(spark, sf_dir)
+    budget = 512
+    n_shards = 8
+    packed = packing.pack_sequences(d, "doc_id", "n_tokens", budget, n_shards=n_shards)
+    agg = packed.filter(~F.col("oversize")).agg(
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum("n_tokens").alias("total"),
+    ).collect()[0]
+    lower = math.ceil(agg.total / budget)
+    # FFD/BFD guarantee (11/9·OPT + 1) per shard, plus ≤1 trailing
+    # underfull bin per shard
+    assert agg.n_packs <= math.ceil(lower * 11 / 9) + n_shards
+
+
+def test_pack_deterministic(spark, sf_dir):
+    d = _tokenized_docs(spark, sf_dir)
+    a = packing.pack_sequences(d, "doc_id", "n_tokens", 512, n_shards=8)
+    b = packing.pack_sequences(d.repartition(13), "doc_id", "n_tokens", 512, n_shards=8)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_pack_oversize_and_validation(spark):
+    d = spark.createDataFrame(
+        [(1, 10), (2, 700), (3, 20)], "doc_id long, n_tokens long"
+    )
+    rows = packing.pack_sequences(d, "doc_id", "n_tokens", 100, n_shards=2).collect()
+    over = [r for r in rows if r.oversize]
+    assert [r.doc_id for r in over] == [2]
+    with pytest.raises(ValueError):
+        packing.pack_sequences(d, "doc_id", "n_tokens", 0)
+
+
+def test_pack_stats_shape(spark):
+    d = spark.createDataFrame(
+        [(i, 40) for i in range(10)] + [(99, 700)], "doc_id long, n_tokens long"
+    )
+    packed = packing.pack_sequences(d, "doc_id", "n_tokens", 100, n_shards=1)
+    s = packing.pack_stats(packed, "n_tokens", "pack_id", 100).collect()[0]
+    assert s.n_oversize_packs == 1
+    assert s.total_tokens == 10 * 40 + 700
+    # 10 docs of 40 into budget-100 bins → 5 full bins, utilization 0.8
+    assert s.utilization == pytest.approx(0.8, abs=0.01)
+
+
+def test_resample_mix_proportions(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents
+    mix = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
+    out = sampling.resample_to_mix(d, "lang", mix, seed=7)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= set(mix)  # whitelist semantics
+    total = sum(counts.values())
+    assert total > 0
+    for lang, share in mix.items():
+        # Bernoulli noise at sf0.001 corpus sizes: generous tolerance
+        assert counts.get(lang, 0) / total == pytest.approx(share, abs=0.15)
+
+
+def test_resample_deterministic_and_validated(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents
+    mix = {"en": 0.6, "de": 0.4}
+    a = sampling.resample_to_mix(d, "lang", mix, seed=7).collect()
+    b = sampling.resample_to_mix(d, "lang", mix, seed=7).collect()
+    assert {r.doc_id for r in a} == {r.doc_id for r in b}
+    with pytest.raises(ValueError):
+        sampling.resample_to_mix(d, "lang", {"en": 0.5}, seed=7)  # shares != 1
+    with pytest.raises(ValueError):
+        sampling.resample_to_mix(d, "lang", {"en": 0.5, "klingon": 0.5}, seed=7)
+
+
+def test_resample_total_rows_cap(spark, sf_dir):
+    d = Catalog(spark, sf_dir).documents
+    mix = {"en": 0.5, "de": 0.5}
+    capped = sampling.resample_to_mix(d, "lang", mix, total_rows=40, seed=7)
+    # Bernoulli: expected 40 rows, allow wide slack
+    assert capped.count() <= 80
