@@ -133,6 +133,64 @@ def connected_components(
     )
 
 
+def connected_components_blocked(
+    pairs: DataFrame,
+    block_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Connected components when every edge carries a blocking key and
+    components are CONFINED to blocks by construction — true for any
+    blocked pair generator (``ngram_jaccard_pairs`` emits pairs only
+    within a lang×length block, so transitive closure cannot cross
+    blocks either).
+
+    This collapses the iterative O(log d)-round algorithm to ONE shuffle
+    (groupBy block) + a per-block union-find inside an Arrow batch:
+    linear work, per-task state bounded by the block's node count —
+    which the blocking design already bounds (that is what blocking is
+    for). At 100 TB this is strictly better than the iterative operator
+    whenever the precondition holds; use ``connected_components`` for
+    unblocked graphs (e.g. MinHash-LSH pairs, whose buckets overlap
+    arbitrarily).
+
+    Returns ``(id, <cluster_col>)`` for nodes appearing in ``pairs``,
+    cluster id = component min, identical to ``connected_components``.
+    """
+    import pandas as pd
+
+    id_type = pairs.schema[src].dataType.simpleString()
+    out_schema = f"id {id_type}, {cluster_col} {id_type}"
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf[src], pdf[dst]):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # union by min keeps the min as root
+        nodes = list(parent)
+        return pd.DataFrame({"id": nodes, cluster_col: [find(v) for v in nodes]})
+
+    return (
+        pairs.select(block_col, src, dst)
+        .groupBy(block_col)
+        .applyInPandas(uf, schema=out_schema)
+    )
+
+
 def attach_components(
     df: DataFrame,
     id_col: str,
@@ -141,12 +199,20 @@ def attach_components(
     dst: str = "id_b",
     cluster_col: str = "cluster_id",
     max_iter: int = 25,
+    block_col: str | None = None,
 ) -> DataFrame:
     """``df`` + a ``cluster_col`` column: component min-id for nodes in
-    the pair graph, the node's own id for singletons."""
-    comp = connected_components(
-        pairs, src=src, dst=dst, max_iter=max_iter, cluster_col="__cc"
-    ).withColumnRenamed("id", id_col)
+    the pair graph, the node's own id for singletons. Pass ``block_col``
+    when the pairs are block-confined to take the single-shuffle
+    union-find path instead of the iterative one."""
+    if block_col is not None:
+        comp = connected_components_blocked(
+            pairs, block_col, src=src, dst=dst, cluster_col="__cc"
+        ).withColumnRenamed("id", id_col)
+    else:
+        comp = connected_components(
+            pairs, src=src, dst=dst, max_iter=max_iter, cluster_col="__cc"
+        ).withColumnRenamed("id", id_col)
     return (
         df.join(comp, id_col, "left")
         .withColumn(cluster_col, F.coalesce(F.col("__cc"), F.col(id_col)))
@@ -162,6 +228,7 @@ def dedup_by_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Keep ONE row per connected component of the near-dup graph —
     the production shape of near-dup removal (the reference's
@@ -175,7 +242,14 @@ def dedup_by_components(
     from pyspark.sql import Window
 
     labeled = attach_components(
-        df, id_col, pairs, src=src, dst=dst, cluster_col="__cluster", max_iter=max_iter
+        df,
+        id_col,
+        pairs,
+        src=src,
+        dst=dst,
+        cluster_col="__cluster",
+        max_iter=max_iter,
+        block_col=block_col,
     )
     ordering = (order_by or []) + [F.col(id_col).asc()]
     w = Window.partitionBy("__cluster").orderBy(*ordering)

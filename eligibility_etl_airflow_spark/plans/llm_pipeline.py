@@ -545,9 +545,13 @@ def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled with its component's min doc_id; singletons label themselves.
 
     This is the production shape of near-dup removal — one keeper per
-    transitive group. The DuckDB oracle computes the same closure with a
-    recursive CTE (pruned to strictly-decreasing labels so only the
-    component minimum floods the graph)."""
+    transitive group. Because the pairs are block-confined by
+    construction, the closure runs on the single-shuffle per-block
+    union-find tier (components.connected_components_blocked); the
+    iterative O(log diameter) tier handles unblocked graphs and is
+    equivalence-tested against this one. The DuckDB oracle computes the
+    same closure with a recursive CTE (pruned to strictly-decreasing
+    labels so only the component minimum floods the graph)."""
     from eligibility_etl_airflow_spark.operators import components
 
     d = Catalog(spark, sf_dir).documents.withColumn(
@@ -561,6 +565,7 @@ def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("doc_id").cast("long").alias("doc_id")),
         "doc_id",
         prs,
+        block_col="block",
     ).select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
 
 

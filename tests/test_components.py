@@ -113,3 +113,28 @@ def test_dedup_by_components_keeps_best_per_group(spark):
     # one keeper for the {1,2,3} component (highest quality = doc 2),
     # singleton 9 survives untouched
     assert rows == {2, 9}
+
+
+def test_blocked_matches_iterative(spark):
+    # block-confined edges: the single-shuffle union-find tier must agree
+    # with the general iterative tier exactly
+    rows = [
+        ("b1", 1, 2), ("b1", 2, 3), ("b1", 5, 6),
+        ("b2", 10, 11), ("b2", 11, 12), ("b2", 12, 10),
+    ]
+    pairs = spark.createDataFrame(rows, "block string, id_a long, id_b long")
+    iterative = _labels(components.connected_components(pairs))
+    blocked = _labels(
+        components.connected_components_blocked(pairs, "block")
+    )
+    assert blocked == iterative
+    assert blocked == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
+
+
+def test_blocked_string_ids_and_dups(spark):
+    pairs = spark.createDataFrame(
+        [("b", "y", "x"), ("b", "x", "y"), ("b", "x", "x")],
+        "block string, id_a string, id_b string",
+    )
+    got = _labels(components.connected_components_blocked(pairs, "block"))
+    assert got == {"x": "x", "y": "x"}
