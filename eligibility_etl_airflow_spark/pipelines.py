@@ -106,6 +106,7 @@ def run_corpus_curation_pipeline(
     min_quality: float = 0.5,
     langs: tuple[str, ...] = ("en", "de", "es", "fr"),
     jaccard_threshold: float = 0.8,
+    neardup_removal: str = "component",
 ) -> dict:
     """The LLM-training-data lifecycle the beyond-reference operators
     exist for, composed end to end: quality filter → language mix →
@@ -115,10 +116,16 @@ def run_corpus_curation_pipeline(
 
     Scale shape: one documents scan feeds the quality/lang filter; exact
     dedup is one hash aggregate; near-dup pairs come from the bucketed
-    LSH path (never corpus²) and removal is one anti-join keeping each
-    pair's lower doc_id; the curated output writes range-clustered by
-    doc_id so downstream range reads prune files. Stats are aggregate
-    counts only — nothing data-proportional reaches the driver.
+    LSH path (never corpus²); removal keeps ONE doc per transitive
+    near-dup group (``neardup_removal="component"``: connected
+    components over the pair graph, then the component's min doc_id —
+    the production semantics; a chain a~b, b~c keeps only a). Pass
+    ``neardup_removal="pair"`` for the cheaper per-pair anti-join that
+    keeps every locally-minimal doc instead (one job, no iteration —
+    but a chain keeps both endpoints' minima). The curated output
+    writes range-clustered by doc_id so downstream range reads prune
+    files. Stats are aggregate counts only — nothing data-proportional
+    reaches the driver.
 
     Funnel-count discipline: ``filtered`` and ``exact_kept`` are
     persisted before their counts, so the documents scan (and its
@@ -158,11 +165,27 @@ def run_corpus_curation_pipeline(
         )
         n_exact = exact_kept.count()
 
-        # near-dup removal: drop the higher doc_id of each verified pair
         pairs = neardup.minhash_lsh_pairs(
             exact_kept, "doc_id", "text", jaccard_threshold=jaccard_threshold
         )
-        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        if neardup_removal == "component":
+            # one keeper per transitive near-dup group (LSH pairs are
+            # unblocked, so this takes the iterative components tier)
+            from eligibility_etl_airflow_spark.operators import components
+
+            labeled = components.connected_components(
+                pairs, cluster_col="cluster_id"
+            )
+            losers = labeled.filter(F.col("id") != F.col("cluster_id")).select(
+                F.col("id").alias("doc_id")
+            )
+        elif neardup_removal == "pair":
+            # drop the higher doc_id of each verified pair
+            losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        else:
+            raise ValueError(
+                f"neardup_removal must be 'component' or 'pair', got {neardup_removal!r}"
+            )
         curated = exact_kept.join(losers, "doc_id", "left_anti")
 
         out_path = os.path.join(out_dir, "curated_docs")

@@ -108,12 +108,52 @@ def test_corpus_curation_caches_the_docs_scan(spark, sf_dir, tmp_path, monkeypat
         return real(df, path, cols, **kw)
 
     monkeypatch.setattr(pl.sinks, "write_clustered", spy)
-    stats = pl.run_corpus_curation_pipeline(spark, sf_dir, str(tmp_path))
+    # pair removal keeps the losers subtree inside the cached lineage
+    # (component removal routes losers through the components
+    # checkpoint, which truncates the plan by design)
+    stats = pl.run_corpus_curation_pipeline(
+        spark, sf_dir, str(tmp_path), neardup_removal="pair"
+    )
     assert stats["n_curated"] > 0
     plan = captured["plan"]
     # exact_kept feeds both the anti-join probe side and (via the LSH
     # stage's shingles) the losers side — both must hit the cache
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_corpus_curation_component_removal(spark, sf_dir, tmp_path):
+    """Component removal keeps exactly the per-component minima — a
+    subset of pair removal's local minima (never more docs), and the
+    curated corpus contains no surviving near-dup pair."""
+    from eligibility_etl_airflow_spark import pipelines as pl
+
+    comp_stats = pl.run_corpus_curation_pipeline(
+        spark, sf_dir, str(tmp_path / "comp"), neardup_removal="component"
+    )
+    pair_stats = pl.run_corpus_curation_pipeline(
+        spark, sf_dir, str(tmp_path / "pair"), neardup_removal="pair"
+    )
+    assert 0 < comp_stats["n_curated"] <= pair_stats["n_curated"]
+    comp_ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "comp" / "curated_docs"))
+        .select("doc_id")
+        .collect()
+    }
+    pair_ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "pair" / "curated_docs"))
+        .select("doc_id")
+        .collect()
+    }
+    assert comp_ids <= pair_ids
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pl.run_corpus_curation_pipeline(
+            spark, sf_dir, str(tmp_path / "bad"), neardup_removal="nope"
+        )
 
 
 def test_multi_business_unit_fanout(spark, tmp_path):
