@@ -365,3 +365,94 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("long").alias("exact_customers"),
         F.approx_count_distinct("o_custkey", rsd=0.02).cast("long").alias("approx_customers"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD type-2 history + CDC snapshot diff (operators/history.py)
+# --------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       (LEAD(ts) OVER w2) IS NULL AS is_current
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("scd2_user_status", oracle=SCD2_ORACLE)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history of each user's event_type status built
+    from the events change log (operators/history.py): consecutive
+    unchanged rows compacted, valid_from/valid_to intervals closed by
+    the next version, open interval = current. One shuffle on user_id;
+    lag-compare and lead-close share the window sort."""
+    from eligibility_etl_airflow_spark.operators import history
+
+    e = Catalog(spark, sf_dir).events.select("user_id", "ts", "event_id", "event_type")
+    return history.scd2_from_changelog(
+        e, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  -- +1000.0 is exact in binary double: both engines produce identical
+  -- bits, unlike *1.1 + round(_, 2), whose half-way ties Spark rounds on
+  -- the double's SHORTEST DECIMAL repr (BigDecimal.valueOf -> "x.035" ->
+  -- HALF_UP -> .04) while DuckDB rounds the exact binary value
+  -- (.03499... -> .03)
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+            WHEN new.o_orderkey IS NULL THEN 'delete'
+            WHEN old.o_totalprice <> new.o_totalprice THEN 'update'
+       END AS change_type,
+       old.o_totalprice AS old_o_totalprice,
+       new.o_totalprice AS new_o_totalprice
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+           WHEN new.o_orderkey IS NULL THEN 'delete'
+           WHEN old.o_totalprice <> new.o_totalprice THEN 'update'
+      END IS NOT NULL
+"""
+
+
+@query("snapshot_diff_cdc", oracle=SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changeset between two deterministic snapshots of orders
+    (operators/history.py): rows present only in the new snapshot are
+    inserts, only in the old are deletes, shared keys with a null-safe
+    value difference are updates; unchanged keys drop out. One
+    full-outer shuffle join on the key."""
+    from eligibility_etl_airflow_spark.operators import history
+
+    o = Catalog(spark, sf_dir).orders
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select("o_orderkey", "o_totalprice")
+    new = (
+        o.filter(F.col("o_orderkey") % 5 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1000.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return history.snapshot_diff(old, new, ["o_orderkey"])
