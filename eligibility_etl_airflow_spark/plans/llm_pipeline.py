@@ -331,19 +331,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column pipeline: synthesize payload bytes from text (the
-    testdata has no real media), attach no-decode metadata (magic sniff,
-    md5, size), then Arrow-batched feature extraction through the decoder
-    seam (deterministic fake decoder — real decoders plug into the same
-    signature; see operators/multimodal.py)."""
+    """Binary-column pipeline with REAL media decode: synthesize a
+    deterministic WAV (doc_id-keyed sine, stdlib wave encoder) or BMP
+    (doc_id-keyed solid color, struct encoder) payload per document —
+    the testdata has no media; the synthesis stage is the test vehicle,
+    like the FHIR construct half — attach no-decode metadata (magic
+    sniff, md5, size), then Arrow-batched feature extraction through
+    the decoder seam using real_media_decoder, which PARSES the RIFF/
+    BMP containers and computes signal/pixel statistics (RMS, ZCR,
+    channel means). Only compressed codecs remain import-gated."""
+    import numpy as np
+    import pandas as pd
+
     from eligibility_etl_airflow_spark.operators import multimodal
 
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    freq = 200.0 + (did % 8) * 100.0
+                    t = np.arange(800) / 8000.0
+                    payloads.append(
+                        multimodal.encode_wav_pcm16(
+                            0.5 * np.sin(2 * np.pi * freq * t), 8000
+                        )
+                    )
+                else:
+                    rgb = [(did * 37) % 256, (did * 59) % 256, (did * 83) % 256]
+                    payloads.append(
+                        multimodal.encode_bmp_rgb24(
+                            np.full((4, 4, 3), rgb, dtype=np.uint8)
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
     d = Catalog(spark, sf_dir).documents
-    with_bin = d.select(
-        "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-    ).withColumn("meta", multimodal.binary_metadata(F.col("payload")))
-    feats = multimodal.decode_features(with_bin, "payload", "doc_id")
+    with_bin = (
+        d.select("doc_id")
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+        .withColumn("meta", multimodal.binary_metadata(F.col("payload")))
+    )
+    feats = multimodal.decode_features(
+        with_bin, "payload", "doc_id", decoder=multimodal.real_media_decoder
+    )
     return (
         with_bin.select("doc_id", "meta.n_bytes", "meta.format", "meta.content_md5")
         .join(feats, "doc_id")
@@ -352,7 +384,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bytes").cast("long").alias("n_bytes"),
             "format",
             "content_md5",
-            F.round(F.element_at("features", 9), 6).alias("mean_byte"),
+            F.element_at("features", 1).cast("long").alias("kind"),
+            F.round(F.element_at("features", 6), 6).alias("rms_or_mean_g"),
             F.size("features").cast("long").alias("feature_dim"),
         )
     )
