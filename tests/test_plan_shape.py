@@ -114,3 +114,48 @@ def test_embedding_neardup_reuses_cached_buckets(spark, sf_dir):
     pairs = similarity.embedding_neardup_pairs(e, cosine_threshold=0.8, dim=64)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_blocked_components_single_shuffle(spark):
+    """The blocked union-find tier must be exactly one Exchange (the
+    groupBy(block) shuffle) — its whole point vs the iterative tier."""
+    from eligibility_etl_airflow_spark.operators import components
+
+    pairs = spark.createDataFrame(
+        [("b1", 1, 2), ("b2", 3, 4)], "block string, id_a long, id_b long"
+    )
+    plan = (
+        components.connected_components_blocked(pairs, "block")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_packing_single_shuffle(spark):
+    from eligibility_etl_airflow_spark.operators import packing
+
+    df = spark.createDataFrame([(i, 10) for i in range(20)], "doc_id long, n_tokens long")
+    plan = (
+        packing.pack_sequences(df, "doc_id", "n_tokens", 100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scd2_single_shuffle_shared_window_sort(spark, sf_dir):
+    """Both windows (lag-compare, lead-close) partition on the same key
+    with the same ordering — one Exchange, no re-sort between them."""
+    plan = _plan(spark, sf_dir, "scd2_user_status")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_snapshot_diff_is_one_outer_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "snapshot_diff_cdc")
+    assert "FullOuter" in plan
+    # no driver-side or nested-loop fallback
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
