@@ -456,3 +456,59 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return history.snapshot_diff(old, new, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (operators/incremental.py)
+# --------------------------------------------------------------------------
+
+INCREMENTAL_ROLLUP_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(o_totalprice) AS BIGINT) AS count_o_totalprice,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_o_totalprice,
+       min(o_totalprice) AS min_o_totalprice,
+       max(o_totalprice) AS max_o_totalprice,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(o_totalprice), 6) AS avg_o_totalprice
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("incremental_rollup", oracle=INCREMENTAL_ROLLUP_ORACLE)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-priority rollup proven equal to the
+    batch aggregate: state built from orders before 1996-01-01, the rest
+    ingested as a delta through partial-agg + merge
+    (operators/incremental.py), averages derived at read time. The
+    oracle is the PLAIN one-shot GROUP BY over all orders — the whole
+    point is that maintained state is indistinguishable from recompute.
+    Money sums ride DECIMAL(18,2) so merge order cannot drift the total
+    (float addition is non-associative; the incremental merge adds in a
+    different order than a one-shot aggregate)."""
+    from eligibility_etl_airflow_spark.operators import incremental
+
+    measures = {"o_totalprice": ("count", "sum", "min", "max")}
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    split = F.lit("1996-01-01").cast("date")
+    state = incremental.aggregate_state(
+        o.filter(F.col("o_orderdate") < split), ["o_orderpriority"], measures
+    )
+    updated = incremental.ingest_delta(
+        state, o.filter(F.col("o_orderdate") >= split), ["o_orderpriority"], measures
+    )
+    final = incremental.finalize(updated, measures, avg_cols=["o_totalprice"])
+    return final.select(
+        "o_orderpriority",
+        "n_rows",
+        "count_o_totalprice",
+        F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
+        F.col("min_o_totalprice").cast("double").alias("min_o_totalprice"),
+        F.col("max_o_totalprice").cast("double").alias("max_o_totalprice"),
+        F.round(F.col("avg_o_totalprice").cast("double"), 6).alias("avg_o_totalprice"),
+    )
