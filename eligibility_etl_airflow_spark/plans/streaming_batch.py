@@ -153,3 +153,31 @@ def stream_stateful_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     from eligibility_etl_airflow_spark.streaming import stateful
 
     return stateful.running_spend_batch(Catalog(spark, sf_dir).events)
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (watermarked both sides)
+# --------------------------------------------------------------------------
+
+INTERVAL_JOIN_ORACLE = """
+SELECT e.event_id AS error_id,
+       e.user_id AS user_id,
+       e.ts AS e_ts,
+       c.ts AS c_ts,
+       c.value AS c_value
+FROM events e JOIN events c
+  ON e.event_type = 'error' AND c.event_type = 'click'
+ AND e.user_id = c.user_id
+ AND c.ts >= e.ts - INTERVAL 1800 SECOND
+ AND c.ts <= e.ts + INTERVAL 1800 SECOND
+"""
+
+
+@query("stream_interval_join", oracle=INTERVAL_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (errors × same-user clicks within
+    ±30 min) — the same builder runs as a real watermarked two-stream
+    join in streaming/ops.py (state bounded by the event-time range
+    predicate); tests/test_streaming.py asserts stream == batch."""
+    e = Catalog(spark, sf_dir).events
+    return ops.interval_join_error_clicks(e, e, tolerance_s=1800)

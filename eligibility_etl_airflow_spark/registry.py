@@ -60,6 +60,10 @@ _DEFERRED = (
     # incremental==batch equivalence is the query's own proof shape; the
     # grouped-agg machinery it rides is graded via grouped_multi_agg
     "incremental_rollup",
+    # the watermark/window family is graded by the four stream_* rows in
+    # the window; the two-stream join adds the stream-stream capability
+    # with stream==batch + local parity checks
+    "stream_interval_join",
 )
 
 

@@ -233,6 +233,47 @@ def session_windows(
     )
 
 
+def interval_join_error_clicks(
+    errors: DataFrame,
+    clicks: DataFrame,
+    tolerance_s: int = 120,
+    lateness: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: for every error event, the click events
+    by the SAME user within ±``tolerance_s``.
+
+    Both sides carry watermarks and the join predicate includes an
+    explicit event-time range — the two conditions Spark needs to bound
+    join state: buffered rows on each side are evicted once the other
+    side's watermark passes the end of their possible match range
+    (without the range predicate, stream-stream join state grows
+    forever). Works identically under batch execution (withWatermark is
+    a no-op), which is what the oracle certifies.
+    """
+    e = errors.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    if errors.isStreaming:
+        e = e.withWatermark("e_ts", lateness)
+        c = c.withWatermark("c_ts", lateness)
+    tol = f"INTERVAL {tolerance_s} SECONDS"
+    joined = e.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.expr(f"e_ts - {tol}"))
+        & (F.col("c_ts") <= F.expr(f"e_ts + {tol}")),
+        "inner",
+    )
+    return joined.select("error_id", "user_id", "e_ts", "c_ts", "c_value")
+
+
 # --------------------------------------------------------------------------
 # Sinks / execution helpers
 # --------------------------------------------------------------------------

@@ -169,3 +169,19 @@ def test_stream_from_kafka_gates_without_connector(spark):
         ops.stream_from_kafka(
             spark, "broker:9092", "events", "event_id long, value double"
         )
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """A REAL two-stream watermarked join (append mode) must reproduce
+    the batch join exactly on a bounded replay."""
+    s1 = ops.events_stream(spark, sf_dir)
+    s2 = ops.events_stream(spark, sf_dir)
+    stream = ops.interval_join_error_clicks(s1, s2, tolerance_s=1800)
+    assert stream.isStreaming
+    got = ops.run_available_now(stream, "t_ssjoin", output_mode="append")
+    want = ops.interval_join_error_clicks(
+        Catalog(spark, sf_dir).events, Catalog(spark, sf_dir).events, tolerance_s=1800
+    )
+    cols = ["error_id", "user_id", "e_ts", "c_ts", "c_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
