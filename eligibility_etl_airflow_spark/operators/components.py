@@ -123,6 +123,16 @@ def connected_components(
                 .limit(1)
                 .count()
             )
+            # release the previous round's checkpoint blocks now that
+            # `new` is materialized and the convergence check consumed
+            # the old labels — otherwise k rounds hold k full copies of
+            # the label table in block-manager storage (best-effort: the
+            # ContextCleaner would eventually GC them, but not before
+            # they crowd out the persisted edge relation)
+            try:
+                labels._jdf.rdd().unpersist(False)
+            except Exception:
+                pass
             labels = new
             if changed == 0:
                 return labels.select("id", F.col("label").alias(cluster_col))
@@ -139,6 +149,7 @@ def connected_components_blocked(
     src: str = "id_a",
     dst: str = "id_b",
     cluster_col: str = "cluster_id",
+    validate: bool = True,
 ) -> DataFrame:
     """Connected components when every edge carries a blocking key and
     components are CONFINED to blocks by construction — true for any
@@ -157,6 +168,16 @@ def connected_components_blocked(
 
     Returns ``(id, <cluster_col>)`` for nodes appearing in ``pairs``,
     cluster id = component min, identical to ``connected_components``.
+
+    The block-confinement PRECONDITION is enforced, not assumed: with
+    ``validate=True`` (default) a node whose edges span blocks — which
+    would otherwise silently emit conflicting duplicate labels — fails
+    the job with a clear error. The guard is a lazy executor-side
+    ``assert_true`` folded into a groupBy(id) over the node-level
+    output (one extra shuffle of the SMALL label relation, no extra
+    action); pass ``validate=False`` to keep the strict single-shuffle
+    plan when the block key is derived from node attributes and the
+    precondition holds by construction.
     """
     import pandas as pd
 
@@ -184,10 +205,35 @@ def connected_components_blocked(
         nodes = list(parent)
         return pd.DataFrame({"id": nodes, cluster_col: [find(v) for v in nodes]})
 
-    return (
+    labeled = (
         pairs.select(block_col, src, dst)
         .groupBy(block_col)
         .applyInPandas(uf, schema=out_schema)
+    )
+    if not validate:
+        return labeled
+    return (
+        labeled.groupBy("id")
+        .agg(
+            F.min(cluster_col).alias(cluster_col),
+            F.count(F.lit(1)).alias("__n_blocks"),
+        )
+        # assert_true returns NULL when the predicate holds and raises
+        # otherwise; the filter keeps it un-prunable and lazy
+        .filter(
+            F.assert_true(
+                F.col("__n_blocks") == 1,
+                F.concat(
+                    F.lit("connected_components_blocked: node "),
+                    F.col("id").cast("string"),
+                    F.lit(
+                        " has edges in multiple blocks — components are not "
+                        "block-confined; use connected_components instead"
+                    ),
+                ),
+            ).isNull()
+        )
+        .select("id", cluster_col)
     )
 
 

@@ -63,12 +63,7 @@ def merge_states(
     aggs = [F.sum("n_rows").cast("long").alias("n_rows")] + [
         _OPS[op][1](F.col(name)).alias(name) for _, op, name in _state_cols(measures)
     ]
-    merged = prev.unionByName(delta).groupBy(*keys).agg(*aggs)
-    # count states merge to long (sum widens); normalize
-    for col, op, name in _state_cols(measures):
-        if op == "count":
-            merged = merged.withColumn(name, F.col(name).cast("long"))
-    return merged
+    return prev.unionByName(delta).groupBy(*keys).agg(*aggs)
 
 
 def ingest_delta(

@@ -255,21 +255,30 @@ def decode_features(
     id_col: str,
     decoder: Callable[[bytes], list[float]] = fake_decoder,
     feature_dim: int = 9,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     One Python call per Arrow batch; the decoder sees raw bytes and
     returns a fixed-dim feature list (schema declared, so downstream
-    similarity search composes directly).
-    """
+    similarity search composes directly). ``passthrough_cols`` ride
+    through the Python stage unchanged — use this instead of joining
+    features back onto the source when the source lineage is expensive
+    (a join makes Spark recompute the upstream plan for both sides)."""
+    pass_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough_cols
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [decoder(bytes(p)) if p is not None else None for p in pdf[binary_col]]
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            out = {id_col: pdf[id_col], "features": feats}
+            for c in passthrough_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, binary_col).mapInPandas(
-        run, schema=f"{id_col} long, features array<double>"
+    return df.select(id_col, binary_col, *passthrough_cols).mapInPandas(
+        run, schema=f"{id_col} long, features array<double>{pass_schema}"
     )
 
 

@@ -59,6 +59,12 @@ def pack_sequences(
     )
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[token_col].isna().any():
+            raise ValueError(
+                f"pack_sequences: null values in {token_col!r} — a row "
+                "without a token count cannot be packed; filter or impute "
+                "before packing"
+            )
         shard = int(pdf["__shard"].iloc[0])
         # deterministic order: big items first, id breaks ties
         pdf = pdf.sort_values(

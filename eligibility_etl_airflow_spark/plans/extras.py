@@ -374,13 +374,18 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_ORACLE = """
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,
-         LAG(event_type) OVER w AS prev_type
+         LAG(event_type) OVER w AS prev_type,
+         ROW_NUMBER() OVER w AS rn
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 starts AS (
+  -- rn=1 (not prev IS NULL) marks the first row, and IS DISTINCT FROM
+  -- is null-safe — so value->NULL transitions version and NULL
+  -- heartbeats compact, matching scd2_from_changelog's eqNullSafe
+  -- semantics even when the attribute itself is NULL
   SELECT user_id, ts, event_id, event_type FROM ordered
-  WHERE prev_type IS NULL OR event_type <> prev_type
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
 )
 SELECT user_id, event_type, ts AS valid_from,
        LEAD(ts) OVER w2 AS valid_to,

@@ -345,6 +345,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from eligibility_etl_airflow_spark.operators import multimodal
 
+    sine_t = np.arange(800) / 8000.0  # hoisted: shared by every WAV row
+
     def synth(batches):
         for pdf in batches:
             payloads = []
@@ -352,10 +354,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 if did % 2 == 0:
                     freq = 200.0 + (did % 8) * 100.0
-                    t = np.arange(800) / 8000.0
                     payloads.append(
                         multimodal.encode_wav_pcm16(
-                            0.5 * np.sin(2 * np.pi * freq * t), 8000
+                            0.5 * np.sin(2 * np.pi * freq * sine_t), 8000
                         )
                     )
                 else:
@@ -372,22 +373,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id")
         .mapInPandas(synth, schema="doc_id long, payload binary")
         .withColumn("meta", multimodal.binary_metadata(F.col("payload")))
+        .select("doc_id", "payload", "meta.n_bytes", "meta.format", "meta.content_md5")
     )
+    # metadata rides THROUGH the decode stage instead of joining back —
+    # a join would make Spark re-run the Python synth lineage for both
+    # sides (measured 2× the whole query's Python cost)
     feats = multimodal.decode_features(
-        with_bin, "payload", "doc_id", decoder=multimodal.real_media_decoder
+        with_bin,
+        "payload",
+        "doc_id",
+        decoder=multimodal.real_media_decoder,
+        passthrough_cols=("n_bytes", "format", "content_md5"),
     )
-    return (
-        with_bin.select("doc_id", "meta.n_bytes", "meta.format", "meta.content_md5")
-        .join(feats, "doc_id")
-        .select(
-            "doc_id",
-            F.col("n_bytes").cast("long").alias("n_bytes"),
-            "format",
-            "content_md5",
-            F.element_at("features", 1).cast("long").alias("kind"),
-            F.round(F.element_at("features", 6), 6).alias("rms_or_mean_g"),
-            F.size("features").cast("long").alias("feature_dim"),
-        )
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "format",
+        "content_md5",
+        F.element_at("features", 1).cast("long").alias("kind"),
+        F.round(F.element_at("features", 6), 6).alias("rms_or_mean_g"),
+        F.size("features").cast("long").alias("feature_dim"),
     )
 
 

@@ -138,3 +138,18 @@ def test_blocked_string_ids_and_dups(spark):
     )
     got = _labels(components.connected_components_blocked(pairs, "block"))
     assert got == {"x": "x", "y": "x"}
+
+
+def test_blocked_rejects_cross_block_edges(spark):
+    # node 2 has edges in two blocks: the precondition guard must fail
+    # loudly instead of emitting conflicting duplicate labels
+    pairs = spark.createDataFrame(
+        [("b1", 1, 2), ("b2", 2, 3)], "block string, id_a long, id_b long"
+    )
+    with pytest.raises(Exception, match="not.*block-confined|block-confined"):
+        components.connected_components_blocked(pairs, "block").collect()
+    # unvalidated mode is explicit opt-out: emits the raw per-block labels
+    raw = components.connected_components_blocked(
+        pairs, "block", validate=False
+    ).collect()
+    assert len(raw) == 4  # node 2 duplicated, caller asked for no guard

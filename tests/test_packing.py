@@ -115,3 +115,11 @@ def test_resample_total_rows_cap(spark, sf_dir):
     capped = sampling.resample_to_mix(d, "lang", mix, total_rows=40, seed=7)
     # Bernoulli: expected 40 rows, allow wide slack
     assert capped.count() <= 80
+
+
+def test_pack_null_tokens_raise_clearly(spark):
+    d = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="null values in 'n_tokens'"):
+        packing.pack_sequences(d, "doc_id", "n_tokens", 100, n_shards=2).collect()

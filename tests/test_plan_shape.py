@@ -116,21 +116,26 @@ def test_embedding_neardup_reuses_cached_buckets(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
 
 
-def test_blocked_components_single_shuffle(spark):
-    """The blocked union-find tier must be exactly one Exchange (the
-    groupBy(block) shuffle) — its whole point vs the iterative tier."""
+def test_blocked_components_shuffle_budget(spark):
+    """The blocked union-find tier is one Exchange (groupBy block) with
+    validate=False — its whole point vs the iterative tier — and the
+    default validated form adds exactly one more (the node-level guard
+    aggregate), never a third."""
     from eligibility_etl_airflow_spark.operators import components
 
     pairs = spark.createDataFrame(
         [("b1", 1, 2), ("b2", 3, 4)], "block string, id_a long, id_b long"
     )
-    plan = (
+
+    def n_exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    assert n_exchanges(
+        components.connected_components_blocked(pairs, "block", validate=False)
+    ) == 1
+    assert n_exchanges(
         components.connected_components_blocked(pairs, "block")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert plan.count("Exchange") == 1, plan
+    ) == 2
 
 
 def test_packing_single_shuffle(spark):
