@@ -9,6 +9,7 @@ SURVEY.md §3.3, but over Spark jobs).
     python -m eligibility_etl_airflow_spark dag eligibility --work-dir DIR [--sf-dir D]
     python -m eligibility_etl_airflow_spark multi-bu <query> --source bu_a=/dir/a
         --source bu_b=/dir/b [--out-dir OUT]
+    python -m eligibility_etl_airflow_spark layout <range|zorder> --in-parquet P --out O --by c1,c2
     python -m eligibility_etl_airflow_spark bench [--sf-dir D]
 """
 
@@ -48,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     pp.add_argument("--out-dir", required=True)
     pp.add_argument("--sf-dir", default=DEFAULT_SF)
+    pp.add_argument(
+        "--neardup-removal",
+        choices=["component", "pair"],
+        default="component",
+        help="corpus-curation only: keep one doc per transitive near-dup "
+        "group (component) or drop each pair's higher id (pair)",
+    )
 
     dp = sub.add_parser(
         "dag", help="run a task-graph orchestration (the Airflow-DAG analog)"
@@ -71,6 +79,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     mp.add_argument("--out-dir", default=None)
     mp.add_argument("--limit", type=int, default=20)
+
+    lp = sub.add_parser(
+        "layout",
+        help="rewrite a parquet dataset clustered for scan pruning: "
+        "range (one leading key) or zorder (multi-column Morton curve)",
+    )
+    lp.add_argument("strategy", choices=["range", "zorder"])
+    lp.add_argument("--in-parquet", required=True)
+    lp.add_argument("--out", required=True)
+    lp.add_argument("--by", required=True, help="comma-separated cluster columns")
+    lp.add_argument("--num-files", type=int, default=None)
+    lp.add_argument("--bits", type=int, default=6, help="zorder bucket bits")
 
     args = ap.parse_args(argv)
     registry.load_all()
@@ -100,7 +120,27 @@ def main(argv: list[str] | None = None) -> int:
             "events-stream": pipelines.run_events_stream_pipeline,
             "corpus-curation": pipelines.run_corpus_curation_pipeline,
         }[args.name]
-        print(json.dumps(fn(spark, args.sf_dir, args.out_dir), default=str))
+        kwargs = (
+            {"neardup_removal": args.neardup_removal}
+            if args.name == "corpus-curation"
+            else {}
+        )
+        print(json.dumps(fn(spark, args.sf_dir, args.out_dir, **kwargs), default=str))
+        return 0
+
+    if args.cmd == "layout":
+        from eligibility_etl_airflow_spark.operators import zorder
+        from eligibility_etl_airflow_spark.sources import sinks
+
+        df = spark.read.parquet(args.in_parquet)
+        cols = [c.strip() for c in args.by.split(",") if c.strip()]
+        if args.strategy == "zorder":
+            zorder.write_zordered(
+                df, args.out, cols, bits=args.bits, num_files=args.num_files
+            )
+        else:
+            sinks.write_clustered(df, args.out, cols, num_files=args.num_files)
+        print(json.dumps({"strategy": args.strategy, "by": cols, "out": args.out}))
         return 0
 
     if args.cmd == "multi-bu":
