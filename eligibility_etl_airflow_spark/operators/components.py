@@ -126,13 +126,14 @@ def connected_components(
             # release the previous round's checkpoint blocks now that
             # `new` is materialized and the convergence check consumed
             # the old labels — otherwise k rounds hold k full copies of
-            # the label table in block-manager storage (best-effort: the
-            # ContextCleaner would eventually GC them, but not before
-            # they crowd out the persisted edge relation)
+            # the label table in block-manager storage. The persisted
+            # RDD is the one inside the LogicalRDD plan node; a derived
+            # `df.rdd` has its own id and unpersisting it is a no-op
+            # (verified against sc.getPersistentRDDs).
             try:
-                labels._jdf.rdd().unpersist(False)
+                labels._jdf.queryExecution().analyzed().rdd().unpersist(False)
             except Exception:
-                pass
+                pass  # reliable-checkpoint case: data lives on disk, not blocks
             labels = new
             if changed == 0:
                 return labels.select("id", F.col("label").alias(cluster_col))

@@ -68,6 +68,15 @@ def with_zorder(
     dictionary-encoding them to codes first)."""
     if not cols or bits < 1 or bits > 16:
         raise ValueError(f"need ≥1 column and 1 ≤ bits ≤ 16, got {cols}, {bits}")
+    if len(cols) * bits > 63:
+        # beyond 63 the JVM masks the shift count and bit positions
+        # silently collide — the z-key would be garbage, not an error
+        raise ValueError(
+            f"z-key needs {len(cols)}×{bits} = {len(cols) * bits} bits; "
+            "a long holds 63 — lower bits or drop columns"
+        )
+    if key_col in df.columns:
+        raise ValueError(f"column {key_col!r} already exists in the input")
     n_bnd = (1 << bits) - 1
     probs = [(i + 1) / (1 << bits) for i in range(n_bnd)]
     numeric = df.select(
@@ -75,6 +84,15 @@ def with_zorder(
     )
     # one approxQuantile action; driver state = n_bnd scalars per column
     all_bnds = numeric.approxQuantile(cols, probs, rel_err)
+    empty = [c for c, b in zip(cols, all_bnds) if not b]
+    if empty:
+        # approxQuantile ignores nulls: an all-NULL column would become
+        # a constant bucket that still consumes interleave bits, halving
+        # every other column's selectivity with no diagnostic
+        raise ValueError(
+            f"z-order columns with no non-null values: {empty} — drop them "
+            "from the z-key or backfill first"
+        )
     buckets = [
         _bucket(F.col(c).cast("double"), bnds) for c, bnds in zip(cols, all_bnds)
     ]
@@ -89,13 +107,17 @@ def write_zordered(
     mode: str = "overwrite",
     num_files: int | None = None,
 ) -> None:
-    """Z-order-clustered parquet write: compute the z-key, range-shuffle
-    and sort on it, write without the helper column. Same contract as
-    ``write_clustered`` but min/max pruning works on EVERY column in
-    ``cols``, not just the leading one."""
-    z = with_zorder(df, cols, bits=bits, key_col="__z")
-    if num_files is not None:
-        ranged = z.repartitionByRange(num_files, "__z")
-    else:
-        ranged = z.repartitionByRange("__z")
-    ranged.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+    """Z-order-clustered parquet write: compute the z-key, then delegate
+    to ``sinks.write_clustered`` on it (one shared range-shuffle/sort/
+    write path), dropping the helper column before the files land. Same
+    contract as ``write_clustered`` but min/max pruning works on EVERY
+    column in ``cols``, not just the leading one."""
+    from eligibility_etl_airflow_spark.sources import sinks
+
+    key = "__z"
+    while key in df.columns:  # never clobber a user column
+        key += "_"
+    z = with_zorder(df, cols, bits=bits, key_col=key)
+    sinks.write_clustered(
+        z, path, [key], mode=mode, num_files=num_files, drop_after_sort=[key]
+    )

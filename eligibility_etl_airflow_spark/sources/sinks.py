@@ -307,6 +307,7 @@ def write_clustered(
     cluster_by: list[str],
     mode: str = "overwrite",
     num_files: int | None = None,
+    drop_after_sort: list[str] | None = None,
 ) -> None:
     """Range-clustered parquet write: ``repartitionByRange`` on the
     cluster keys, then sort within each partition before writing.
@@ -322,16 +323,19 @@ def write_clustered(
 
     ``num_files`` pins the range-partition count; leave it None to let
     AQE size the shuffle (it will coalesce small outputs — right at
-    scale, but a test or a fixed layout contract wants it explicit)."""
+    scale, but a test or a fixed layout contract wants it explicit).
+
+    ``drop_after_sort`` removes helper sort-key columns (e.g. a z-order
+    key) after partitioning+sorting, so they shape the layout without
+    landing in the files."""
     if num_files is not None:
         ranged = df.repartitionByRange(num_files, *cluster_by)
     else:
         ranged = df.repartitionByRange(*cluster_by)
-    (
-        ranged.sortWithinPartitions(*cluster_by)
-        .write.mode(mode)
-        .parquet(path)
-    )
+    out = ranged.sortWithinPartitions(*cluster_by)
+    if drop_after_sort:
+        out = out.drop(*drop_after_sort)
+    out.write.mode(mode).parquet(path)
 
 
 def _q_ident(c: str) -> str:

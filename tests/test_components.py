@@ -153,3 +153,23 @@ def test_blocked_rejects_cross_block_edges(spark):
         pairs, "block", validate=False
     ).collect()
     assert len(raw) == 4  # node 2 duplicated, caller asked for no guard
+
+
+def test_iterative_releases_checkpoint_blocks(spark):
+    """k rounds must not accumulate k persisted label-table copies —
+    the previous round's localCheckpoint blocks are freed as soon as
+    the next round materializes."""
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persisted()
+    # a 64-node path needs ~6 pointer-jumping rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    components.connected_components(pairs, max_iter=10).collect()
+    # edges unpersisted, all but the final labels checkpoint released;
+    # allow the final checkpoint + any test-session cache noise
+    assert n_persisted() <= before + 1

@@ -117,3 +117,35 @@ def test_zorder_skew_resistance(spark, tmp_path):
     # one bucket)
     hot_files = [s for s in x_spans if s[0] < 10]
     assert len(hot_files) >= 3
+
+
+def test_zorder_guards(spark):
+    df = (
+        spark.range(100)
+        .withColumn("x", F.col("id").cast("double"))
+        .withColumn("dead", F.lit(None).cast("double"))
+        .withColumn("z_key", F.lit(1))
+    )
+    # k*bits must fit a long's 63 value bits
+    with pytest.raises(ValueError, match="63"):
+        zorder.with_zorder(df, ["x", "x", "x", "x", "x"], bits=16, key_col="zz")
+    # an all-NULL z-column is an error, not a silent constant bucket
+    with pytest.raises(ValueError, match="no non-null"):
+        zorder.with_zorder(df, ["x", "dead"], bits=4, key_col="zz")
+    # existing key_col name rejected
+    with pytest.raises(ValueError, match="already exists"):
+        zorder.with_zorder(df, ["x"], bits=4)
+
+
+def test_write_zordered_preserves_user_dunder_z_column(spark, tmp_path):
+    df = (
+        spark.range(0, 256)
+        .withColumn("x", (F.col("id") % 16).cast("double"))
+        .withColumn("y", ((F.col("id") / 16).cast("long")).cast("double"))
+        .withColumn("__z", F.lit("keep-me"))
+    )
+    out = str(tmp_path / "userz")
+    zorder.write_zordered(df, out, ["x", "y"], bits=4, num_files=4)
+    back = spark.read.parquet(out)
+    assert "__z" in back.columns
+    assert back.filter(F.col("__z") == "keep-me").count() == 256
