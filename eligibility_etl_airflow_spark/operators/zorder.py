@@ -52,6 +52,26 @@ def _interleave(buckets: list[Column], bits: int) -> Column:
     return reduce(lambda a, c: a + c, terms)
 
 
+def lex_prefix_code(col: Column, nbytes: int = 6) -> Column:
+    """Order-preserving numeric proxy for a STRING column: the first
+    ``nbytes`` UTF-8 BYTES read as a big-endian integer (zero-padded on
+    the right, so shorter strings sort first — exactly lexicographic
+    byte order up to prefix ties). Use it to z-order string dimensions:
+
+        with_zorder(df.withColumn("s_code", lex_prefix_code(F.col("s"))),
+                    ["s_code", "x"])
+
+    Truncation happens on the ENCODED bytes (multibyte text is safe —
+    character-level truncation would overflow ``conv``'s 64-bit range).
+    ``nbytes`` ≤ 6 (48 bits) stays exact inside double's 53-bit integer
+    range; 7 is allowed for bucketing, where the last byte may tie.
+    Pure JVM expression — encode/substring/hex/pad/conv, no UDF."""
+    if not 1 <= nbytes <= 7:
+        raise ValueError(f"nbytes must be in [1, 7], got {nbytes}")
+    prefix_bytes = F.substring(F.encode(col, "UTF-8"), 1, nbytes)
+    return F.conv(F.rpad(F.hex(prefix_bytes), 2 * nbytes, "0"), 16, 10).cast("double")
+
+
 def with_zorder(
     df: DataFrame,
     cols: list[str],

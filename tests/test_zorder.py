@@ -149,3 +149,39 @@ def test_write_zordered_preserves_user_dunder_z_column(spark, tmp_path):
     back = spark.read.parquet(out)
     assert "__z" in back.columns
     assert back.filter(F.col("__z") == "keep-me").count() == 256
+
+
+def test_lex_prefix_code_preserves_byte_order(spark):
+    rows = [
+        ("",), ("a",), ("aa",), ("ab",), ("abcdef",), ("b",), ("zz",),
+        ("é",), ("日本語テスト",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    got = {r.s: r.v for r in df.select(
+        "s", zorder.lex_prefix_code(F.col("s")).alias("v")
+    ).collect()}
+    ordered = sorted(rows, key=lambda r: r[0].encode()[:6])
+    vals = [got[s] for (s,) in ordered]
+    assert vals == sorted(vals)
+    assert len(set(vals)) == len(vals)  # distinct 6-byte prefixes stay distinct
+    with pytest.raises(ValueError):
+        zorder.lex_prefix_code(F.col("s"), nbytes=8)
+
+
+def test_zorder_string_dimension_end_to_end(spark, tmp_path):
+    df = (
+        spark.range(0, 4096)
+        .withColumn("s", F.concat(F.lit("key"), F.lpad((F.col("id") % 64).cast("string"), 3, "0")))
+        .withColumn("x", ((F.col("id") / 64).cast("long") % 64).cast("double"))
+        .withColumn("s_code", zorder.lex_prefix_code(F.col("s")))
+    )
+    out = str(tmp_path / "strz")
+    zorder.write_zordered(df, out, ["s_code", "x"], bits=6, num_files=16)
+    # the string dimension prunes: each file's span of s is a subrange
+    spans = _file_spans(out, "s")
+    assert len(spans) > 4
+    full = {f"key{i:03d}" for i in range(64)}
+    avg_cover = sum(
+        len([s for s in full if a <= s <= b]) for a, b in spans
+    ) / (len(spans) * len(full))
+    assert avg_cover < 0.6
