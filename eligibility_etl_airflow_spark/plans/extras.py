@@ -517,3 +517,17 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_o_totalprice").cast("double").alias("max_o_totalprice"),
         F.round(F.col("avg_o_totalprice").cast("double"), 6).alias("avg_o_totalprice"),
     )
+
+
+@query("heavy_hitters_sketch")
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over order priorities
+    (operators/sketches.py): one map-side sketch aggregate + a bounded
+    seeded candidate sample — the 100 TB alternative to a full groupBy
+    when key cardinality explodes. Rows-only (sketch estimates are
+    error-bounded, not exact); the one-sided bound, no-missed-hitter
+    guarantee, and determinism are pinned in tests/test_sketches.py."""
+    from eligibility_etl_airflow_spark.operators import sketches
+
+    o = Catalog(spark, sf_dir).orders
+    return sketches.heavy_hitters(o, "o_orderpriority", min_share=0.05, eps=1e-3)
