@@ -615,3 +615,47 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    prefix_len: int = 32,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Blocked Levenshtein fuzzy pairs — the edit-distance member of the
+    dedup family (typo-level duplicates the token/shingle measures are
+    blind to: a one-character change barely moves 3-gram Jaccard but is
+    edit distance 1).
+
+    Comparison runs on the first ``prefix_len`` chars of the NORMALIZED
+    text, not the full document: O(prefix²) per pair bounds the DP cost
+    and a fixed-length key is the standard entity-resolution shape.
+    Blocking bounds the pair count exactly as in ``ngram_jaccard_pairs``
+    (one shuffle on the block key, never corpus²); Spark's thresholded
+    ``levenshtein(l, r, max_dist)`` abandons a pair's DP early once the
+    distance provably exceeds the bound, so the per-pair cost is
+    O(max_dist · prefix) rather than O(prefix²).
+
+    Returns ``(block, id_a, id_b, edit_dist)`` with
+    ``edit_dist ≤ max_dist``, each unordered pair once (``id_a < id_b``).
+    """
+    from eligibility_etl_airflow_spark.operators import text as _text
+
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.substring(_text.normalize_text(F.col(text_col)), 1, prefix_len).alias("key"),
+    )
+    a = keyed.select(F.col("id").alias("id_a"), "block", F.col("key").alias("key_a"))
+    b = keyed.select(F.col("id").alias("id_b"), "block", F.col("key").alias("key_b"))
+    dist = F.levenshtein(F.col("key_a"), F.col("key_b"), max_dist)
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", dist.cast("long"))
+        .filter(F.col("edit_dist") >= 0)  # thresholded form returns -1 past the bound
+        .select("block", "id_a", "id_b", "edit_dist")
+    )

@@ -298,7 +298,12 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_neardup_pairs")
 def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets (semantic dedup)."""
+    """Embedding-cosine near-duplicate pairs via LSH buckets (semantic
+    dedup). NOTE: the synthetic embeddings testdata contains NO near
+    duplicates (max pairwise cosine ≈ 0.51 at sf0.01), so ZERO rows is
+    the correct output at any honest threshold — recall is proven by
+    the planted-pair tests in tests/test_neardup.py, not by this
+    corpus."""
     e = Catalog(spark, sf_dir).embeddings
     return similarity.embedding_neardup_pairs(e, cosine_threshold=0.8, dim=64)
 
@@ -641,4 +646,39 @@ def domain_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
     return sampling.resample_to_mix(d, "lang", mix, seed=7).select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance (Levenshtein) fuzzy pairs — blocked, oracle-checked
+# --------------------------------------------------------------------------
+
+EDIT_DIST_ORACLE = r"""
+WITH k AS (
+  SELECT doc_id,
+         lang || '#' || CAST(n_chars // 100 AS VARCHAR) AS block,
+         substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 32) AS key
+  FROM documents
+)
+SELECT a.block AS block,
+       a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_dist
+FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 8
+"""
+
+
+@query("fuzzy_pairs_levenshtein", oracle=EDIT_DIST_ORACLE)
+def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level duplicate pairs: Levenshtein ≤ 8 on the 32-char
+    normalized prefix, inside the same lang×length blocks as the n-gram
+    query (operators/neardup.py::edit_distance_pairs). Spark's
+    thresholded levenshtein prunes the DP past the bound."""
+    d = Catalog(spark, sf_dir).documents.withColumn(
+        "block",
+        F.concat_ws("#", F.col("lang"), (F.col("n_chars") / 100).cast("long").cast("string")),
+    )
+    return neardup.edit_distance_pairs(
+        d, "doc_id", "text", "block", prefix_len=32, max_dist=8
     )

@@ -64,6 +64,9 @@ _DEFERRED = (
     # the window; the two-stream join adds the stream-stream capability
     # with stream==batch + local parity checks
     "stream_interval_join",
+    # the blocked self-join shape is graded via ngram_jaccard_pairs;
+    # the Levenshtein measure keeps local parity + planted-typo units
+    "fuzzy_pairs_levenshtein",
 )
 
 

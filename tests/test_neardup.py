@@ -429,3 +429,35 @@ def test_neardup_pair_generators_accept_string_ids(spark):
     fps = neardup.winnow_fingerprints(docs, "doc_id", "text")
     fpairs = neardup.fingerprint_overlap_pairs(fps, min_shared=2).collect()
     assert ("doc-aaa", "doc-bbb") in {(r.id_a, r.id_b) for r in fpairs}
+
+
+def test_edit_distance_pairs_planted_typos(spark):
+    rows = [
+        (1, "b", "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "b", "the quack brown fox jumps over the lazy dog tonight"),  # 1 typo
+        (3, "b", "completely different text with nothing in common here"),
+        (4, "c", "the quick brown fox jumps over the lazy dog tonight"),  # other block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, block string, text string")
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in neardup.edit_distance_pairs(
+            df, "doc_id", "text", "block", prefix_len=40, max_dist=3
+        ).collect()
+    }
+    # typo pair found with the right distance; unrelated and cross-block
+    # pairs absent
+    assert got == {(1, 2): 1}
+
+
+def test_edit_distance_threshold_boundary(spark):
+    rows = [(1, "b", "aaaa"), (2, "b", "bbbb"), (3, "b", "aaab")]
+    df = spark.createDataFrame(rows, "doc_id long, block string, text string")
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in neardup.edit_distance_pairs(
+            df, "doc_id", "text", "block", prefix_len=10, max_dist=3
+        ).collect()
+    }
+    # (1,2) distance 4 > max_dist excluded; (1,3) distance 1; (2,3) distance 3
+    assert got == {(1, 3): 1, (2, 3): 3}
