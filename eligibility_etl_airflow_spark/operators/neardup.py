@@ -642,12 +642,12 @@ def edit_distance_pairs(
     Returns ``(block, id_a, id_b, edit_dist)`` with
     ``edit_dist ≤ max_dist``, each unordered pair once (``id_a < id_b``).
     """
-    from eligibility_etl_airflow_spark.operators import text as _text
-
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("block"),
-        F.substring(_text.normalize_text(F.col(text_col)), 1, prefix_len).alias("key"),
+    keyed = _with_normalized_text(
+        df, id_col, text_col, extra={"block": F.col(block_col)}
+    ).select(
+        "id",
+        "block",
+        F.substring(F.col("_norm"), 1, prefix_len).alias("key"),
     )
     a = keyed.select(F.col("id").alias("id_a"), "block", F.col("key").alias("key_a"))
     b = keyed.select(F.col("id").alias("id_b"), "block", F.col("key").alias("key_b"))

@@ -41,7 +41,14 @@ def count_min(
         ).alias("s")
     ).head()
     payload = bytes(row["s"])
-    jvm = df.sparkSession._jvm
+    # classic-mode only: deserialization uses the in-process JVM bridge
+    # (the aggregate itself is Connect-compatible, the py4j decode is not)
+    jvm = getattr(df.sparkSession, "_jvm", None)
+    if jvm is None:
+        raise NotImplementedError(
+            "count_min sketch decode needs a classic (non-Connect) session: "
+            "no in-process JVM bridge available"
+        )
     stream = jvm.java.io.ByteArrayInputStream(payload)
     return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(stream)
 
@@ -68,7 +75,12 @@ def heavy_hitters(
         raise ValueError(f"min_share must be in (0,1), got {min_share}")
     spark = df.sparkSession
     vals = df.select(F.col(col).cast("string").alias("__v"))
-    n = vals.count()
+    # two scans total: the sketch pass (whose totalCount doubles as the
+    # non-null row count — no separate count() scan) and the candidate
+    # sample. Shares are relative to NON-NULL values, matching the
+    # candidate set, which also skips nulls.
+    cms = count_min(vals, "__v", eps=eps, confidence=confidence, seed=seed)
+    n = int(cms.totalCount())
     if n == 0:
         return spark.createDataFrame([], "value string, est_count long, est_share double")
 
@@ -86,7 +98,6 @@ def heavy_hitters(
             "raise the cap or min_share (a truncated candidate set could "
             "silently drop a heavy hitter)"
         )
-    cms = count_min(vals, "__v", eps=eps, confidence=confidence, seed=seed)
     thresh = min_share * n
     hits = []
     for r in cand_rows:
