@@ -144,6 +144,31 @@ def connected_components(
     )
 
 
+def union_find_labels(edges) -> dict:
+    """Pure union-find core: edges → {node: component-min label}, with
+    path compression and union-by-min (the min id stays the root, so
+    labels are deterministic). Extracted from the per-block Arrow stage
+    so closure correctness is property-testable without a session."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # union by min keeps the min as root
+    return {v: find(v) for v in parent}
+
+
 def connected_components_blocked(
     pairs: DataFrame,
     block_col: str,
@@ -186,25 +211,10 @@ def connected_components_blocked(
     out_schema = f"id {id_type}, {cluster_col} {id_type}"
 
     def uf(pdf: pd.DataFrame) -> pd.DataFrame:
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(pdf[src], pdf[dst]):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo  # union by min keeps the min as root
-        nodes = list(parent)
-        return pd.DataFrame({"id": nodes, cluster_col: [find(v) for v in nodes]})
+        labels = union_find_labels(zip(pdf[src], pdf[dst]))
+        return pd.DataFrame(
+            {"id": list(labels), cluster_col: list(labels.values())}
+        )
 
     labeled = (
         pairs.select(block_col, src, dst)

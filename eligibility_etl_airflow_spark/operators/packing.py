@@ -25,6 +25,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def best_fit_decreasing(tokens, budget: int):
+    """Pure bin-packing core: assign each token count (in the order
+    given — callers sort descending for the BFD guarantee) to a bin via
+    best-fit (smallest sufficient remainder, binary search over a sorted
+    remainder list). Returns ``[(bin_idx, oversize), ...]`` aligned with
+    the input; items over budget get their own flagged bin. Extracted
+    from the Spark shard packer so the packing invariants are
+    property-testable without a session."""
+    assign = []
+    remainders: list[int] = []
+    bin_of_rem: list[int] = []
+    next_bin = 0
+    for t in tokens:
+        t = int(t)
+        if t > budget:
+            assign.append((next_bin, True))
+            next_bin += 1
+            continue
+        j = bisect_left(remainders, t)
+        if j < len(remainders):
+            rem = remainders.pop(j)
+            b = bin_of_rem.pop(j)
+        else:
+            rem = budget
+            b = next_bin
+            next_bin += 1
+        rem -= t
+        assign.append((b, False))
+        k = bisect_left(remainders, rem)
+        remainders.insert(k, rem)
+        bin_of_rem.insert(k, b)
+    return assign
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -71,38 +105,13 @@ def pack_sequences(
             [token_col, id_col], ascending=[False, True], kind="mergesort"
         )
         tokens = pdf[token_col].to_numpy()
-        n = len(pdf)
-        assign = [0] * n
-        oversize = [False] * n
-        remainders: list[int] = []  # sorted remaining capacity of open bins
-        bin_of_rem: list[int] = []  # bin index aligned with remainders
-        next_bin = 0
-        for i in range(n):
-            t = int(tokens[i])
-            if t > budget:
-                assign[i] = next_bin
-                oversize[i] = True
-                next_bin += 1
-                continue
-            j = bisect_left(remainders, t)
-            if j < len(remainders):
-                rem = remainders.pop(j)
-                b = bin_of_rem.pop(j)
-            else:
-                rem = budget
-                b = next_bin
-                next_bin += 1
-            rem -= t
-            assign[i] = b
-            k = bisect_left(remainders, rem)
-            remainders.insert(k, rem)
-            bin_of_rem.insert(k, b)
+        assign = best_fit_decreasing(tokens, budget)
         return pd.DataFrame(
             {
                 id_col: pdf[id_col].to_numpy(),
                 token_col: tokens.astype("int64"),
-                pack_col: [f"{shard}:{b}" for b in assign],
-                "oversize": oversize,
+                pack_col: [f"{shard}:{b}" for b, _ in assign],
+                "oversize": [o for _, o in assign],
             }
         )
 

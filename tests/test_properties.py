@@ -63,3 +63,121 @@ def test_repair_regex_fallback_recovers_id_pairs(pairs):
     body = ", ".join(f'"{k}": "{v}"' for k, v in pairs.items())
     truncated = "{" + body + ", "  # never closes
     assert repair_json(truncated) == pairs
+
+
+# --------------------------------------------------------------------------
+# Bin-packing core (operators/packing.py::best_fit_decreasing)
+# --------------------------------------------------------------------------
+
+from eligibility_etl_airflow_spark.operators.packing import best_fit_decreasing
+
+token_lists = st.lists(st.integers(min_value=1, max_value=500), max_size=60)
+
+
+@settings(max_examples=300, deadline=None)
+@given(token_lists, st.integers(min_value=1, max_value=400))
+def test_bfd_budget_and_coverage(tokens, budget):
+    tokens = sorted(tokens, reverse=True)  # caller contract: descending
+    assign = best_fit_decreasing(tokens, budget)
+    assert len(assign) == len(tokens)
+    bins: dict[int, list[int]] = {}
+    for t, (b, over) in zip(tokens, assign):
+        assert over == (t > budget)
+        bins.setdefault(b, []).append((t, over))
+    for members in bins.values():
+        if any(o for _, o in members):
+            assert len(members) == 1  # oversize items sit alone
+        else:
+            assert sum(t for t, _ in members) <= budget
+
+
+@settings(max_examples=300, deadline=None)
+@given(token_lists, st.integers(min_value=1, max_value=400))
+def test_bfd_bin_count_guarantee(tokens, budget):
+    import math
+
+    tokens = sorted(tokens, reverse=True)
+    assign = best_fit_decreasing(tokens, budget)
+    regular = [t for t in tokens if t <= budget]
+    n_regular_bins = len({b for (b, o) in assign if not o})
+    if regular:
+        lower = math.ceil(sum(regular) / budget)
+        # BFD guarantee: ≤ 11/9·OPT + 1 (OPT ≥ the volume lower bound)
+        assert n_regular_bins <= math.ceil(lower * 11 / 9) + 1
+
+
+# --------------------------------------------------------------------------
+# Union-find core (operators/components.py::union_find_labels)
+# --------------------------------------------------------------------------
+
+from eligibility_etl_airflow_spark.operators.components import union_find_labels
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=60
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(edge_lists)
+def test_union_find_matches_transitive_closure(edges):
+    labels = union_find_labels(edges)
+    nodes = {v for e in edges for v in e}
+    assert set(labels) == nodes
+    # brute-force closure: repeatedly min-propagate until fixpoint
+    truth = {v: v for v in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(truth[a], truth[b])
+            if truth[a] != m or truth[b] != m:
+                truth[a] = truth[b] = m
+                changed = True
+        # propagate through labels (handles label chains)
+        for v in nodes:
+            if truth[truth[v]] < truth[v]:
+                truth[v] = truth[truth[v]]
+                changed = True
+    assert labels == truth
+
+
+@settings(max_examples=200, deadline=None)
+@given(edge_lists)
+def test_union_find_edge_order_invariant(edges):
+    import random
+
+    shuffled = edges[:]
+    random.Random(0).shuffle(shuffled)
+    assert union_find_labels(edges) == union_find_labels(shuffled)
+
+
+# --------------------------------------------------------------------------
+# Media codecs (operators/multimodal.py) — exact/1-LSB round-trips
+# --------------------------------------------------------------------------
+
+from eligibility_etl_airflow_spark.operators import multimodal as _mm
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.integers(0, 2**32 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (_mm.decode_bmp(_mm.encode_bmp_rgb24(px)) == px).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(-1.0, 1.0, allow_nan=False), min_size=1, max_size=64))
+def test_wav_roundtrip_property(samples):
+    import numpy as np
+
+    payload = _mm.encode_wav_pcm16(samples, 8000)
+    rate, nch, frames = _mm.decode_wav(payload)
+    assert (rate, nch) == (8000, 1)
+    assert np.abs(frames[:, 0] - np.asarray(samples)).max() < 1.5 / 32767
