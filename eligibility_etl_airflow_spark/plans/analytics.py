@@ -1,0 +1,238 @@
+"""Reshaping + sessionization analytics: PIVOT/UNPIVOT, CUBE grouping
+sets, batch gap-sessionization, and the Bloom-pruned semi join.
+
+The reference's analysis notebook pivots its KPI frame in pandas
+(analysis layer) and its DAGs re-query per business dimension; a
+complete engine expresses those as single shuffled plans. Every query
+here is oracle-backed (DuckDB twin) and registers past the driver's
+50-slot window (see registry._DEFERRED) because the window is already
+saturated with the reference-derived surface; tests/test_oracle_parity.py
+grades them locally on every run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eligibility_etl_airflow_spark.catalog import Catalog
+from eligibility_etl_airflow_spark.operators.bloom import bloom_semi_join
+from eligibility_etl_airflow_spark.registry import query
+
+# --------------------------------------------------------------------------
+# PIVOT — long→wide conditional aggregation
+# --------------------------------------------------------------------------
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS rev_f,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS rev_o,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS rev_p,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("pivot_status_matrix", oracle=PIVOT_ORACLE)
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue per priority × status as a wide matrix.
+
+    The value list is pinned (``pivot(col, values)``) — with an explicit
+    list Spark skips the extra distinct-values job AND the output schema
+    is stable regardless of which statuses a given partition of data
+    contains; an unpinned pivot at 100 TB pays a full distinct scan just
+    to discover column names. One hash-aggregate shuffle, same plan as a
+    groupBy with conditional sums.
+    """
+    o = Catalog(spark, sf_dir).orders
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_rev").alias("rev_f"),
+        F.col("O_rev").alias("rev_o"),
+        F.col("P_rev").alias("rev_p"),
+        (F.col("F_n") + F.col("O_n") + F.col("P_n")).cast("long").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (melt) — wide→long
+# --------------------------------------------------------------------------
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         round(sum(o_totalprice), 2) AS revenue,
+         round(avg(o_totalprice), 4) AS avg_price,
+         round(max(o_totalprice), 2) AS max_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'revenue'  AS metric, revenue  AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+UNION ALL
+SELECT o_orderstatus, 'max_price', max_price FROM wide
+"""
+
+
+@query("unpivot_measures", oracle=UNPIVOT_ORACLE)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: per-status KPI columns to (metric, value) rows —
+    the inverse reshape of the pivot. ``DataFrame.unpivot`` expands each
+    input row to one row per value column *inside the same stage* (a
+    Generate node, no shuffle beyond the feeding aggregate); the pandas
+    equivalent (analysis-layer ``melt``) materializes the whole frame.
+    """
+    o = Catalog(spark, sf_dir).orders
+    wide = o.groupBy("o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["revenue", "avg_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping sets — every dimension combination in one shuffle
+# --------------------------------------------------------------------------
+
+CUBE_ORACLE = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("cube_revenue", oracle=CUBE_ORACLE)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping sets (status×priority, status, priority,
+    grand total) in one Expand + single hash-aggregate shuffle — the
+    completion of the ROLLUP hierarchy in extras.rollup_revenue. At
+    100 TB the Expand multiplies scan rows by the grouping-set count
+    *after* column pruning, and partial aggregation collapses them
+    map-side before the shuffle."""
+    o = Catalog(spark, sf_dir).orders
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch gap-sessionization — lag-gap flags + running-sum session ids
+# --------------------------------------------------------------------------
+
+SESSION_GAP_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 2) AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+@query("session_gap_events", oracle=SESSION_GAP_ORACLE)
+def session_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min): lag-gap flag →
+    running-sum session id → per-session aggregate. The batch twin of
+    streaming/ops.py's session_window query — same session boundaries,
+    derived relationally so it is DuckDB-gradable. Two window passes
+    share one (user_id, ts, event_id) sort: Catalyst plans a single
+    Exchange+Sort feeding both.
+
+    At 100 TB: the shuffle is per-user (the session key), so skewed
+    power users dominate a partition — the streaming variant bounds that
+    with watermark eviction; batch-side the mitigation is the same
+    salting used in plans/extras.salted_join_skew.
+    """
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "value",
+        # interval comparison (not unix_timestamp, which truncates to
+        # seconds and would mis-place a boundary straddling 1800 s at
+        # sub-second scale; also works on TIMESTAMP_NTZ, where
+        # unix_micros does not) — microsecond-exact on both engines
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTE")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        F.col("event_id"),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-pruned semi join — map-side pruning ahead of the shuffle
+# --------------------------------------------------------------------------
+
+BLOOM_SEMI_ORACLE = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@query("bloom_semi_join_scan", oracle=BLOOM_SEMI_ORACLE)
+def bloom_semi_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join of lineitem against the urgent-order key set through a
+    Bloom prefilter (operators/bloom.py). The sketch is built with one
+    distributed pass over the keys; the fact side drops ≈99% of
+    non-matching rows in its scan stage before the left_semi shuffle;
+    the follow-up exact join removes Bloom false positives, so the
+    result is hash-identical to the plain IN-subquery oracle."""
+    cat = Catalog(spark, sf_dir)
+    keys = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    fact = cat.lineitem.select(
+        "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price")
+    )
+    return bloom_semi_join(fact, "l_orderkey", keys, "o_orderkey", fpp=0.01)

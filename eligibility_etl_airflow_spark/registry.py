@@ -67,6 +67,17 @@ _DEFERRED = (
     # the blocked self-join shape is graded via ngram_jaccard_pairs;
     # the Levenshtein measure keeps local parity + planted-typo units
     "fuzzy_pairs_levenshtein",
+    # reshaping/sessionization analytics (plans/analytics.py): the window
+    # is saturated with the reference-derived surface; the underlying
+    # machinery is graded there (conditional aggregation via
+    # kpi_scalar_aggs, grouping sets via rollup_revenue, window frames
+    # via running_total_window, semi join via semi_join_key_set) and all
+    # five keep local DuckDB parity via tests/test_oracle_parity.py
+    "pivot_status_matrix",
+    "unpivot_measures",
+    "cube_revenue",
+    "session_gap_events",
+    "bloom_semi_join_scan",
 )
 
 
@@ -83,6 +94,7 @@ def load_all() -> None:
         llm_pipeline,
         streaming_batch,
         extras,
+        analytics,
     )
 
     def rank(name: str) -> int:
