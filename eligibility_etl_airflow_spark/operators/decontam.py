@@ -1,0 +1,107 @@
+"""Benchmark decontamination — flag corpus documents that overlap an
+evaluation set by shared word n-grams.
+
+Every serious training-data pipeline runs this before training: a
+document that contains a benchmark's prompts or answers leaks the test
+set into the training set (the GPT-3/PaLM appendices describe the same
+13-gram collision scan). The relational shape is corpus-friendly:
+
+- Both sides tokenize with the same JVM regex split used by the TF-IDF
+  and quality queries (lowercase, ``[^a-z]+`` separators) and expand to
+  *distinct* word n-grams per document — a Generate inside the scan
+  stage, no shuffle.
+- The benchmark side is small by definition (an eval set, not a second
+  corpus), so its distinct n-grams broadcast; the corpus side never
+  shuffles at all — explode → broadcast-hash left join → partial-agg
+  per doc_id. At 100 TB the whole scan is one map-side pass plus the
+  per-doc aggregate on the corpus's own key.
+- ``hash_ngrams=True`` (default) replaces each n-gram string with its
+  ``xxhash64`` before the join — 8 bytes instead of ~50 per n-gram in
+  the broadcast table and the join probe. The string form exists for
+  engines that must compare against a portable oracle (DuckDB has no
+  xxhash64).
+
+A doc with fewer than n tokens has no n-grams: it survives with
+``n_ngrams = 0`` and can never be flagged (explode_outer, not explode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z]+"
+
+
+def word_ngrams(col: F.Column, n: int = 8) -> F.Column:
+    """Distinct word n-grams of lowercased text as an array<string>;
+    empty array when the text has fewer than n tokens. The ``size >= n``
+    guard matters: Spark's ``sequence(1, 0)`` counts *down* (yielding
+    [1, 0]), it is not empty like most engines'."""
+    toks = F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, ngrams).otherwise(F.array()))
+
+
+def benchmark_ngrams(
+    bench: DataFrame, text_col: str, n: int = 8, hash_ngrams: bool = True
+) -> DataFrame:
+    """(ng) relation of the eval set's distinct n-grams — the broadcast
+    side of the contamination join."""
+    ng = F.explode(word_ngrams(F.col(text_col), n)).alias("ng")
+    out = bench.select(ng).distinct()
+    if hash_ngrams:
+        out = out.select(F.xxhash64("ng").alias("ng"))
+    return out
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    hash_ngrams: bool = True,
+) -> DataFrame:
+    """Per-document contamination report against an eval set:
+    (id, n_ngrams, n_matched, overlap, contaminated). ``contaminated``
+    is the standard any-collision flag; ``overlap`` (matched fraction,
+    4 dp) supports threshold policies."""
+    bench_ng = benchmark_ngrams(bench, bench_text_col, n, hash_ngrams).withColumn(
+        "_hit", F.lit(1)
+    )
+    doc_ng = docs.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("ng"),
+    )
+    if hash_ngrams:
+        # xxhash64(NULL) returns the seed, not NULL — preserve the null
+        # marker of a <n-token doc or count("ng") would see a phantom gram
+        doc_ng = doc_ng.select(
+            id_col,
+            F.when(F.col("ng").isNotNull(), F.xxhash64("ng")).alias("ng"),
+        )
+    per_doc = (
+        doc_ng.join(F.broadcast(bench_ng), "ng", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("ng").cast("long").alias("n_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_matched"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_ngrams",
+        "n_matched",
+        F.round(
+            F.when(F.col("n_ngrams") > 0, F.col("n_matched") / F.col("n_ngrams")).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("overlap"),
+        (F.col("n_matched") > 0).alias("contaminated"),
+    )

@@ -1,0 +1,109 @@
+"""Within-document repetition metrics — the Gopher-family quality
+filters that catch boilerplate, keyword stuffing, and generation loops.
+
+``text_quality_scores`` (operators/text.py) judges a document by its
+surface statistics; these metrics judge it by *self-similarity*:
+
+- ``dup_token_ratio``   = 1 − distinct_tokens / total_tokens
+- ``dup_bigram_ratio``  = 1 − distinct_bigrams / total_bigrams
+- ``top_token_share``   = mode token count / total_tokens
+
+The implementation is fully relational so it scales by shuffle, not by
+per-row quadratic work: explode tokens (and bigrams) → count per
+(doc, gram) → aggregate per doc. Two shuffles, both on the doc id —
+partial aggregation collapses each doc's grams map-side, so the shuffle
+carries at most the per-doc *distinct* gram counts. The tempting
+higher-order-function form (``aggregate`` over the token array counting
+the mode in place) is shuffle-free but O(tokens × distinct) per row —
+wrong trade at 100 TB where single documents reach megabytes.
+
+Tokenization matches the TF-IDF / decontamination convention
+(lowercase, ``[^a-z]+`` split) so a doc scores consistently across the
+whole curation stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.operators.decontam import TOKEN_SPLIT_RE
+
+# Gopher-style keep thresholds (Rae et al. 2021 table A1 ballpark):
+# reject keyword-stuffed / looping docs, keep natural prose.
+MAX_DUP_TOKEN_RATIO = 0.4
+MAX_DUP_BIGRAM_RATIO = 0.2
+MAX_TOP_TOKEN_SHARE = 0.2
+
+
+def _gram_stats(grams: DataFrame, id_col: str, prefix: str) -> DataFrame:
+    """(id, gram) → per-id totals: n_<p> total grams, d_<p> distinct
+    grams, top_<p> the mode's count. One shuffle on (id, gram) with
+    map-side combine, then a partial-aggregatable per-id pass."""
+    return (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias(f"n_{prefix}"),
+            F.count(F.lit(1)).cast("long").alias(f"d_{prefix}"),
+            F.max("c").cast("long").alias(f"top_{prefix}"),
+        )
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition report:
+    (id, n_tokens, dup_token_ratio, dup_bigram_ratio, top_token_share,
+    keep). Docs with no tokens (or too few bigrams) score 0 on the
+    affected ratios and are kept — emptiness is the length filter's
+    job, not the repetition filter's."""
+    toks = F.filter(F.split(F.lower(text_col), TOKEN_SPLIT_RE), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("toks"))
+
+    tok_grams = base.select(id_col, F.explode("toks").alias("gram"))
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.array_join(F.slice("toks", i, 2), " "),
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+
+    t = _gram_stats(tok_grams, id_col, "tok")
+    b = _gram_stats(bigrams, id_col, "bg")
+
+    joined = (
+        df.select(id_col)
+        .join(t, id_col, "left")
+        .join(b, id_col, "left")
+        .na.fill({"n_tok": 0, "d_tok": 0, "top_tok": 0, "n_bg": 0, "d_bg": 0})
+    )
+    dup_tok = F.when(
+        F.col("n_tok") > 0, 1.0 - F.col("d_tok") / F.col("n_tok")
+    ).otherwise(F.lit(0.0))
+    dup_bg = F.when(F.col("n_bg") > 0, 1.0 - F.col("d_bg") / F.col("n_bg")).otherwise(
+        F.lit(0.0)
+    )
+    top_share = F.when(
+        F.col("n_tok") > 0, F.col("top_tok") / F.col("n_tok")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        id_col,
+        F.col("n_tok").alias("n_tokens"),
+        F.round(dup_tok, 4).alias("dup_token_ratio"),
+        F.round(dup_bg, 4).alias("dup_bigram_ratio"),
+        F.round(top_share, 4).alias("top_token_share"),
+        (
+            (dup_tok <= MAX_DUP_TOKEN_RATIO)
+            & (dup_bg <= MAX_DUP_BIGRAM_RATIO)
+            & (top_share <= MAX_TOP_TOKEN_SHARE)
+        ).alias("keep"),
+    )

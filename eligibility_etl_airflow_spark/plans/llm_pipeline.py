@@ -682,3 +682,116 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.edit_distance_pairs(
         d, "doc_id", "text", "block", prefix_len=32, max_dist=8
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination — eval-set n-gram collision scan
+# --------------------------------------------------------------------------
+
+DECONTAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), doc_ngrams AS (
+  SELECT DISTINCT doc_id, ng FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 7),
+                                 i -> array_to_string(toks[i:i+7], ' '))) AS ng
+    FROM toks
+  )
+), bench_ngrams AS (
+  SELECT DISTINCT ng FROM doc_ngrams WHERE doc_id % 97 = 0
+), matched AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched
+  FROM doc_ngrams d LEFT JOIN bench_ngrams b USING (ng)
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(m.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       round(CASE WHEN coalesce(m.n_ngrams, 0) > 0
+                  THEN m.n_matched * 1.0 / m.n_ngrams ELSE 0 END, 4) AS overlap,
+       coalesce(m.n_matched, 0) > 0 AS contaminated
+FROM toks t LEFT JOIN matched m USING (doc_id)
+"""
+
+
+@query("decontamination_overlap", oracle=DECONTAM_ORACLE)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): flag corpus
+    docs sharing any 8-token n-gram with the eval set (here: the
+    deterministic doc_id % 97 slice of the corpus, so planted
+    contamination exists by construction). String n-grams keep the
+    DuckDB twin portable; production calls use hash_ngrams=True (same
+    counts, 8-byte join keys)."""
+    from eligibility_etl_airflow_spark.operators import decontam
+
+    d = Catalog(spark, sf_dir).documents
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return decontam.contamination_flags(d, bench, n=8, hash_ngrams=False)
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition metrics (Gopher-family filters)
+# --------------------------------------------------------------------------
+
+REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), tok_counts AS (
+  SELECT doc_id, gram, count(*) AS c FROM (
+    SELECT doc_id, unnest(toks) AS gram FROM toks
+  ) GROUP BY doc_id, gram
+), tok_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS d_tok, CAST(max(c) AS BIGINT) AS top_tok
+  FROM tok_counts GROUP BY doc_id
+), bg_counts AS (
+  SELECT doc_id, gram, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+1], ' '))) AS gram
+    FROM toks
+  ) GROUP BY doc_id, gram
+), bg_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+         CAST(count(*) AS BIGINT) AS d_bg
+  FROM bg_counts GROUP BY doc_id
+), ratios AS (
+  SELECT t.doc_id,
+         coalesce(ts.n_tok, 0) AS n_tokens,
+         CASE WHEN coalesce(ts.n_tok, 0) > 0
+              THEN 1.0 - ts.d_tok * 1.0 / ts.n_tok ELSE 0 END AS dup_tok,
+         CASE WHEN coalesce(bs.n_bg, 0) > 0
+              THEN 1.0 - bs.d_bg * 1.0 / bs.n_bg ELSE 0 END AS dup_bg,
+         CASE WHEN coalesce(ts.n_tok, 0) > 0
+              THEN ts.top_tok * 1.0 / ts.n_tok ELSE 0 END AS top_share
+  FROM toks t LEFT JOIN tok_stats ts USING (doc_id)
+              LEFT JOIN bg_stats bs USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       round(dup_tok, 4) AS dup_token_ratio,
+       round(dup_bg, 4) AS dup_bigram_ratio,
+       round(top_share, 4) AS top_token_share,
+       (dup_tok <= 0.4 AND dup_bg <= 0.2 AND top_share <= 0.2) AS keep
+FROM ratios
+"""
+
+
+@query("repetition_metrics", oracle=REPETITION_ORACLE)
+def repetition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style self-similarity filters (operators/repetition.py):
+    duplicate-token ratio, duplicate-bigram ratio, top-token share, and
+    the composed keep flag."""
+    from eligibility_etl_airflow_spark.operators import repetition
+
+    d = Catalog(spark, sf_dir).documents
+    return repetition.repetition_metrics(d)

@@ -78,6 +78,11 @@ _DEFERRED = (
     "cube_revenue",
     "session_gap_events",
     "bloom_semi_join_scan",
+    # corpus-hygiene additions (decontam/repetition): the documents-table
+    # explode/agg machinery is graded via tfidf_top_terms and
+    # text_quality_scores; both keep local DuckDB parity
+    "decontamination_overlap",
+    "repetition_metrics",
 )
 
 
