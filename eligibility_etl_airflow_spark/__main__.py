@@ -56,6 +56,18 @@ def main(argv: list[str] | None = None) -> int:
         help="corpus-curation only: keep one doc per transitive near-dup "
         "group (component) or drop each pair's higher id (pair)",
     )
+    pp.add_argument(
+        "--repetition-filter",
+        action="store_true",
+        help="corpus-curation only: drop docs failing the Gopher-family "
+        "repetition thresholds",
+    )
+    pp.add_argument(
+        "--decontam-bench",
+        default=None,
+        help="corpus-curation only: parquet path of an eval set (text "
+        "column); docs sharing any 8-gram with it are dropped",
+    )
 
     dp = sub.add_parser(
         "dag", help="run a task-graph orchestration (the Airflow-DAG analog)"
@@ -120,11 +132,12 @@ def main(argv: list[str] | None = None) -> int:
             "events-stream": pipelines.run_events_stream_pipeline,
             "corpus-curation": pipelines.run_corpus_curation_pipeline,
         }[args.name]
-        kwargs = (
-            {"neardup_removal": args.neardup_removal}
-            if args.name == "corpus-curation"
-            else {}
-        )
+        kwargs = {}
+        if args.name == "corpus-curation":
+            kwargs["neardup_removal"] = args.neardup_removal
+            kwargs["repetition_filter"] = args.repetition_filter
+            if args.decontam_bench:
+                kwargs["decontam_bench"] = spark.read.parquet(args.decontam_bench)
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir, **kwargs), default=str))
         return 0
 

@@ -67,19 +67,26 @@ class BloomSketch:
         return int(self.words.nbytes)
 
 
-def _positions_expr(key_col: str, num_bits: int, num_hashes: int) -> str:
-    """SQL expression for the k probe positions of ``key_col`` —
-    identical on build and probe sides by construction. Both hashes are
-    reduced mod m *before* the i·h2 step so a + i·b ≤ (k+1)·m ≪ 2^63 and
-    the arithmetic can never overflow under ANSI mode (Spark 4 default);
+def _position_cols(key_col: str, num_bits: int, num_hashes: int) -> list[Column]:
+    """The k probe-position columns of ``key_col`` — identical on build
+    and probe sides by construction. Both hashes are reduced mod m
+    *before* the i·h2 step so h1 + i·h2 ≤ (k+1)·m ≪ 2^63 and the
+    arithmetic can never overflow under ANSI mode (Spark 4 default);
     h2|1 keeps the stride odd, so reducing mod m (a multiple of 64)
-    preserves oddness and the k probes stay distinct."""
-    h1 = f"pmod(xxhash64(cast({key_col} as string)), {num_bits})"
-    h2 = f"pmod(xxhash64(cast({key_col} as string), 1) | 1, {num_bits})"
-    return (
-        f"transform(sequence(0, {num_hashes - 1}), i -> "
-        f"pmod({h1} + cast(i as bigint) * {h2}, {num_bits}))"
+    preserves oddness and the k probes stay distinct.
+
+    Scalar expressions, not ``element_at(transform(sequence(...)))``:
+    the array form rebuilds the whole k-element array (and its two
+    hashes per element) for every extracted position — O(k²) hash work
+    per row, measured ~2× on the probe stage. The repeated h1/h2
+    subtrees here are collapsed by whole-stage codegen's subexpression
+    elimination."""
+    m = F.lit(num_bits)
+    h1 = F.pmod(F.xxhash64(F.col(key_col).cast("string")), m)
+    h2 = F.pmod(
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(1)).bitwiseOR(F.lit(1)), m
     )
+    return [F.pmod(h1 + F.lit(i) * h2, m) for i in range(num_hashes)]
 
 
 def bloom_build(
@@ -115,9 +122,7 @@ def bloom_build(
     k = min(max(1, round(m / n * math.log(2))), 30)
 
     words_rows = (
-        keys_df.select(
-            F.explode(F.expr(_positions_expr(key_col, m, k))).alias("pos")
-        )
+        keys_df.select(F.explode(F.array(*_position_cols(key_col, m, k))).alias("pos"))
         .groupBy(F.shiftright("pos", 6).alias("word_idx"))
         .agg(F.expr("bit_or(shiftleft(1L, cast(pmod(pos, 64) as int)))").alias("bits"))
         .collect()
@@ -147,8 +152,7 @@ def bloom_might_contain(df: DataFrame, key_col: str, sketch: BloomSketch) -> Col
             ok = hit.astype(bool) if ok is None else (ok & hit.astype(bool))
         return pd.Series(ok)
 
-    pos_array = F.expr(_positions_expr(key_col, sketch.num_bits, sketch.num_hashes))
-    args = [F.element_at(pos_array, i + 1) for i in range(sketch.num_hashes)]
+    args = _position_cols(key_col, sketch.num_bits, sketch.num_hashes)
     # null keys hash like the string "null"? No: xxhash64(NULL) is null →
     # positions null → element_at null. Treat null keys as non-members
     # explicitly, matching semi-join semantics (NULL never equi-matches).

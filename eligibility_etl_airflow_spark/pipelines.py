@@ -107,12 +107,21 @@ def run_corpus_curation_pipeline(
     langs: tuple[str, ...] = ("en", "de", "es", "fr"),
     jaccard_threshold: float = 0.8,
     neardup_removal: str = "component",
+    repetition_filter: bool = False,
+    decontam_bench: DataFrame | None = None,
 ) -> dict:
     """The LLM-training-data lifecycle the beyond-reference operators
     exist for, composed end to end: quality filter → language mix →
+    [optional repetition filter → optional benchmark decontamination] →
     exact dedup (hash keeper) → MinHash near-dup removal → clustered
     curated write. Every stage is the already-tested operator; this
     function is only the composition and the stats contract.
+    ``repetition_filter=True`` drops docs failing the Gopher-family
+    self-similarity thresholds (operators/repetition.py);
+    ``decontam_bench`` (a DataFrame with a ``text`` column) drops docs
+    sharing any 8-gram with that eval set (operators/decontam.py).
+    Both read the cached quality-filtered relation — no extra source
+    scans.
 
     Scale shape: one documents scan feeds the quality/lang filter; exact
     dedup is one hash aggregate; near-dup pairs come from the bucketed
@@ -148,19 +157,45 @@ def run_corpus_curation_pipeline(
         & (F.col("lang").isin(*langs))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     exact_kept = None
+    hygienic = filtered
     try:
         n_filtered = filtered.count()  # materializes the one documents scan
 
+        # optional corpus hygiene, both reading the cache (no re-scan):
+        # repetition filter drops looping/stuffed docs; decontamination
+        # drops docs sharing any 8-gram with the provided eval set
+        n_after_repetition = n_after_decontam = None
+        if repetition_filter:
+            from eligibility_etl_airflow_spark.operators import repetition
+
+            keep_ids = (
+                repetition.repetition_metrics(hygienic)
+                .filter(F.col("keep"))
+                .select("doc_id")
+            )
+            hygienic = hygienic.join(keep_ids, "doc_id", "left_semi")
+            n_after_repetition = hygienic.count()
+        if decontam_bench is not None:
+            from eligibility_etl_airflow_spark.operators import decontam
+
+            dirty_ids = (
+                decontam.contamination_flags(hygienic, decontam_bench)
+                .filter(F.col("contaminated"))
+                .select("doc_id")
+            )
+            hygienic = hygienic.join(dirty_ids, "doc_id", "left_anti")
+            n_after_decontam = hygienic.count()
+
         # exact dedup: keep min doc_id per content hash
         keeper = (
-            filtered.select(
+            hygienic.select(
                 "doc_id", text.fingerprint_md5(F.col("text")).alias("content_hash")
             )
             .groupBy("content_hash")
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id")
         )
-        exact_kept = filtered.join(keeper, "doc_id", "left_semi").persist(
+        exact_kept = hygienic.join(keeper, "doc_id", "left_semi").persist(
             StorageLevel.MEMORY_AND_DISK
         )
         n_exact = exact_kept.count()
@@ -195,12 +230,17 @@ def run_corpus_curation_pipeline(
         filtered.unpersist()
         if exact_kept is not None:
             exact_kept.unpersist()
-    return {
+    stats = {
         "n_total": n_total,
         "n_after_quality_lang": n_filtered,
         "n_after_exact_dedup": n_exact,
         "n_curated": n_curated,
     }
+    if n_after_repetition is not None:
+        stats["n_after_repetition"] = n_after_repetition
+    if n_after_decontam is not None:
+        stats["n_after_decontam"] = n_after_decontam
+    return stats
 
 
 def run_multi_business_unit(

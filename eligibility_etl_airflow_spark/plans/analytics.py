@@ -235,4 +235,10 @@ def bloom_semi_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = cat.lineitem.select(
         "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price")
     )
-    return bloom_semi_join(fact, "l_orderkey", keys, "o_orderkey", fpp=0.01)
+    # size from the footer-only total-orders count (an upper bound on the
+    # filtered key set) instead of bloom_build's approx_count_distinct
+    # pass — overestimating n only lowers fpp, and it skips one job
+    return bloom_semi_join(
+        fact, "l_orderkey", keys, "o_orderkey", fpp=0.01,
+        expected_items=cat.orders.count(),
+    )

@@ -176,3 +176,40 @@ def test_multi_business_unit_fanout(spark, tmp_path):
     # the union is a no-shuffle concatenation of independent subtrees
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan
+
+
+def test_corpus_curation_hygiene_stages(spark, sf_dir, tmp_path):
+    """Opt-in repetition + decontamination stages: funnel stays monotone,
+    decontaminated output shares no 8-gram with the bench set."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.catalog import Catalog
+    from eligibility_etl_airflow_spark.operators import decontam
+
+    bench = (
+        Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 53 == 0).select("text")
+    )
+    stats = pipelines.run_corpus_curation_pipeline(
+        spark,
+        sf_dir,
+        str(tmp_path),
+        min_quality=0.5,
+        repetition_filter=True,
+        decontam_bench=bench,
+    )
+    assert (
+        stats["n_after_quality_lang"]
+        >= stats["n_after_repetition"]
+        >= stats["n_after_decontam"]
+        >= stats["n_after_exact_dedup"]
+        >= stats["n_curated"]
+        > 0
+    )
+    curated = spark.read.parquet(str(tmp_path / "curated_docs"))
+    flagged = (
+        decontam.contamination_flags(curated, bench)
+        .filter(F.col("contaminated"))
+        .count()
+    )
+    assert flagged == 0
