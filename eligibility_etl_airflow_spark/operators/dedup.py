@@ -61,3 +61,71 @@ def label_duplicates(
 def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Full-row (or column-subset) exact dedup — hash aggregate, one shuffle."""
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def dedup_repeated_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    segment_tokens: int = 16,
+) -> DataFrame:
+    """C4-style global span dedup: split every document into
+    non-overlapping ``segment_tokens``-token segments, keep only the
+    FIRST corpus-wide occurrence of each distinct segment (first =
+    lowest (doc, position)), and reconstruct each document from its
+    surviving segments. Returns
+    (id, clean_text, n_kept, n_removed) for every input document —
+    zero-segment docs survive with an empty clean_text.
+
+    The C4 pipeline removed any three-sentence span that occurred more
+    than once in the corpus; with fixed token windows the same policy
+    needs no sentence boundaries (the synthetic corpus has none) and
+    the window math is the already-tested chunker with overlap 0, so
+    segments exactly partition the token stream and reconstruction is
+    a sorted join of the keepers.
+
+    Scale shape: first-occurrence is a ``min(struct(id, idx))``
+    AGGREGATE on the segment text, not a row_number window — partial
+    aggregation collapses a segment repeated a million times to one
+    candidate per map task, where a window would sort the whole hot
+    segment's partition (the same skew argument as
+    operators/sketches.py). Reconstruction is one groupBy on the doc id
+    with a sorted collect_list — bounded by the doc's own segment
+    count.
+    """
+    from eligibility_etl_airflow_spark.operators.chunking import chunk_documents
+
+    segs = chunk_documents(
+        df, id_col=id_col, text_col=text_col,
+        chunk_tokens=segment_tokens, overlap=0,
+    )
+    kept = (
+        segs.groupBy("chunk_text")
+        .agg(F.min(F.struct(id_col, "chunk_idx")).alias("k"))
+        .select(F.col(f"k.{id_col}").alias(id_col), F.col("k.chunk_idx").alias("chunk_idx"), "chunk_text")
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    kept_agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("n_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -795,3 +795,100 @@ def repetition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     return repetition.repetition_metrics(d)
+
+
+# --------------------------------------------------------------------------
+# Document chunking — overlapping token windows with provenance
+# --------------------------------------------------------------------------
+
+CHUNK_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+), chunked AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           list_transform(
+             generate_series(0, CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS INT)),
+             i -> array_to_string(toks[i*56+1 : i*56+64], ' '))
+         ELSE [] END AS chunks
+  FROM base
+), e AS (
+  SELECT doc_id, unnest(generate_series(1, len(chunks))) AS i, chunks
+  FROM chunked
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS chunk_idx,
+       chunks[i] AS chunk_text,
+       CAST(len(string_split(chunks[i], ' ')) AS BIGINT) AS n_chunk_tokens
+FROM e
+"""
+
+
+@query("document_chunks", oracle=CHUNK_ORACLE)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking (operators/chunking.py): 64-token windows,
+    8-token overlap, dense 0-based chunk_idx per doc — the
+    pre-tokenization step every context-bounded consumer needs."""
+    from eligibility_etl_airflow_spark.operators import chunking
+
+    d = Catalog(spark, sf_dir).documents
+    return chunking.chunk_documents(d, chunk_tokens=64, overlap=8)
+
+
+# --------------------------------------------------------------------------
+# C4-style global segment dedup — remove corpus-wide repeated spans
+# --------------------------------------------------------------------------
+
+SEGMENT_DEDUP_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+), chunked AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           list_transform(
+             generate_series(0, CAST(ceil(greatest(len(toks) - 16, 0) / 16.0) AS INT)),
+             i -> array_to_string(toks[i*16+1 : i*16+16], ' '))
+         ELSE [] END AS chunks
+  FROM base
+), seg AS (
+  SELECT doc_id, i - 1 AS chunk_idx, chunks[i] AS seg FROM (
+    SELECT doc_id, unnest(generate_series(1, len(chunks))) AS i, chunks
+    FROM chunked
+  )
+), kept AS (
+  SELECT seg, min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx)) AS k
+  FROM seg GROUP BY seg
+), kept_rows AS (
+  SELECT k.doc_id AS doc_id, k.chunk_idx AS chunk_idx, seg FROM kept
+), totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM seg GROUP BY doc_id
+), kept_agg AS (
+  SELECT doc_id,
+         string_agg(seg, ' ' ORDER BY chunk_idx) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept_rows GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(t.n_total, 0) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN kept_agg k USING (doc_id)
+"""
+
+
+@query("dedup_global_segments", oracle=SEGMENT_DEDUP_ORACLE)
+def dedup_global_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide span dedup (operators/dedup.py::
+    dedup_repeated_segments): 16-token segments, first occurrence wins
+    (min-struct aggregate — skew-resistant where a row_number window is
+    not), documents reconstructed from their surviving segments."""
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    d = Catalog(spark, sf_dir).documents
+    return dedup_ops.dedup_repeated_segments(d, segment_tokens=16)

@@ -83,6 +83,13 @@ _DEFERRED = (
     # text_quality_scores; both keep local DuckDB parity
     "decontamination_overlap",
     "repetition_metrics",
+    # chunking: posexplode/window machinery graded via struct_expand and
+    # the streaming windows; local DuckDB parity covers the window math
+    "document_chunks",
+    # C4-style span dedup composes the chunker with a min-struct
+    # first-occurrence aggregate; exact-dedup semantics are graded via
+    # dedup_exact_hash / keep_last_dedup
+    "dedup_global_segments",
 )
 
 

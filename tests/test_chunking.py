@@ -1,0 +1,108 @@
+"""Chunking invariants: full token coverage, exact overlap between
+consecutive chunks, dense chunk ids, short/empty/null docs, parameter
+validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from eligibility_etl_airflow_spark.operators import chunking
+
+
+def _chunks(spark, text, chunk_tokens=8, overlap=2):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunking.chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    return [(r.chunk_idx, r.chunk_text, r.n_chunk_tokens) for r in rows]
+
+
+def test_reconstruction_and_overlap(spark):
+    toks = [f"w{i}" for i in range(30)]
+    out = _chunks(spark, " ".join(toks), chunk_tokens=8, overlap=2)
+    stride = 6
+    # dense ids, full windows except possibly the last
+    assert [i for i, _, _ in out] == list(range(len(out)))
+    rebuilt = []
+    for idx, text, n in out:
+        words = text.split(" ")
+        assert n == len(words)
+        assert words == toks[idx * stride : idx * stride + 8]
+        rebuilt.extend(words if idx == 0 else words[2:])  # drop the overlap
+    assert rebuilt == toks
+    # consecutive chunks share exactly the overlap
+    for (_, a, _), (_, b, _) in zip(out, out[1:]):
+        assert a.split(" ")[-2:] == b.split(" ")[:2]
+
+
+def test_boundary_sizes(spark):
+    # exactly one window
+    assert len(_chunks(spark, " ".join(["x"] * 8))) == 1
+    # one token past the window -> a second (short but > overlap) chunk
+    two = _chunks(spark, " ".join([f"t{i}" for i in range(9)]))
+    assert len(two) == 2 and two[1][2] == 3  # tokens 7,8,9 (stride 6)
+    # shorter than one window
+    assert _chunks(spark, "a b c") == [(0, "a b c", 3)]
+
+
+def test_empty_and_null_docs_yield_no_chunks(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "one real doc here")],
+        "doc_id long, text string",
+    )
+    out = chunking.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    assert {r.doc_id for r in out} == {4}
+
+
+def test_whitespace_preserving_tokens(spark):
+    # original case and punctuation survive; only whitespace folds
+    out = _chunks(spark, "Hello,  World!\tKeep\nCase", chunk_tokens=8, overlap=2)
+    assert out == [(0, "Hello, World! Keep Case", 4)]
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunking.chunk_documents(df, chunk_tokens=8, overlap=8)
+    with pytest.raises(ValueError, match="overlap"):
+        chunking.chunk_documents(df, chunk_tokens=8, overlap=-1)
+
+
+def test_global_segment_dedup_planted(spark):
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    seg_a = " ".join(f"a{i}" for i in range(4))   # shared span
+    seg_b = " ".join(f"b{i}" for i in range(4))
+    seg_c = " ".join(f"c{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),      # first occurrence of seg_a
+            (2, f"{seg_a} {seg_c}"),      # seg_a repeated -> removed here
+            (3, ""),                      # zero segments
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_ops.dedup_repeated_segments(df, segment_tokens=4).collect()
+    }
+    assert out[1].clean_text == f"{seg_a} {seg_b}" and out[1].n_removed == 0
+    assert out[2].clean_text == seg_c and out[2].n_removed == 1 and out[2].n_kept == 1
+    assert out[3].clean_text == "" and out[3].n_kept == 0 == out[3].n_removed
+
+
+def test_global_segment_dedup_first_occurrence_is_lowest_doc(spark):
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    span = "x y z w"
+    df = spark.createDataFrame(
+        [(10, span), (2, span), (7, span)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_ops.dedup_repeated_segments(df, segment_tokens=4).collect()
+    }
+    assert out[2].n_kept == 1          # lowest doc_id wins
+    assert out[7].n_kept == 0 and out[10].n_kept == 0

@@ -164,3 +164,42 @@ def test_snapshot_diff_is_one_outer_join(spark, sf_dir):
     # no driver-side or nested-loop fallback
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_uses_aggregate_not_window(spark, sf_dir):
+    """First-occurrence selection must be the skew-resistant min-struct
+    AGGREGATE (partial-aggregated map-side), never a row_number window
+    sorting the hot segment's whole partition."""
+    from eligibility_etl_airflow_spark.catalog import Catalog
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    d = Catalog(spark, sf_dir).documents
+    plan = (
+        dedup_ops.dedup_repeated_segments(d, segment_tokens=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # partial aggregation on the segment key: HashAggregate pairs exist
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_bloom_prefilter_runs_in_scan_stage(spark, sf_dir):
+    """The Bloom probe must land in the fact scan's stage: no Exchange
+    between the parquet scan and the Arrow bit-test filter."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.catalog import Catalog
+    from eligibility_etl_airflow_spark.operators import bloom
+
+    cat = Catalog(spark, sf_dir)
+    keys = cat.orders.limit(100).select("o_orderkey")
+    sk = bloom.bloom_build(keys, "o_orderkey", expected_items=100)
+    plan = (
+        bloom.bloom_prefilter(cat.lineitem, "l_orderkey", sk)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # prefilter is map-only over the scan
