@@ -39,6 +39,7 @@ a streaming micro-batch (the reference's incremental-resume shape:
 from __future__ import annotations
 
 import math
+import weakref
 from dataclasses import dataclass
 
 import numpy as np
@@ -53,10 +54,13 @@ from pyspark.sql.types import BooleanType
 MAX_BITS = 1 << 27
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class BloomSketch:
     """A built Bloom filter: the packed bit words plus the two
-    parameters the probe side needs to recompute positions."""
+    parameters the probe side needs to recompute positions.
+    ``eq=False`` keeps identity hashing so a sketch can key the
+    per-sketch broadcast cache below (an ndarray field would make the
+    generated ``__hash__`` raise)."""
 
     words: np.ndarray  # uint64[num_bits // 64]
     num_bits: int
@@ -65,6 +69,17 @@ class BloomSketch:
     @property
     def size_bytes(self) -> int:
         return int(self.words.nbytes)
+
+
+# one SparkContext broadcast per live sketch, however many probes reuse
+# it: a fresh broadcast per bloom_might_contain call would leak up to
+# 16 MiB per call in exactly the repeated-use scenario the module is
+# for (a streaming foreachBatch probing the same sketch every batch).
+# WeakKey: when the sketch goes away, the entry (and eventually the JVM
+# broadcast, via ContextCleaner once the Python ref drops) follows.
+_BROADCASTS: "weakref.WeakKeyDictionary[BloomSketch, object]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _position_cols(key_col: str, num_bits: int, num_hashes: int) -> list[Column]:
@@ -138,24 +153,30 @@ def bloom_might_contain(df: DataFrame, key_col: str, sketch: BloomSketch) -> Col
     True for every present key (no false negatives); true for an absent
     key with probability ≈ fpp."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(sketch.words)
+    bc = _BROADCASTS.get(sketch)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(sketch.words)
+        _BROADCASTS[sketch] = bc
 
     @F.pandas_udf(BooleanType())
     def _test(*pos_cols: pd.Series) -> pd.Series:
         words = bc.value
         ok = None
         for col in pos_cols:
-            # null keys yield null positions (handled by the isNull guard
-            # outside); fill with 0 so the vectorized gather stays valid
+            # positions are non-null even for null keys (xxhash64(NULL)
+            # returns the seed, not NULL) — the isNull guard OUTSIDE this
+            # UDF is what makes null keys non-members; the fillna is a
+            # belt-and-braces bound for any engine-introduced null
             pos = col.fillna(0).to_numpy(dtype=np.int64)
             hit = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
             ok = hit.astype(bool) if ok is None else (ok & hit.astype(bool))
         return pd.Series(ok)
 
     args = _position_cols(key_col, sketch.num_bits, sketch.num_hashes)
-    # null keys hash like the string "null"? No: xxhash64(NULL) is null →
-    # positions null → element_at null. Treat null keys as non-members
-    # explicitly, matching semi-join semantics (NULL never equi-matches).
+    # this guard IS the null semantics: xxhash64(NULL) returns the seed
+    # (not NULL), so without it every null key would probe the positions
+    # of hash(42) and pass whenever those bits happen to be set. Null
+    # keys must be non-members, matching semi-join equi-match semantics.
     return F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(_test(*args))
 
 

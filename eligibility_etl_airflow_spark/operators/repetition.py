@@ -36,19 +36,26 @@ MAX_DUP_BIGRAM_RATIO = 0.2
 MAX_TOP_TOKEN_SHARE = 0.2
 
 
-def _gram_stats(grams: DataFrame, id_col: str, prefix: str) -> DataFrame:
+def _gram_stats(
+    grams: DataFrame, id_col: str, prefix: str, with_top: bool = False
+) -> DataFrame:
     """(id, gram) → per-id totals: n_<p> total grams, d_<p> distinct
-    grams, top_<p> the mode's count. One shuffle on (id, gram) with
-    map-side combine, then a partial-aggregatable per-id pass."""
+    grams, and (``with_top``) top_<p> the mode's count. One shuffle on
+    (id, gram) with map-side combine, then a partial-aggregatable
+    per-id pass. The mode aggregate is opt-in: only the token metrics
+    use it, and carrying it for bigrams would pay aggregation state on
+    the hot path for a column the caller drops."""
+    aggs = [
+        F.sum("c").cast("long").alias(f"n_{prefix}"),
+        F.count(F.lit(1)).cast("long").alias(f"d_{prefix}"),
+    ]
+    if with_top:
+        aggs.append(F.max("c").cast("long").alias(f"top_{prefix}"))
     return (
         grams.groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
-        .agg(
-            F.sum("c").cast("long").alias(f"n_{prefix}"),
-            F.count(F.lit(1)).cast("long").alias(f"d_{prefix}"),
-            F.max("c").cast("long").alias(f"top_{prefix}"),
-        )
+        .agg(*aggs)
     )
 
 
@@ -77,7 +84,7 @@ def repetition_metrics(
         ).alias("gram"),
     )
 
-    t = _gram_stats(tok_grams, id_col, "tok")
+    t = _gram_stats(tok_grams, id_col, "tok", with_top=True)
     b = _gram_stats(bigrams, id_col, "bg")
 
     joined = (

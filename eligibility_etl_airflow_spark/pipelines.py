@@ -157,13 +157,18 @@ def run_corpus_curation_pipeline(
         & (F.col("lang").isin(*langs))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     exact_kept = None
+    hygiene_caches: list[DataFrame] = []
     hygienic = filtered
     try:
         n_filtered = filtered.count()  # materializes the one documents scan
 
         # optional corpus hygiene, both reading the cache (no re-scan):
         # repetition filter drops looping/stuffed docs; decontamination
-        # drops docs sharing any 8-gram with the provided eval set
+        # drops docs sharing any 8-gram with the provided eval set.
+        # Each stage persists its OUTPUT (same discipline as filtered/
+        # exact_kept) so its token-explode/n-gram subtree runs once —
+        # the stage count materializes the cache, and every downstream
+        # consumer (next stage, keeper agg, semi join) reads it.
         n_after_repetition = n_after_decontam = None
         if repetition_filter:
             from eligibility_etl_airflow_spark.operators import repetition
@@ -173,7 +178,10 @@ def run_corpus_curation_pipeline(
                 .filter(F.col("keep"))
                 .select("doc_id")
             )
-            hygienic = hygienic.join(keep_ids, "doc_id", "left_semi")
+            hygienic = hygienic.join(keep_ids, "doc_id", "left_semi").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            hygiene_caches.append(hygienic)
             n_after_repetition = hygienic.count()
         if decontam_bench is not None:
             from eligibility_etl_airflow_spark.operators import decontam
@@ -183,7 +191,10 @@ def run_corpus_curation_pipeline(
                 .filter(F.col("contaminated"))
                 .select("doc_id")
             )
-            hygienic = hygienic.join(dirty_ids, "doc_id", "left_anti")
+            hygienic = hygienic.join(dirty_ids, "doc_id", "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            hygiene_caches.append(hygienic)
             n_after_decontam = hygienic.count()
 
         # exact dedup: keep min doc_id per content hash
@@ -228,6 +239,8 @@ def run_corpus_curation_pipeline(
         n_curated = spark.read.parquet(out_path).count()
     finally:
         filtered.unpersist()
+        for cached in hygiene_caches:
+            cached.unpersist()
         if exact_kept is not None:
             exact_kept.unpersist()
     stats = {

@@ -51,16 +51,25 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("rev"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
             F.count(F.lit(1)).alias("n"),
         )
     )
+    # a (priority, status) combo with zero rows is an absent pivot CELL —
+    # Spark emits NULL for it regardless of any coalesce inside agg (the
+    # agg never ran for that cell), so the zero-fill must happen here to
+    # match the oracle's coalesced conditional sums
+    zf = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731
     return wide.select(
         "o_orderpriority",
-        F.col("F_rev").alias("rev_f"),
-        F.col("O_rev").alias("rev_o"),
-        F.col("P_rev").alias("rev_p"),
-        (F.col("F_n") + F.col("O_n") + F.col("P_n")).cast("long").alias("n_orders"),
+        F.round(zf("F_rev"), 2).alias("rev_f"),
+        F.round(zf("O_rev"), 2).alias("rev_o"),
+        F.round(zf("P_rev"), 2).alias("rev_p"),
+        (
+            F.coalesce(F.col("F_n"), F.lit(0))
+            + F.coalesce(F.col("O_n"), F.lit(0))
+            + F.coalesce(F.col("P_n"), F.lit(0))
+        ).cast("long").alias("n_orders"),
     )
 
 
