@@ -327,3 +327,28 @@ def resize_images(
     return df.select(id_col, binary_col).mapInPandas(
         run, schema=f"{id_col} long, resized binary"
     )
+
+
+def resize_nearest(pixels: "object", out_h: int, out_w: int) -> "object":
+    """REAL nearest-neighbor resample of an (h, w, 3) uint8 pixel array —
+    pure numpy index gather, no PIL. Source index for output row r is
+    floor(r·h/out_h) (the standard box-anchor mapping), so upscale and
+    downscale both work and a same-size call is the identity."""
+    import numpy as np
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    if h == 0 or w == 0 or out_h <= 0 or out_w <= 0:
+        raise ValueError(f"bad resize {h}x{w} -> {out_h}x{out_w}")
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return pixels[rows][:, cols]
+
+
+def bmp_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resizer for uncompressed BMP payloads: decode → nearest-
+    neighbor resample → re-encode. Drop-in for ``resize_images``'s
+    ``resizer`` argument, so the whole resize path (Arrow batching,
+    schema, null handling) runs against genuine image bytes; compressed
+    codecs keep the PIL import gate via ``fake_resizer``/
+    ``real_image_decoder``."""
+    return encode_bmp_rgb24(resize_nearest(decode_bmp(payload), height, width))

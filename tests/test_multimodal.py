@@ -158,3 +158,40 @@ def test_decoder_gates_stay_honest():
     struct.pack_into("<H", bad, 28, 8)  # claim 8bpp
     with _pytest.raises(NotImplementedError):
         mm.decode_bmp(bytes(bad))
+
+
+def test_resize_nearest_exact_indices():
+    import numpy as np
+
+    import pytest
+
+    from eligibility_etl_airflow_spark.operators import multimodal as mm
+
+    # 4x4 gradient -> 2x2 picks rows/cols {0,2}
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = mm.resize_nearest(px, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert (small == px[[0, 2]][:, [0, 2]]).all()
+    # identity at same size; upscale repeats source pixels
+    assert (mm.resize_nearest(px, 4, 4) == px).all()
+    up = mm.resize_nearest(px, 8, 8)
+    assert (up[0] == up[1]).all() and (up[0, 0] == px[0, 0]).all()
+    with pytest.raises(ValueError):
+        mm.resize_nearest(px, 0, 2)
+
+
+def test_bmp_resize_roundtrip_in_spark(spark):
+    import numpy as np
+
+    from eligibility_etl_airflow_spark.operators import multimodal as mm
+
+    px = np.arange(6 * 6 * 3, dtype=np.uint8).reshape(6, 6, 3)
+    payload = mm.encode_bmp_rgb24(px)
+    df = spark.createDataFrame([(1, bytearray(payload)), (2, None)], "id long, img binary")
+    out = {
+        r.id: r.resized
+        for r in mm.resize_images(df, "img", "id", 3, 3, resizer=mm.bmp_resizer).collect()
+    }
+    assert out[2] is None
+    got = mm.decode_bmp(bytes(out[1]))
+    assert (got == px[[0, 2, 4]][:, [0, 2, 4]]).all()
