@@ -150,16 +150,31 @@ def llm_per_group(
     retry = retry or RetryPolicy()
 
     def handle(group: pd.DataFrame) -> dict:
+        # tokens are billed per CALL, so every attempt that reached the
+        # service counts — a retried group reports the SUM of its
+        # attempts' tokens, and a group that ultimately fails still
+        # carries what its failed attempts billed (the reference
+        # accumulates per call, predictions.py:320-339; reporting only
+        # the winning attempt would under-state real spend on any retry)
+        billed = {"in": 0, "out": 0}
+
         def call() -> dict:
             resp = respond(group)
             if isinstance(resp, str):
                 return parse(resp)
+            billed["in"] += int(resp.input_tokens)
+            billed["out"] += int(resp.output_tokens)
             out = dict(parse(resp.text))
-            out["__input_tokens__"] = int(resp.input_tokens)
-            out["__output_tokens__"] = int(resp.output_tokens)
+            out["__input_tokens__"] = billed["in"]
+            out["__output_tokens__"] = billed["out"]
             return out
 
-        return retry.run(call, lambda _exc: {"__failed__": True})
+        result = retry.run(call, lambda _exc: {"__failed__": True})
+        if result.get("__failed__") and (billed["in"] or billed["out"]):
+            result = dict(result)
+            result["__input_tokens__"] = billed["in"]
+            result["__output_tokens__"] = billed["out"]
+        return result
 
     parts = df.repartition(group_col).sortWithinPartitions(group_col)
 

@@ -624,6 +624,7 @@ def edit_distance_pairs(
     block_col: str,
     prefix_len: int = 32,
     max_dist: int = 8,
+    max_block_size: int = 1000,
 ) -> DataFrame:
     """Blocked Levenshtein fuzzy pairs — the edit-distance member of the
     dedup family (typo-level duplicates the token/shingle measures are
@@ -641,7 +642,18 @@ def edit_distance_pairs(
 
     Returns ``(block, id_a, id_b, edit_dist)`` with
     ``edit_dist ≤ max_dist``, each unordered pair once (``id_a < id_b``).
+
+    ``max_block_size`` is the family-standard degenerate-block guard
+    (same contract as ``fingerprint_overlap_pairs``/
+    ``embedding_neardup_pairs``): a block holding b documents produces
+    O(b²) DP comparisons, so one boilerplate block — millions of short
+    same-language docs all in ``en#0`` — would dominate the whole job.
+    Oversize blocks are dropped, bounding the join at
+    cap² × blocks; the window count rides the same block-key shuffle
+    the self-join needs anyway.
     """
+    from pyspark.sql.window import Window
+
     keyed = _with_normalized_text(
         df, id_col, text_col, extra={"block": F.col(block_col)}
     ).select(
@@ -649,6 +661,14 @@ def edit_distance_pairs(
         "block",
         F.substring(F.col("_norm"), 1, prefix_len).alias("key"),
     )
+    if max_block_size is not None:
+        keyed = (
+            keyed.withColumn(
+                "_bn", F.count(F.lit(1)).over(Window.partitionBy("block"))
+            )
+            .filter(F.col("_bn") <= max_block_size)
+            .drop("_bn")
+        )
     a = keyed.select(F.col("id").alias("id_a"), "block", F.col("key").alias("key_a"))
     b = keyed.select(F.col("id").alias("id_b"), "block", F.col("key").alias("key_b"))
     dist = F.levenshtein(F.col("key_a"), F.col("key_b"), max_dist)

@@ -135,13 +135,17 @@ def pack_stats(packed: DataFrame, token_col: str, pack_col: str, budget: int) ->
         F.sum("is_oversize").cast("long").alias("n_oversize_packs"),
         F.sum("pack_tokens").cast("long").alias("total_tokens"),
         F.round(
-            F.sum(
-                F.when(F.col("is_oversize") == 0, F.col("pack_tokens")).otherwise(0)
-            )
-            / (
-                F.sum(F.when(F.col("is_oversize") == 0, 1).otherwise(0))
-                * F.lit(float(budget))
-            ),
+            F.when(
+                F.sum(F.when(F.col("is_oversize") == 0, 1).otherwise(0)) > 0,
+                F.sum(
+                    F.when(F.col("is_oversize") == 0, F.col("pack_tokens")).otherwise(0)
+                )
+                / (
+                    F.sum(F.when(F.col("is_oversize") == 0, 1).otherwise(0))
+                    * F.lit(float(budget))
+                ),
+            ).otherwise(F.lit(0.0)),  # all-oversize corpus: no utilization,
+            # not a DIVIDE_BY_ZERO (ANSI mode is on in this project)
             4,
         ).alias("utilization"),
     )

@@ -122,9 +122,14 @@ def rest_transport(
         session = make_session()
 
         def call(row: dict) -> dict:
+            # payload construction runs OUTSIDE the transport try: a bug
+            # in the caller's build_payload (KeyError on a missing field)
+            # must surface as itself, not be laundered into TransportError
+            # and silently degraded into an error row for every input
+            payload = to_payload(row)
             try:
                 resp = session.request(
-                    method, url, json=to_payload(row),
+                    method, url, json=payload,
                     headers=headers, timeout=timeout_s,
                 )
                 resp.raise_for_status()

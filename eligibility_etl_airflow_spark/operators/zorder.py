@@ -97,6 +97,22 @@ def with_zorder(
         )
     if key_col in df.columns:
         raise ValueError(f"column {key_col!r} already exists in the input")
+    # explicit type check: relying on cast("double") to fail only holds
+    # under ANSI mode — with ANSI off, non-numeric values cast to NULL
+    # and would silently collapse into one bucket (or trip the unrelated
+    # all-NULL error), not raise as the contract promises
+    non_numeric = [
+        c
+        for c in cols
+        if df.schema[c].dataType.simpleString()
+        not in ("tinyint", "smallint", "int", "bigint", "float", "double", "date", "timestamp", "timestamp_ntz")
+        and not df.schema[c].dataType.simpleString().startswith("decimal")
+    ]
+    if non_numeric:
+        raise ValueError(
+            f"non-numeric z-order columns: {non_numeric} — encode strings "
+            "with lex_prefix_code first"
+        )
     n_bnd = (1 << bits) - 1
     probs = [(i + 1) / (1 << bits) for i in range(n_bnd)]
     numeric = df.select(

@@ -281,6 +281,8 @@ def run_multi_business_unit(
     ``out_dir/<query_name>``; the lazy union is returned either way for
     further composition.
     """
+    if not sources:
+        raise ValueError("sources must not be empty: pass {business_unit: source_dir}")
     fn = _query(query_name)
     parts = [
         fn(spark, src).withColumn(bu_col, F.lit(bu)) for bu, src in sources.items()

@@ -654,11 +654,14 @@ def domain_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 EDIT_DIST_ORACLE = r"""
-WITH k AS (
+WITH k0 AS (
   SELECT doc_id,
          lang || '#' || CAST(n_chars // 100 AS VARCHAR) AS block,
          substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 32) AS key
   FROM documents
+), k AS (
+  -- mirror of the operator's max_block_size=1000 degenerate-block guard
+  SELECT * FROM k0 QUALIFY count(*) OVER (PARTITION BY block) <= 1000
 )
 SELECT a.block AS block,
        a.doc_id AS id_a,

@@ -116,3 +116,60 @@ def test_metrics_totals_sums_token_columns(spark):
         {"total_in": "in_tokens", "total_out": "out_tokens", "total_cost": "cost"},
     ).first()
     assert (row.total_in, row.total_out, row.total_cost) == (350, 60, 1.75)
+
+
+def test_token_accounting_accumulates_across_retries(spark):
+    """Tokens are billed per CALL: a group whose first response fails to
+    parse reports the SUM of both attempts' tokens; a group that never
+    parses still carries what its failed attempts billed."""
+    from eligibility_etl_airflow_spark.operators.external import (
+        RetryPolicy,
+        llm_per_group,
+    )
+    from eligibility_etl_airflow_spark.operators.transports import ChatResult
+
+    calls = {}
+
+    def respond(group):
+        gid = int(group["g"].iloc[0])
+        calls[gid] = calls.get(gid, 0) + 1
+        # g=1: first attempt malformed, second parses; g=2: never parses
+        bad = (gid == 1 and calls[gid] == 1) or gid == 2
+        return ChatResult(
+            text="not json at all {{{" if bad else '{"ok": 1}',
+            input_tokens=10,
+            output_tokens=5,
+        )
+
+    def parse(text):
+        import json
+
+        return json.loads(text)
+
+    def merge(batch, parsed):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "g": batch["g"],
+                "failed": [bool(m.get("__failed__", False)) for m in parsed],
+                "in_tok": [m.get("__input_tokens__", 0) for m in parsed],
+                "out_tok": [m.get("__output_tokens__", 0) for m in parsed],
+            }
+        )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "g long, v string").coalesce(1)
+    out = {
+        r.g: r
+        for r in llm_per_group(
+            df,
+            group_col="g",
+            respond=respond,
+            parse=parse,
+            result_schema="g long, failed boolean, in_tok long, out_tok long",
+            merge_batch=merge,
+            retry=RetryPolicy(attempts=2, backoff_s=0.0),
+        ).collect()
+    }
+    assert not out[1].failed and out[1].in_tok == 20 and out[1].out_tok == 10
+    assert out[2].failed and out[2].in_tok == 20 and out[2].out_tok == 10

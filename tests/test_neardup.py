@@ -461,3 +461,19 @@ def test_edit_distance_threshold_boundary(spark):
     }
     # (1,2) distance 4 > max_dist excluded; (1,3) distance 1; (2,3) distance 3
     assert got == {(1, 3): 1, (2, 3): 3}
+
+
+def test_edit_distance_pairs_block_cap(spark):
+    """A degenerate block past max_block_size is dropped, never expanded
+    quadratically — the family-standard boilerplate guard."""
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    rows = [(i, f"text number {i}", "hot") for i in range(10)]
+    rows += [(100, "other doc a", "cold"), (101, "other doc b", "cold")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, block string")
+    out = neardup.edit_distance_pairs(
+        df, "doc_id", "text", "block", prefix_len=32, max_dist=20, max_block_size=5
+    )
+    blocks = {r.block for r in out.collect()}
+    assert "hot" not in blocks  # 10 > cap of 5: dropped
+    assert "cold" in blocks     # small block still pairs

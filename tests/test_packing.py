@@ -123,3 +123,16 @@ def test_pack_null_tokens_raise_clearly(spark):
     )
     with pytest.raises(Exception, match="null values in 'n_tokens'"):
         packing.pack_sequences(d, "doc_id", "n_tokens", 100, n_shards=2).collect()
+
+
+def test_pack_stats_all_oversize_no_divide_by_zero(spark):
+    from eligibility_etl_airflow_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(1, 700), (2, 800)], "doc_id long, n_tokens long"
+    )
+    packed = packing.pack_sequences(df, "doc_id", "n_tokens", budget=512)
+    row = packing.pack_stats(packed, "n_tokens", "pack_id", budget=512).head()
+    # ANSI mode: an unguarded division here raised DIVIDE_BY_ZERO
+    assert row.utilization == 0.0
+    assert row.n_oversize_packs == row.n_packs

@@ -297,3 +297,18 @@ def test_chat_respond_through_llm_per_group(spark):
 
     assert list(out.status) == ["ok", "ok", "failed", "ok"]
     assert list(out.in_tok) == [5, 5, 0, 5]
+
+
+def test_rest_transport_payload_bug_is_not_laundered():
+    """A KeyError in the caller's build_payload must surface as itself,
+    not become a TransportError error-row for every input."""
+    from eligibility_etl_airflow_spark.operators import transports
+
+    t = transports.rest_transport(
+        "http://example.invalid/x",
+        build_payload=lambda row: {"k": row["missing_key"]},
+        session_factory=lambda: FakeSession(lambda payload: FakeResponse(200, {})),
+    )
+    call = t()
+    with pytest.raises(KeyError):
+        call({"present": 1})
