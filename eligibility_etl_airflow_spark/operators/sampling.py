@@ -58,3 +58,108 @@ def resample_to_mix(
         s: min(1.0, (total * share) / counts[s]) for s, share in shares.items()
     }
     return df.sampleBy(stratum_col, fractions, seed)
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    test_frac: float = 0.1,
+    seed: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, leakage-free train/test split by key hash.
+
+    The standard random split (``randomSplit``/``rand()``) is a property
+    of the RUN — rerun the job, shuffle the files, or add rows and the
+    membership changes, silently leaking test examples into training.
+    This split is a property of the KEY: side = md5(seed || id), so the
+    same id lands on the same side in every run, across engines, and in
+    incrementally-arriving data (the eval set of batch N+1 is a superset
+    of batch N's — append-consistent).
+
+    Mechanics: compare the first 8 hex chars of the md5 against the
+    threshold hex for ``test_frac`` (md5 is uniform, so a lexicographic
+    prefix compare selects the fraction; hex strings compare identically
+    in every engine, which keeps the DuckDB twin exact — unlike
+    xxhash64, which DuckDB lacks). Map-only, no shuffle; fraction holds
+    within O(1/sqrt(n)).
+
+    Null ids go to train: a null key cannot be looked up for leakage
+    checks, so it must never be in the eval set.
+    """
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
+    threshold = format(int(test_frac * 16**8), "08x")
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))), 1, 8
+    )
+    return df.withColumn(
+        split_col,
+        F.when(
+            F.col(id_col).isNotNull() & (h < F.lit(threshold)), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_by: list[str],
+    id_name: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based row ids in ``order_by`` order — zipWithIndex without
+    leaving the DataFrame API and without the single-partition
+    ``Window.orderBy()`` collapse.
+
+    Two passes: range-partition on the order key (so partition p holds
+    exactly the rows ranked before partition p+1), count rows per
+    partition (driver receives one scalar PER PARTITION — bounded by the
+    partition count, never by data), then partition-local row_number
+    plus the broadcast cumulative offset. Global total order with no
+    global sort bottleneck: the only all-to-all movement is the range
+    shuffle itself.
+
+    ``order_by`` must be a total order (include a unique tiebreaker);
+    ties would make ids run-dependent.
+
+    The ranged relation is persisted (MEMORY_AND_DISK) so the count pass
+    and the id pass see the SAME partitioning — spark_partition_id is a
+    physical property, and recomputing the range shuffle between the two
+    actions would re-sample its boundaries. Cache lifecycle belongs to
+    the caller (unpersist via ``spark.catalog.clearCache()`` or let LRU
+    evict), same contract as the near-dup pair generators.
+    """
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        part.withColumn(
+            id_name,
+            (F.row_number().over(w) - 1 + offset_expr).cast("long"),
+        )
+        .drop("_pid")
+    )

@@ -531,3 +531,50 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = Catalog(spark, sf_dir).orders
     return sketches.heavy_hitters(o, "o_orderpriority", min_share=0.05, eps=1e-3)
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/test split + contiguous id assignment
+# --------------------------------------------------------------------------
+
+SPLIT_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id IS NOT NULL
+                 AND substring(md5('split-v1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '1999999a'
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@query("train_test_split_hash", oracle=SPLIT_ORACLE)
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split by key hash (operators/sampling.py::
+    assign_split): membership is a pure function of (seed, id), so it is
+    stable across runs, engines, and incremental data arrival — unlike
+    randomSplit, whose membership is a property of the run. 10% test via
+    md5-prefix threshold (0.1 · 16^8 = 0x1999999a), map-only."""
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    return sampling.assign_split(d, "doc_id", test_frac=0.1)
+
+
+CONTIG_IDS_ORACLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+FROM documents
+"""
+
+
+@query("contiguous_row_ids", oracle=CONTIG_IDS_ORACLE)
+def contiguous_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row ids in key order (operators/sampling.py::
+    assign_contiguous_ids) — zipWithIndex as DataFrame ops: range
+    shuffle + per-partition counts (driver gets one scalar per
+    partition) + partition-local row_number with broadcast offsets. No
+    single-partition global sort."""
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id")
+    return sampling.assign_contiguous_ids(d, ["doc_id"])

@@ -90,6 +90,10 @@ _DEFERRED = (
     # first-occurrence aggregate; exact-dedup semantics are graded via
     # dedup_exact_hash / keep_last_dedup
     "dedup_global_segments",
+    # split/ids: pure-function-of-key column logic and a window the
+    # graded W1/W2 rows already cover; local parity pins both
+    "train_test_split_hash",
+    "contiguous_row_ids",
 )
 
 

@@ -136,3 +136,46 @@ def test_pack_stats_all_oversize_no_divide_by_zero(spark):
     # ANSI mode: an unguarded division here raised DIVIDE_BY_ZERO
     assert row.utilization == 0.0
     assert row.n_oversize_packs == row.n_packs
+
+
+def test_assign_split_stable_and_appendconsistent(spark):
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    s1 = {r.k: r.split for r in sampling.assign_split(a, "k", 0.2).collect()}
+    s2 = {r.k: r.split for r in sampling.assign_split(a, "k", 0.2).collect()}
+    assert s1 == s2  # run-stable
+    # append consistency: adding rows never flips existing membership
+    b = spark.range(0, 4000).select(F.col("id").alias("k"))
+    s3 = {r.k: r.split for r in sampling.assign_split(b, "k", 0.2).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+    frac = sum(1 for v in s3.values() if v == "test") / len(s3)
+    assert 0.15 < frac < 0.25  # O(1/sqrt(n)) around 0.2
+    # null ids always train; different seed → different membership
+    withnull = spark.createDataFrame([(None,), (1,)], "k long")
+    rows = {r.k: r.split for r in sampling.assign_split(withnull, "k", 0.99).collect()}
+    assert rows[None] == "train"
+    s4 = {r.k: r.split for r in sampling.assign_split(a, "k", 0.2, seed="v2").collect()}
+    assert s4 != s1
+    import pytest
+
+    with pytest.raises(ValueError, match="test_frac"):
+        sampling.assign_split(a, "k", 1.5)
+
+
+def test_assign_contiguous_ids_dense_and_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    df = spark.range(0, 500).select((F.col("id") * 7 % 500).alias("k")).repartition(8)
+    out = sampling.assign_contiguous_ids(df, ["k"], num_partitions=5)
+    rows = sorted((r.k, r.row_id) for r in out.collect())
+    assert [rid for _, rid in rows] == list(range(500))  # dense 0..n-1
+    assert [k for k, _ in rows] == sorted(k for k, _ in rows)  # id order == key order
+    import pytest
+
+    with pytest.raises(ValueError, match="order_by"):
+        sampling.assign_contiguous_ids(df, [])
