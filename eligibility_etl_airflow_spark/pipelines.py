@@ -293,3 +293,74 @@ def run_multi_business_unit(
     if out_dir is not None:
         sinks.write_parquet(out, os.path.join(out_dir, query_name))
     return out
+
+
+def run_training_prep_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    budget: int = 512,
+    test_frac: float = 0.1,
+) -> dict:
+    """From curated documents to packed training examples: chunk →
+    document-level train/test split → per-split sequence packing →
+    partitioned parquet. The composition the chunking/split/packing
+    operators exist for.
+
+    The split is assigned on the DOCUMENT id, then inherited by every
+    chunk — splitting at chunk level would put sibling chunks of one
+    document (overlapping by construction) on both sides, which is
+    verbatim train/test leakage. Packing runs independently per split so
+    no pack mixes sides. Output is one parquet tree partitioned by
+    ``split``, rows = (doc_id, chunk_idx, chunk_uid, n_chunk_tokens,
+    pack_id, oversize, chunk_text).
+
+    Scale shape: every stage is an already-argued operator (chunking is
+    a scan-stage map; the split is map-only; packing is one shuffle into
+    hash shards); the only new cost here is the final partitioned write.
+    """
+    from eligibility_etl_airflow_spark.catalog import Catalog
+    from eligibility_etl_airflow_spark.operators import chunking, packing, sampling
+
+    docs = Catalog(spark, sf_dir).documents
+    chunks = chunking.chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=overlap
+    ).withColumn(
+        "chunk_uid",
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")),
+    )
+    split_docs = sampling.assign_split(
+        docs.select("doc_id"), "doc_id", test_frac=test_frac
+    )
+    chunks = chunks.join(split_docs, "doc_id")
+
+    packed_parts = []
+    for side in ("train", "test"):
+        part = chunks.filter(F.col("split") == side)
+        packed = packing.pack_sequences(
+            part.select("chunk_uid", "n_chunk_tokens"),
+            "chunk_uid",
+            "n_chunk_tokens",
+            budget=budget,
+        )
+        packed_parts.append(
+            part.join(packed.select("chunk_uid", "pack_id", "oversize"), "chunk_uid")
+        )
+    out = packed_parts[0].unionByName(packed_parts[1])
+    out_path = os.path.join(out_dir, "packed_chunks")
+    out.write.mode("overwrite").partitionBy("split").parquet(out_path)
+
+    written = spark.read.parquet(out_path)
+    counts = {
+        r["split"]: r["n"]
+        for r in written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_packs = written.select("split", "pack_id").distinct().count()
+    return {
+        "n_docs": docs.count(),
+        "n_chunks_train": counts.get("train", 0),
+        "n_chunks_test": counts.get("test", 0),
+        "n_packs": n_packs,
+    }

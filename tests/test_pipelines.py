@@ -213,3 +213,33 @@ def test_corpus_curation_hygiene_stages(spark, sf_dir, tmp_path):
         .count()
     )
     assert flagged == 0
+
+
+def test_training_prep_pipeline(spark, sf_dir, tmp_path):
+    """Chunk → doc-level split → pack → partitioned write: no document
+    straddles the split, packs never mix sides, budgets hold."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark import pipelines
+
+    stats = pipelines.run_training_prep_pipeline(
+        spark, sf_dir, str(tmp_path), chunk_tokens=32, overlap=4, budget=128
+    )
+    assert stats["n_chunks_train"] > 0 and stats["n_chunks_test"] > 0
+    out = spark.read.parquet(str(tmp_path / "packed_chunks"))
+    # leakage: every doc appears on exactly one side
+    straddlers = (
+        out.select("doc_id", "split").distinct()
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).count()
+    )
+    assert straddlers == 0
+    # budget: non-oversize packs respect it (pack ids are per split)
+    over = (
+        out.filter(~F.col("oversize"))
+        .groupBy("split", "pack_id")
+        .agg(F.sum("n_chunk_tokens").alias("tok"))
+        .filter(F.col("tok") > 128)
+        .count()
+    )
+    assert over == 0
