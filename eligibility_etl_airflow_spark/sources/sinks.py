@@ -130,6 +130,49 @@ def resume_filter(df: DataFrame, spark: SparkSession, sink_path: str, keys: list
     return df.join(done, keys, "left_anti")
 
 
+def resume_filter_bloom(
+    df: DataFrame,
+    spark: SparkSession,
+    sink_path: str,
+    key: str,
+    sketch=None,
+    fpp: float = 0.01,
+):
+    """Bloom-accelerated resume: same result as :func:`resume_filter`
+    (single key), paying the sink anti-join only for rows that MIGHT be
+    in the sink.
+
+    The plain resume shuffles the whole incoming batch against the whole
+    sink key set every run; as the sink grows to 100 TB that anti-join
+    dominates the incremental job even when almost nothing is a
+    duplicate. Split on the sketch instead: bloom-NEGATIVE rows are
+    definitely absent from the sink (no false negatives) and pass
+    straight through with no join at all; only the bloom-positive
+    residue — true duplicates + fpp of the rest — takes the exact
+    anti-join, which removes the false positives. Exactness is
+    preserved; the anti-join input shrinks by ≈ (1 − fpp) of the
+    non-duplicates.
+
+    Returns ``(filtered_df, sketch)``. Build the sketch once per run (or
+    reuse across a streaming job's micro-batches — the cross-batch case
+    operators/bloom.py exists for) and pass it back in; pass ``None``
+    to build from the current sink keys.
+    """
+    from eligibility_etl_airflow_spark.operators import bloom
+
+    if not os.path.exists(sink_path):
+        return df, sketch
+    if sketch is None:
+        done_keys = spark.read.parquet(sink_path).select(key)
+        sketch = bloom.bloom_build(done_keys, key, fpp=fpp)
+    might = bloom.bloom_might_contain(df, key, sketch)
+    definite_new = df.filter(~might)
+    candidates = df.filter(might)
+    done = spark.read.parquet(sink_path).select(key)
+    survivors = candidates.join(done, key, "left_anti")
+    return definite_new.unionByName(survivors), sketch
+
+
 def keep_last(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """Deterministic keep-last dedup: pandas ``drop_duplicates(keep='last')``
     depends on row order (dags/eligibilty_etl.py:146); the engine demands

@@ -84,3 +84,28 @@ def test_positions_computed_jvm_side(spark):
     plan = bloom.bloom_prefilter(fact, "fk", sk)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_resume_filter_bloom_matches_plain_resume(spark, tmp_path):
+    """Bloom-accelerated resume is result-identical to the plain
+    anti-join resume, and the returned sketch is reusable."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.sources import sinks
+
+    sink = str(tmp_path / "sink")
+    spark.range(0, 500).select(F.col("id").alias("k"), F.lit("old").alias("v")).write.parquet(sink)
+    batch = spark.range(250, 1000).select(F.col("id").alias("k"), F.lit("new").alias("v"))
+
+    plain = sinks.resume_filter(batch, spark, sink, ["k"])
+    fast, sketch = sinks.resume_filter_bloom(batch, spark, sink, "k")
+    assert sketch is not None
+    assert sorted(r.k for r in fast.collect()) == sorted(r.k for r in plain.collect())
+    # second batch reuses the sketch (the cross-micro-batch shape)
+    batch2 = spark.range(400, 1200).select(F.col("id").alias("k"), F.lit("new").alias("v"))
+    fast2, sketch2 = sinks.resume_filter_bloom(batch2, spark, sink, "k", sketch=sketch)
+    assert sketch2 is sketch
+    assert sorted(r.k for r in fast2.collect()) == list(range(500, 1200))
+    # missing sink: batch passes through untouched
+    passthrough, sk = sinks.resume_filter_bloom(batch, spark, str(tmp_path / "nope"), "k")
+    assert sk is None and passthrough.count() == batch.count()
