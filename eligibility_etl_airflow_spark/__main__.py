@@ -45,6 +45,7 @@ def main(argv: list[str] | None = None) -> int:
             "resubmission",
             "events-stream",
             "corpus-curation",
+            "training-prep",
         ],
     )
     pp.add_argument("--out-dir", required=True)
@@ -131,6 +132,7 @@ def main(argv: list[str] | None = None) -> int:
             "resubmission": pipelines.run_resubmission_pipeline,
             "events-stream": pipelines.run_events_stream_pipeline,
             "corpus-curation": pipelines.run_corpus_curation_pipeline,
+            "training-prep": pipelines.run_training_prep_pipeline,
         }[args.name]
         kwargs = {}
         if args.name == "corpus-curation":

@@ -146,20 +146,24 @@ def assign_contiguous_ids(
         (r["_pid"], r["n"])
         for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )
-    offsets: dict[int, int] = {}
+    offsets = []
     acc = 0
     for pid, n in counts:
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += n
-    offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("_pid"),
-    ) if offsets else F.lit(0)
+    # broadcast join, not a create_map literal: with thousands of
+    # partitions an inlined map is a plan-sized expression; the offsets
+    # relation is partition-count rows and broadcasts for free
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset long"
+    )
     w = Window.partitionBy("_pid").orderBy(*order_by)
     return (
-        part.withColumn(
+        part.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(
             id_name,
-            (F.row_number().over(w) - 1 + offset_expr).cast("long"),
+            (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"),
         )
-        .drop("_pid")
+        .drop("_pid", "_offset")
     )
