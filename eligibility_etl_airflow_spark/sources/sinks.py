@@ -57,6 +57,19 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """ORC sink — the other columnar format Spark ships natively
+    (predicate pushdown, zone maps, and partitioned layout work the same
+    as parquet's). Completes the format matrix for consumers standardized
+    on ORC (Hive-lineage warehouses)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,

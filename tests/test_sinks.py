@@ -255,3 +255,20 @@ def test_merge_upsert_table_guards_and_gate(spark, tmp_path):
         assert "MERGE" in str(ei.value).upper()
     finally:
         spark.sql("DROP TABLE IF EXISTS merge_seam_v1")
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.sources import sinks
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("part"), (F.col("id") * 1.5).alias("v")
+    )
+    p = str(tmp_path / "orc")
+    sinks.write_orc(df, p, partition_by=["part"])
+    back = spark.read.orc(p)
+    assert back.count() == 100
+    # partition discovery infers the directory values' type (ints here)
+    assert {str(r.part) for r in back.select("part").distinct().collect()} == {"0", "1", "2"}
+    assert back.filter(F.col("id") == 7).head().v == 10.5
