@@ -251,3 +251,94 @@ def bloom_semi_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact, "l_orderkey", keys, "o_orderkey", fpp=0.01,
         expected_items=cat.orders.count(),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group sampling — exact k per group, run-stable
+# --------------------------------------------------------------------------
+
+GROUP_SAMPLE_ORACLE = """
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('s1|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+@query("group_sample_deterministic", oracle=GROUP_SAMPLE_ORACLE)
+def group_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k rows per group, chosen pseudo-randomly but
+    DETERMINISTICALLY: rank by md5(seed || id) within the group. The
+    ``rand()``-based alternative is partition-order-dependent (a rerun
+    or repartition changes the sample); hashing the key makes the draw a
+    pure function of (seed, id) — same run-stability argument as
+    assign_split, and the per-group twin of sampleBy's Bernoulli draw
+    when you need exact counts (per-domain eval sets)."""
+    d = Catalog(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("s1|"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-bound histogram — map-only binning + one aggregate
+# --------------------------------------------------------------------------
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("price_histogram", oracle=HISTOGRAM_ORACLE)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram: data-independent bucket edges make the
+    binning a map-only projection + one partial-aggregated shuffle — the
+    scale-safe form (an ntile/equal-population binning needs a global
+    range partition; the quantile-edge variant is extras.percentile_stats
+    feeding these same fixed buckets)."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlation / dispersion statistics per group
+# --------------------------------------------------------------------------
+
+CORR_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_extendedprice), 2) AS stddev_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("feature_correlations", oracle=CORR_ORACLE)
+def feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / sample covariance / stddev per group — the
+    feature-analysis statistics (all partial-aggregatable co-moment
+    sketches: one shuffle of constant-size state per group)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+    )

