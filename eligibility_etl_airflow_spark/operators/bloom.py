@@ -104,6 +104,20 @@ def _position_cols(key_col: str, num_bits: int, num_hashes: int) -> list[Column]
     return [F.pmod(h1 + F.lit(i) * h2, m) for i in range(num_hashes)]
 
 
+def bloom_sizing(n: int, fpp: float, max_bits: int = MAX_BITS) -> tuple[int, int]:
+    """Classic Bloom sizing as a pure function (hypothesis-tested core,
+    tests/test_properties.py): m = ceil(−n·ln(fpp)/ln²2) rounded up to a
+    64-bit word, floored at one word and clamped to ``max_bits``;
+    k = round((m/n)·ln 2) clamped to [1, 30] (past ~30 hashes extra
+    probes stop buying fpp, and each probe is one more position column
+    on the probe side). Clamping m degrades fpp, never correctness."""
+    n = max(int(n), 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(max((m + 63) // 64 * 64, 64), max_bits)
+    k = min(max(1, round(m / n * math.log(2))), 30)
+    return m, k
+
+
 def bloom_build(
     keys_df: DataFrame,
     key_col: str,
@@ -128,13 +142,7 @@ def bloom_build(
         n = keys_df.agg(
             F.approx_count_distinct(key_col).alias("n")
         ).head()["n"]
-    n = max(int(n), 1)
-    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
-    m = min(max((m + 63) // 64 * 64, 64), max_bits)
-    # cap k: past ~30 hashes extra probes stop buying fpp (only reachable
-    # when n is tiny relative to the 64-bit floor) and each probe is one
-    # more element_at column on the probe side
-    k = min(max(1, round(m / n * math.log(2))), 30)
+    m, k = bloom_sizing(int(n), fpp, max_bits)
 
     words_rows = (
         keys_df.select(F.explode(F.array(*_position_cols(key_col, m, k))).alias("pos"))

@@ -29,6 +29,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def chunk_token_windows(
+    tokens: list[str], chunk_tokens: int, overlap: int
+) -> list[list[str]]:
+    """Pure-Python reference model of the operator's window math — the
+    hypothesis-tested core (tests/test_properties.py) that the Spark
+    expression in :func:`chunk_documents` must agree with
+    (tests/test_chunking.py bridges the two on sampled docs)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    if not tokens:
+        return []
+    stride = chunk_tokens - overlap
+    extra = max(0, len(tokens) - chunk_tokens)
+    n_extra = (extra + stride - 1) // stride
+    return [
+        tokens[i * stride : i * stride + chunk_tokens] for i in range(n_extra + 1)
+    ]
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -106,3 +106,28 @@ def test_global_segment_dedup_first_occurrence_is_lowest_doc(spark):
     }
     assert out[2].n_kept == 1          # lowest doc_id wins
     assert out[7].n_kept == 0 and out[10].n_kept == 0
+
+
+def test_operator_agrees_with_pure_model_on_random_docs(spark):
+    """Bridge: the Spark expression and the hypothesis-tested pure core
+    produce identical windows on seeded random docs across parameter
+    combos (including docs shorter than one window and empty docs)."""
+    import random
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(60):
+        n = rng.choice([0, 1, 3, 7, 8, 9, 15, 31, 64, 65, 200])
+        docs.append((i, " ".join(f"t{rng.randrange(50)}" for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for c, o in ((8, 2), (8, 0), (5, 4), (64, 8)):
+        got = {}
+        for r in chunking.chunk_documents(df, chunk_tokens=c, overlap=o).collect():
+            got.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text
+        for doc_id, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            expect = chunking.chunk_token_windows(toks, c, o)
+            have = got.get(doc_id, {})
+            assert len(have) == len(expect), (doc_id, c, o)
+            for idx, win in enumerate(expect):
+                assert have[idx] == " ".join(win), (doc_id, c, o, idx)

@@ -181,3 +181,55 @@ def test_wav_roundtrip_property(samples):
     rate, nch, frames = _mm.decode_wav(payload)
     assert (rate, nch) == (8000, 1)
     assert np.abs(frames[:, 0] - np.asarray(samples)).max() < 1.5 / 32767
+
+
+# --------------------------------------------------------------------------
+# Chunk window math (operators/chunking.py::chunk_token_windows)
+# --------------------------------------------------------------------------
+
+chunk_params = st.tuples(
+    st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4), max_size=120),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=39),
+).filter(lambda t: t[2] < t[1])
+
+
+@settings(max_examples=300, deadline=None)
+@given(chunk_params)
+def test_chunk_windows_cover_and_overlap(params):
+    from eligibility_etl_airflow_spark.operators.chunking import chunk_token_windows
+
+    tokens, c, o = params
+    wins = chunk_token_windows(tokens, c, o)
+    stride = c - o
+    if not tokens:
+        assert wins == []
+        return
+    # reconstruction: dropping each window's leading overlap rebuilds input
+    rebuilt = list(wins[0]) if wins else []
+    for w in wins[1:]:
+        rebuilt.extend(w[o:])
+    assert rebuilt == tokens
+    # shape: every window starts at i*stride, non-last are full-size,
+    # the last is longer than the overlap (else it'd be contained)
+    for i, w in enumerate(wins):
+        assert w == tokens[i * stride : i * stride + c]
+    assert all(len(w) == c for w in wins[:-1])
+    if len(wins) > 1:
+        assert len(wins[-1]) > o
+    # count: minimal — one fewer window could not reach the end
+    if len(wins) > 1:
+        assert (len(wins) - 2) * stride + c < len(tokens)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=10**12), st.floats(min_value=1e-9, max_value=0.5))
+def test_bloom_sizing_bounds(n, fpp):
+    from eligibility_etl_airflow_spark.operators.bloom import MAX_BITS, bloom_sizing
+
+    m, k = bloom_sizing(n, fpp)
+    assert m % 64 == 0 and 64 <= m <= MAX_BITS
+    assert 1 <= k <= 30
+    # monotone in n until the cap: more keys never means fewer bits
+    m2, _ = bloom_sizing(min(n * 2, 10**12), fpp)
+    assert m2 >= m or m == MAX_BITS
