@@ -111,6 +111,8 @@ def bloom_sizing(n: int, fpp: float, max_bits: int = MAX_BITS) -> tuple[int, int
     k = round((m/n)·ln 2) clamped to [1, 30] (past ~30 hashes extra
     probes stop buying fpp, and each probe is one more position column
     on the probe side). Clamping m degrades fpp, never correctness."""
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
     n = max(int(n), 1)
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
     m = min(max((m + 63) // 64 * 64, 64), max_bits)
@@ -135,8 +137,6 @@ def bloom_build(
     degrades fpp, it never breaks correctness (no false negatives
     regardless).
     """
-    if not 0.0 < fpp < 1.0:
-        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
     n = expected_items
     if n is None:
         n = keys_df.agg(
@@ -153,6 +153,31 @@ def bloom_build(
     words = np.zeros(m // 64, dtype=np.uint64)
     for row in words_rows:
         words[row["word_idx"]] = np.uint64(row["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return BloomSketch(words=words, num_bits=m, num_hashes=k)
+
+
+def bloom_add(sketch: BloomSketch, keys_df: DataFrame, key_col: str) -> BloomSketch:
+    """A NEW sketch containing the old one's keys plus ``keys_df``'s —
+    the safe form of cross-batch reuse. Positions are computed with the
+    SAME (m, k), so membership of previously-inserted keys is preserved
+    exactly; the returned sketch is a fresh object (sketches are
+    immutable — the broadcast cache keys on identity).
+
+    This is what a streaming resume loop must call after appending a
+    batch to the sink: a stale sketch misses the just-appended keys,
+    they probe bloom-negative, and duplicates bypass the exact
+    anti-join. Adding beyond the sizing's expected_items degrades fpp
+    gradually (more bits set), never correctness."""
+    m, k = sketch.num_bits, sketch.num_hashes
+    rows = (
+        keys_df.select(F.explode(F.array(*_position_cols(key_col, m, k))).alias("pos"))
+        .groupBy(F.shiftright("pos", 6).alias("word_idx"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(pmod(pos, 64) as int)))").alias("bits"))
+        .collect()
+    )
+    words = sketch.words.copy()
+    for row in rows:
+        words[row["word_idx"]] |= np.uint64(row["bits"] & 0xFFFFFFFFFFFFFFFF)
     return BloomSketch(words=words, num_bits=m, num_hashes=k)
 
 

@@ -89,7 +89,11 @@ def assign_split(
     """
     if not 0.0 <= test_frac <= 1.0:
         raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
-    threshold = format(int(test_frac * 16**8), "08x")
+    # test_frac=1.0 would format to the 9-char '100000000', which the
+    # 8-char lexicographic compare mishandles ('ffffffff' > '1...');
+    # 'g' sorts after every hex char, so it means "all non-null keys"
+    cut = int(test_frac * 16**8)
+    threshold = "g" if cut >= 16**8 else format(cut, "08x")
     h = F.substring(
         F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))), 1, 8
     )

@@ -321,6 +321,8 @@ def run_training_prep_pipeline(
     a scan-stage map; the split is map-only; packing is one shuffle into
     hash shards); the only new cost here is the final partitioned write.
     """
+    from pyspark import StorageLevel
+
     from eligibility_etl_airflow_spark.catalog import Catalog
     from eligibility_etl_airflow_spark.operators import chunking, packing, sampling
 
@@ -331,26 +333,33 @@ def run_training_prep_pipeline(
         "chunk_uid",
         F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")),
     )
-    split_docs = sampling.assign_split(
-        docs.select("doc_id"), "doc_id", test_frac=test_frac
+    # the split hashes the DOCUMENT id, so applying it directly to the
+    # chunk rows IS the document-level split (membership = f(seed,
+    # doc_id)) — no join back to a docs-side assignment needed
+    chunks = sampling.assign_split(chunks, "doc_id", test_frac=test_frac).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    chunks = chunks.join(split_docs, "doc_id")
-
-    packed_parts = []
-    for side in ("train", "test"):
-        part = chunks.filter(F.col("split") == side)
-        packed = packing.pack_sequences(
-            part.select("chunk_uid", "n_chunk_tokens"),
-            "chunk_uid",
-            "n_chunk_tokens",
-            budget=budget,
-        )
-        packed_parts.append(
-            part.join(packed.select("chunk_uid", "pack_id", "oversize"), "chunk_uid")
-        )
-    out = packed_parts[0].unionByName(packed_parts[1])
-    out_path = os.path.join(out_dir, "packed_chunks")
-    out.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    try:
+        packed_parts = []
+        for side in ("train", "test"):
+            part = chunks.filter(F.col("split") == side)
+            packed = packing.pack_sequences(
+                part.select("chunk_uid", "n_chunk_tokens"),
+                "chunk_uid",
+                "n_chunk_tokens",
+                budget=budget,
+            )
+            packed_parts.append(
+                part.join(packed.select("chunk_uid", "pack_id", "oversize"), "chunk_uid")
+            )
+        out = packed_parts[0].unionByName(packed_parts[1])
+        out_path = os.path.join(out_dir, "packed_chunks")
+        # the cached chunk relation feeds four subtrees of this one write
+        # (pack input + join-back per side) — without the persist the
+        # documents scan and posexplode would run ~4x inside the job
+        out.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    finally:
+        chunks.unpersist()
 
     written = spark.read.parquet(out_path)
     counts = {

@@ -541,7 +541,7 @@ SPLIT_ORACLE = """
 SELECT doc_id, lang,
        CASE WHEN doc_id IS NOT NULL
                  AND substring(md5('split-v1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
-                     < '1999999a'
+                     < '19999999'
             THEN 'test' ELSE 'train' END AS split
 FROM documents
 """
@@ -553,7 +553,9 @@ def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign_split): membership is a pure function of (seed, id), so it is
     stable across runs, engines, and incremental data arrival — unlike
     randomSplit, whose membership is a property of the run. 10% test via
-    md5-prefix threshold (0.1 · 16^8 = 0x1999999a), map-only."""
+    md5-prefix threshold (int(0.1 · 16^8) = 0x19999999 — the oracle
+    literal must match the code's TRUNCATED int, not the rounded one),
+    map-only."""
     from eligibility_etl_airflow_spark.operators import sampling
 
     d = Catalog(spark, sf_dir).documents.select("doc_id", "lang")

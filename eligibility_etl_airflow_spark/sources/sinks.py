@@ -166,10 +166,13 @@ def resume_filter_bloom(
     preserved; the anti-join input shrinks by ≈ (1 − fpp) of the
     non-duplicates.
 
-    Returns ``(filtered_df, sketch)``. Build the sketch once per run (or
-    reuse across a streaming job's micro-batches — the cross-batch case
-    operators/bloom.py exists for) and pass it back in; pass ``None``
-    to build from the current sink keys.
+    Returns ``(filtered_df, sketch)``. Pass ``None`` to build the sketch
+    from the current sink keys. Reusing the sketch across micro-batches
+    is only exact if it is KEPT CURRENT: a key appended to the sink
+    after the sketch was built probes bloom-negative and would bypass
+    the anti-join — after each append, fold the appended keys in with
+    ``operators.bloom.bloom_add(sketch, appended_keys, key)`` and pass
+    the returned sketch to the next batch (pinned by test).
     """
     from eligibility_etl_airflow_spark.operators import bloom
 

@@ -109,3 +109,44 @@ def test_resume_filter_bloom_matches_plain_resume(spark, tmp_path):
     # missing sink: batch passes through untouched
     passthrough, sk = sinks.resume_filter_bloom(batch, spark, str(tmp_path / "nope"), "k")
     assert sk is None and passthrough.count() == batch.count()
+
+
+def test_bloom_add_keeps_cross_batch_resume_exact(spark, tmp_path):
+    """The stale-sketch trap: keys appended to the sink AFTER the sketch
+    was built are bloom-negative and would bypass the anti-join —
+    bloom_add folds them in, restoring exactness for the next batch."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.sources import sinks
+
+    sink = str(tmp_path / "sink")
+    spark.range(0, 300).select(F.col("id").alias("k")).write.parquet(sink)
+    b1 = spark.range(200, 600).select(F.col("id").alias("k"))
+    new1, sketch = sinks.resume_filter_bloom(b1, spark, sink, "k")
+    new1.write.mode("append").parquet(sink)  # sink now holds 0..599
+
+    # STALE sketch: batch 2 overlaps what batch 1 just appended
+    b2 = spark.range(400, 800).select(F.col("id").alias("k"))
+    stale, _ = sinks.resume_filter_bloom(b2, spark, sink, "k", sketch=sketch)
+    assert stale.count() > 200  # duplicates leak past the stale sketch
+
+    refreshed = bloom.bloom_add(sketch, new1, "k")
+    fresh, _ = sinks.resume_filter_bloom(b2, spark, sink, "k", sketch=refreshed)
+    assert sorted(r.k for r in fresh.collect()) == list(range(600, 800))
+    # membership of the ORIGINAL keys is preserved exactly in the new sketch
+    orig = spark.range(0, 300).select(F.col("id").alias("k"))
+    kept = bloom.bloom_prefilter(orig, "k", refreshed).count()
+    assert kept == 300
+
+
+def test_assign_split_full_test_fraction(spark):
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    out = sampling.assign_split(df, "k", test_frac=1.0)
+    assert out.filter(F.col("split") == "test").count() == 200
+    assert sampling.assign_split(df, "k", test_frac=0.0).filter(
+        F.col("split") == "test"
+    ).count() == 0
