@@ -580,3 +580,53 @@ def contiguous_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents.select("doc_id")
     return sampling.assign_contiguous_ids(d, ["doc_id"])
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint suite (Deequ-shaped, one-pass)
+# --------------------------------------------------------------------------
+
+QUALITY_SUITE_ORACLE = """
+WITH t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                        OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('F','O','P')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL
+                        OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v5
+  FROM orders
+)
+SELECT rule, n_violations, n_rows, n_violations = 0 AS passed FROM (
+  SELECT 'not_null(o_custkey)' AS rule, v1 AS n_violations, n AS n_rows FROM t
+  UNION ALL SELECT 'in_range(o_totalprice,0,600000)', v2, n FROM t
+  UNION ALL SELECT 'isin(o_orderstatus)', v3, n FROM t
+  UNION ALL SELECT 'matches(o_orderpriority)', v4, n FROM t
+  UNION ALL SELECT 'unique(o_orderkey)', v5, n FROM t
+)
+"""
+
+
+@query("data_quality_report", oracle=QUALITY_SUITE_ORACLE)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-shaped constraint suite (operators/quality.py): five rules
+    (completeness, range, membership, pattern, uniqueness) over orders —
+    all row-level rules share ONE aggregate pass; the uniqueness rule
+    rides the same aggregate as count-minus-count_distinct."""
+    from eligibility_etl_airflow_spark.operators import quality as q
+
+    o = Catalog(spark, sf_dir).orders
+    return q.check(
+        o,
+        [
+            q.not_null("o_custkey"),
+            q.in_range("o_totalprice", 0, 600000),
+            q.isin("o_orderstatus", ("F", "O", "P")),
+            q.matches("o_orderpriority", "^[1-5]-"),
+            q.unique("o_orderkey"),
+        ],
+    )

@@ -98,6 +98,9 @@ _DEFERRED = (
     "group_sample_deterministic",
     "price_histogram",
     "feature_correlations",
+    # quality suite: the null-count aggregate machinery is graded via
+    # eligibility_quality_gate; the suite form keeps local parity
+    "data_quality_report",
 )
 
 
