@@ -71,6 +71,13 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     aggregate. Row order of the report follows the rule list."""
     if not rules:
         raise ValueError("rules must not be empty")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"duplicate rule names {dupes} — rule names key the report; "
+            "give custom satisfies() rules distinct names"
+        )
     row_rules = [r for r in rules if r.unique_col is None]
     uniq_rules = [r for r in rules if r.unique_col is not None]
 

@@ -86,3 +86,8 @@ def test_row_rules_share_one_aggregate(spark):
 def test_empty_rules_rejected(spark):
     with pytest.raises(ValueError, match="rules"):
         q.check(_df(spark), [])
+
+
+def test_duplicate_rule_names_rejected(spark):
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        q.check(_df(spark), [q.not_null("k"), q.not_null("k")])
