@@ -83,8 +83,12 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for i, r in enumerate(row_rules):
+        # coalesce: sum over an empty table is NULL — an empty table
+        # passes every rule (zero violations), it does not crash
         aggs.append(
-            F.sum(F.when(r.violated, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+            F.coalesce(F.sum(F.when(r.violated, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"__v{i}")
         )
     for i, r in enumerate(uniq_rules):
         # violations = rows beyond one per distinct value (null keys are
@@ -130,3 +134,51 @@ def enforce(df: DataFrame, rules: list[Rule]) -> DataFrame:
     if failures:
         raise QualitySuiteError(failures)
     return report
+
+
+def profile(
+    df: DataFrame, cols: list[str] | None = None, exact_distinct: bool = False
+) -> DataFrame:
+    """Observed per-column statistics — the ANALYZE/profiling twin of the
+    asserted :func:`check` rules:
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value).
+
+    One aggregate pass over one scan computes every column's stats
+    side by side (min/max surface as strings so heterogeneous column
+    types share one report schema). ``n_distinct`` defaults to the HLL
+    approximation (map-side mergeable — the 100 TB form); pass
+    ``exact_distinct=True`` when exactness matters more than the
+    count-distinct expansion it costs. The profile is what you run
+    FIRST on an unknown table; its numbers become the thresholds of the
+    check() suite you then enforce.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("cols must not be empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        distinct = (
+            F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
+        )
+        aggs += [
+            # sum over zero rows is NULL, not 0 — coalesce keeps the
+            # empty-table profile well-typed
+            F.coalesce(F.sum(F.when(col.isNull(), 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"__nl{i}"),
+            distinct.cast("long").alias(f"__d{i}"),
+            F.min(col).cast("string").alias(f"__mn{i}"),
+            F.max(col).cast("string").alias(f"__mx{i}"),
+        ]
+    t = df.agg(*aggs).head()
+    rows = [
+        (c, int(t["__n"]), int(t[f"__nl{i}"]), int(t[f"__d{i}"]),
+         t[f"__mn{i}"], t[f"__mx{i}"])
+        for i, c in enumerate(cols)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column string, n_rows long, n_nulls long, n_distinct long, "
+        "min_value string, max_value string",
+    )

@@ -630,3 +630,42 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.unique("o_orderkey"),
         ],
     )
+
+
+PROFILE_ORACLE = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column",
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+         min(o_orderstatus), max(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+         min(o_orderpriority), max(o_orderpriority)
+  FROM orders
+)
+"""
+
+
+@query("column_profile", oracle=PROFILE_ORACLE)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling (operators/quality.py::profile): null
+    counts, distinct cardinality, min/max — one aggregate pass for all
+    columns. Graded with exact distincts; production default is the
+    HLL approximation (same plan shape, sketch-mergeable)."""
+    from eligibility_etl_airflow_spark.operators import quality as q
+
+    o = Catalog(spark, sf_dir).orders
+    return q.profile(
+        o, ["o_orderkey", "o_orderstatus", "o_orderpriority"], exact_distinct=True
+    )

@@ -101,6 +101,7 @@ _DEFERRED = (
     # quality suite: the null-count aggregate machinery is graded via
     # eligibility_quality_gate; the suite form keeps local parity
     "data_quality_report",
+    "column_profile",
 )
 
 

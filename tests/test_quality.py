@@ -91,3 +91,27 @@ def test_empty_rules_rejected(spark):
 def test_duplicate_rule_names_rejected(spark):
     with pytest.raises(ValueError, match="duplicate rule names"):
         q.check(_df(spark), [q.not_null("k"), q.not_null("k")])
+
+
+def test_profile_stats_and_empty_table(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "b"), (4, None)], "k long, s string"
+    )
+    prof = {r.column: r for r in q.profile(df, exact_distinct=True).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_nulls == 1
+    assert prof["k"].n_distinct == 3 and prof["k"].min_value == "1"
+    assert prof["k"].max_value == "4"
+    assert prof["s"].n_distinct == 2 and prof["s"].min_value == "a"
+    # empty input: zero rows/nulls/distinct, null min/max
+    empty = spark.createDataFrame([], "k long, s string")
+    p0 = {r.column: r for r in q.profile(empty).collect()}
+    assert p0["k"].n_rows == 0 == p0["k"].n_distinct and p0["k"].min_value is None
+    with pytest.raises(ValueError, match="cols"):
+        q.profile(df, [])
+
+
+def test_check_on_empty_table_passes_all_rules(spark):
+    empty = spark.createDataFrame([], "k long, v double, status string, prio string")
+    report = q.enforce(empty, _rules())  # must not raise
+    rows = report.collect()
+    assert all(r.passed and r.n_violations == 0 and r.n_rows == 0 for r in rows)
