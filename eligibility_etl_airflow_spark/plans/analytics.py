@@ -342,3 +342,82 @@ def feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rank-family windows — ntile / percent_rank / cume_dist
+# --------------------------------------------------------------------------
+
+RANKS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@query("rank_family_windows", oracle=RANKS_ORACLE)
+def rank_family_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions (rank, ntile,
+    percent_rank, cume_dist) over one shared partition sort — completes
+    the window surface beyond W1/W2's dense_rank/row_number and the
+    frame-spec aggregates. The orderBy includes the key as tiebreaker so
+    every function is deterministic."""
+    o = Catalog(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# INTERSECT / EXCEPT set operations
+# --------------------------------------------------------------------------
+
+SET_OPS_ORACLE = """
+WITH urgent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), finished AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT 'both' AS bucket, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM finished)
+UNION ALL
+SELECT 'urgent_only', CAST(count(*) AS BIGINT)
+FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM finished)
+UNION ALL
+SELECT 'finished_only', CAST(count(*) AS BIGINT)
+FROM (SELECT o_custkey FROM finished EXCEPT SELECT o_custkey FROM urgent)
+"""
+
+
+@query("set_ops_customers", oracle=SET_OPS_ORACLE)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra over two filtered key sets — the
+    two set operators the U-family queries don't cover (union and
+    exceptAll are graded elsewhere). Both compile to aggregate-style
+    joins on the key: one shuffle each, broadcastable when one side is
+    small."""
+    o = Catalog(spark, sf_dir).orders
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    spark_ = spark  # noqa: F841
+
+    def one(bucket: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(bucket).alias("bucket"), "n"
+        )
+
+    return (
+        one("both", urgent.intersect(finished))
+        .unionByName(one("urgent_only", urgent.exceptAll(finished)))
+        .unionByName(one("finished_only", finished.exceptAll(urgent)))
+    )

@@ -102,6 +102,10 @@ _DEFERRED = (
     # eligibility_quality_gate; the suite form keeps local parity
     "data_quality_report",
     "column_profile",
+    # window-rank family + set algebra: same machinery as graded W1/W2
+    # and U-family rows
+    "rank_family_windows",
+    "set_ops_customers",
 )
 
 
