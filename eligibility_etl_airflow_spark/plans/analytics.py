@@ -43,8 +43,12 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     list Spark skips the extra distinct-values job AND the output schema
     is stable regardless of which statuses a given partition of data
     contains; an unpinned pivot at 100 TB pays a full distinct scan just
-    to discover column names. One hash-aggregate shuffle, same plan as a
-    groupBy with conditional sums.
+    to discover column names. With MULTIPLE pivot aggregates Spark plans
+    two phases — a (priority, status) aggregate, then the pivot fold on
+    priority — so the second shuffle moves only the already-aggregated
+    cell grid (|priorities × statuses| rows), never the data. A
+    single-aggregate pivot (or hand-written conditional sums) is one
+    shuffle; plan pinned in tests/test_plan_shape.py.
     """
     o = Catalog(spark, sf_dir).orders
     wide = (

@@ -203,3 +203,33 @@ def test_bloom_prefilter_runs_in_scan_stage(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan  # prefilter is map-only over the scan
+
+
+def test_session_gap_windows_share_one_sort(spark, sf_dir):
+    """The lag-gap flag and the running-sum id use the same
+    (user_id, ts, event_id) ordering — Catalyst must plan ONE
+    Exchange+Sort feeding both window passes, not two."""
+    from eligibility_etl_airflow_spark.plans import analytics
+
+    plan = (
+        analytics.session_gap_events(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one hashpartitioning exchange on user_id for the windows + one for
+    # the final session aggregate; the two window passes add no extra
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Window") == 2  # both passes present, stacked
+
+
+def test_cube_and_pivot_single_aggregate_shuffle(spark, sf_dir):
+    from eligibility_etl_airflow_spark import diagnostics
+    from eligibility_etl_airflow_spark.plans import analytics
+
+    cube = diagnostics.plan_summary(analytics.cube_revenue(spark, sf_dir))
+    assert cube.exchanges == 1  # Expand + partial agg -> one shuffle
+    # multi-aggregate pivot is two-phase: the (priority, status) agg,
+    # then the pivot fold whose shuffle moves only the cell grid
+    pivot = diagnostics.plan_summary(analytics.pivot_status_matrix(spark, sf_dir))
+    assert pivot.exchanges == 2
