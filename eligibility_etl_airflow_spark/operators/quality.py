@@ -162,11 +162,9 @@ def profile(
             F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
         )
         aggs += [
-            # sum over zero rows is NULL, not 0 — coalesce keeps the
-            # empty-table profile well-typed
-            F.coalesce(F.sum(F.when(col.isNull(), 1).otherwise(0)), F.lit(0))
-            .cast("long")
-            .alias(f"__nl{i}"),
+            # count() never returns NULL, so total − non-null needs no
+            # empty-table workaround (unlike check()'s arbitrary predicates)
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"__nl{i}"),
             distinct.cast("long").alias(f"__d{i}"),
             F.min(col).cast("string").alias(f"__mn{i}"),
             F.max(col).cast("string").alias(f"__mx{i}"),

@@ -413,7 +413,6 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
     finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
-    spark_ = spark  # noqa: F841
 
     def one(bucket: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
