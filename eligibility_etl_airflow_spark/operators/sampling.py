@@ -171,3 +171,48 @@ def assign_contiguous_ids(
         )
         .drop("_pid", "_offset")
     )
+
+
+def weighted_sample_deterministic(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "ws1",
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without randomness: draw k
+    rows with probability ∝ weight, deterministically.
+
+    A-ES ranks rows by u^(1/w) (u uniform) and takes the top k — here u
+    comes from the md5 of (seed, id) instead of a RNG, making the draw a
+    pure function of the key like :func:`assign_split` (rerun-stable,
+    engine-portable; the md5-prefix integer parses identically in Spark
+    ``conv`` and DuckDB's hex cast). u ∈ (0, 1]: the +1 shift keeps
+    log/pow off the u=0 singularity.
+
+    The top-k is ``orderBy(...).limit(k)`` — Spark plans
+    TakeOrderedAndProject (per-partition heaps + a k-row merge), never a
+    global sort. Rows with null or non-positive weight are excluded (a
+    zero weight cannot be drawn; a negative one is meaningless). Ties
+    break on the id, so membership is total-ordered and reproducible.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    hexint = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hexint + F.lit(1)) / F.lit(float(16**8 + 1))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"), F.col(id_col))
+        .limit(k)
+        .drop("__wkey")
+    )

@@ -669,3 +669,30 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.profile(
         o, ["o_orderkey", "o_orderstatus", "o_orderpriority"], exact_distinct=True
     )
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow((CAST(('0x' || substring(md5('ws1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1) / 4294967297.0,
+             1.0 / n_chars) AS wkey
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+ORDER BY wkey DESC, doc_id
+LIMIT 50
+"""
+
+
+@query("weighted_sample_docs", oracle=WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/sampling.py::
+    weighted_sample_deterministic): 50 docs drawn ∝ length via
+    hash-seeded Efraimidis–Spirakis keys — longer docs proportionally
+    likelier, same draw every run and on both engines."""
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return sampling.weighted_sample_deterministic(d, "doc_id", "n_chars", k=50)

@@ -106,6 +106,8 @@ _DEFERRED = (
     # and U-family rows
     "rank_family_windows",
     "set_ops_customers",
+    # weighted draw: top-k machinery graded via global_topk_orders
+    "weighted_sample_docs",
 )
 
 

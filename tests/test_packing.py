@@ -179,3 +179,33 @@ def test_assign_contiguous_ids_dense_and_ordered(spark):
 
     with pytest.raises(ValueError, match="order_by"):
         sampling.assign_contiguous_ids(df, [])
+
+
+def test_weighted_sample_proportional_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    # two weight classes: heavy rows should dominate the draw
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 100, 1000).otherwise(1).cast("long").alias("w"),
+    )
+    picks = sampling.weighted_sample_deterministic(df, "k", "w", k=50)
+    rows = picks.collect()
+    assert len(rows) == 50
+    n_heavy = sum(1 for r in rows if r.w == 1000)
+    assert n_heavy >= 40  # 100 rows carry ~99% of total weight
+    # deterministic: same draw twice; different seed -> different draw
+    again = {r.k for r in sampling.weighted_sample_deterministic(df, "k", "w", k=50).collect()}
+    assert again == {r.k for r in rows}
+    other = {r.k for r in sampling.weighted_sample_deterministic(df, "k", "w", k=50, seed="x").collect()}
+    assert other != again
+    # non-positive / null weights never drawn; k > candidates returns all
+    import pytest
+
+    small = spark.createDataFrame([(1, 5), (2, 0), (3, -1), (4, None)], "k long, w long")
+    got = sampling.weighted_sample_deterministic(small, "k", "w", k=10).collect()
+    assert [r.k for r in got] == [1]
+    with pytest.raises(ValueError, match="k must"):
+        sampling.weighted_sample_deterministic(small, "k", "w", k=0)
