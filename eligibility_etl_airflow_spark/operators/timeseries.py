@@ -1,0 +1,81 @@
+"""Time-series regularization — bucket, gap-fill, and carry forward.
+
+Sensor/event streams arrive irregularly; models and dashboards want a
+regular grid. This operator family turns an event table into a
+fixed-interval series per key:
+
+1. bucket every event into its tumbling interval (the batch use of the
+   same ``window()`` assignment the streaming twins are graded on),
+2. keep the LAST event per (key, bucket) — explicit (ts, id) ordering,
+   the engine's reproducibility rule,
+3. generate the full per-key bucket grid with ``sequence()`` (a
+   Generate inside the stage — the grid is derived, never a driver
+   loop), left-join the observed buckets onto it,
+4. fill gaps by last-observation-carried-forward: ``last(value,
+   ignorenulls)`` over an unbounded-preceding window.
+
+Scale shape: one shuffle to the (key, bucket) aggregate, one to the
+per-key grid/window (both on the series key — co-partitioned, and AQE
+handles skewed keys). Grid size is bounded by span/interval per key, so
+a key with a year of 15-minute buckets yields ~35k rows — derived
+state, linear in output, nothing data-proportional on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval: str = "15 minutes",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """(key, bucket_start, value, filled_value, is_gap) — one row per
+    key per interval between the key's first and last event.
+
+    ``value`` is the last observed value in the bucket (null for a gap
+    bucket); ``filled_value`` carries the previous observation forward
+    (leading gaps before a key's first observation stay null — there is
+    nothing to carry). ``order_tiebreak`` names a column that makes
+    "last in bucket" deterministic when timestamps tie (defaults to the
+    value column itself)."""
+    tb = order_tiebreak or value_col
+    bucket = F.window(F.col(ts_col), interval).start.alias("bucket_start")
+    w_last = Window.partitionBy(key_col, "bucket_start").orderBy(
+        F.desc(ts_col), F.desc(tb)
+    )
+    observed = (
+        df.select(F.col(key_col), bucket, F.col(ts_col), F.col(tb).alias("__tb"),
+                  F.col(value_col).alias("value"))
+        .withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "bucket_start", "value")
+    )
+    grid = (
+        observed.groupBy(key_col)
+        .agg(F.min("bucket_start").alias("__b0"), F.max("bucket_start").alias("__b1"))
+        .select(
+            key_col,
+            F.explode_outer(
+                F.expr(f"sequence(__b0, __b1, interval {interval})")
+            ).alias("bucket_start"),
+        )
+    )
+    w_fill = Window.partitionBy(key_col).orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.join(observed, [key_col, "bucket_start"], "left")
+        .select(
+            key_col,
+            "bucket_start",
+            "value",
+            F.last("value", ignorenulls=True).over(w_fill).alias("filled_value"),
+            F.col("value").isNull().alias("is_gap"),
+        )
+    )

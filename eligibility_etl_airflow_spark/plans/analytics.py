@@ -424,3 +424,53 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("urgent_only", urgent.exceptAll(finished)))
         .unionByName(one("finished_only", finished.exceptAll(urgent)))
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill + LOCF
+# --------------------------------------------------------------------------
+
+GAP_FILL_ORACLE = """
+WITH bucketed AS (
+  SELECT user_id,
+         make_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 * 1000000)
+           AS bucket_start,
+         ts, value,
+         row_number() OVER (
+           PARTITION BY user_id,
+                        CAST(floor(epoch(ts) / 900) AS BIGINT)
+           ORDER BY ts DESC, value DESC) AS rn
+  FROM events
+), observed AS (
+  SELECT user_id, bucket_start, round(value, 4) AS value
+  FROM bucketed WHERE rn = 1
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket_start), max(bucket_start),
+                                INTERVAL 15 MINUTE)) AS bucket_start
+  FROM observed GROUP BY user_id
+)
+SELECT g.user_id, g.bucket_start,
+       o.value,
+       last_value(o.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_start
+         ROWS UNBOUNDED PRECEDING) AS filled_value,
+       o.value IS NULL AS is_gap
+FROM grid g LEFT JOIN observed o USING (user_id, bucket_start)
+"""
+
+
+@query("gap_fill_timeseries", oracle=GAP_FILL_ORACLE)
+def gap_fill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize the events stream (operators/timeseries.py): 15-minute
+    buckets per user, full grid between each user's first and last
+    event, gaps carried forward (LOCF). Deterministic last-in-bucket via
+    (ts, value) ordering."""
+    from eligibility_etl_airflow_spark.operators import timeseries
+
+    e = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", F.round("value", 4).alias("value")
+    )
+    return timeseries.gap_fill_locf(
+        e, "user_id", "ts", "value", interval="15 minutes"
+    )

@@ -108,6 +108,8 @@ _DEFERRED = (
     "set_ops_customers",
     # weighted draw: top-k machinery graded via global_topk_orders
     "weighted_sample_docs",
+    # grid+LOCF composes graded window/join machinery
+    "gap_fill_timeseries",
 )
 
 
