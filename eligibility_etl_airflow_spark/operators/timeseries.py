@@ -79,3 +79,47 @@ def gap_fill_locf(
             F.col("value").isNull().alias("is_gap"),
         )
     )
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval: str = "15 minutes",
+    order_tiebreak: str | None = None,
+    decimals: int = 4,
+) -> DataFrame:
+    """Like :func:`gap_fill_locf` but gaps BETWEEN observations are
+    linearly interpolated; trailing gaps fall back to carry-forward and
+    leading gaps stay null (nothing to anchor either scheme).
+
+    The interpolation fraction uses the per-key grid INDEX, not
+    timestamp arithmetic: the grid is regular by construction, so
+    (idx − prev_idx)/(next_idx − prev_idx) is exact integer math —
+    portable across engines, no interval division. Four window passes
+    (prev/next value and index) share one (key, bucket) sort."""
+    base = gap_fill_locf(
+        df, key_col, ts_col, value_col, interval=interval,
+        order_tiebreak=order_tiebreak,
+    )
+    w = Window.partitionBy(key_col).orderBy("bucket_start")
+    prev_f = w.rowsBetween(Window.unboundedPreceding, 0)
+    next_f = w.rowsBetween(0, Window.unboundedFollowing)
+    idx = F.row_number().over(w)
+    obs_idx = F.when(F.col("value").isNotNull(), idx)
+    prev_val = F.last("value", ignorenulls=True).over(prev_f)
+    next_val = F.first("value", ignorenulls=True).over(next_f)
+    prev_idx = F.last(obs_idx, ignorenulls=True).over(prev_f)
+    next_idx = F.first(obs_idx, ignorenulls=True).over(next_f)
+    lerp = prev_val + (next_val - prev_val) * (
+        (idx - prev_idx) / (next_idx - prev_idx)
+    )
+    filled = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+        F.when(prev_val.isNotNull() & next_val.isNotNull(), F.round(lerp, decimals))
+        .otherwise(prev_val)  # trailing gap: carry forward; leading: null
+    )
+    return base.select(
+        key_col, "bucket_start", "value",
+        filled.alias("filled_value"), "is_gap",
+    )

@@ -51,3 +51,22 @@ def test_leading_gap_stays_null(spark):
     )
     assert not out[0].is_gap and out[0].filled_value == 3.0
     assert all(r.filled_value is not None for r in out)
+
+
+def test_interpolation_between_locf_after(spark):
+    rows = [
+        (1, _ts(0), 10.0),   # 00:00
+        (1, _ts(45), 40.0),  # 00:45 -> 00:15 and 00:30 interpolate
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    out = {
+        r.bucket_start.minute: r
+        for r in timeseries.gap_fill_interpolate(
+            df, "user_id", "ts", "value", "15 minutes"
+        ).collect()
+    }
+    assert out[0].filled_value == 10.0
+    assert out[15].filled_value == 20.0  # 1/3 of the way 10 -> 40
+    assert out[30].filled_value == 30.0
+    assert out[45].filled_value == 40.0
+    assert out[15].is_gap and not out[0].is_gap
