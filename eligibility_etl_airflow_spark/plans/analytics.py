@@ -474,3 +474,129 @@ def gap_fill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.gap_fill_locf(
         e, "user_id", "ts", "value", interval="15 minutes"
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis — ordered event-sequence progression per user
+# --------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.signup_ts
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.signup_ts, s2.click_ts, s3.purchase_ts,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS stage_reached
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+@query("funnel_signup_click_purchase", oracle=FUNNEL_ORACLE)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first signup → first click AFTER it → first
+    purchase AFTER that. The ordering constraint is what distinguishes
+    a funnel from three independent mins — each stage's events must
+    strictly follow the previous stage's timestamp. Three conditional
+    min-aggregates, each joined back (all on the user key, so the
+    shuffles co-partition; AQE broadcasts the shrinking stage tables)."""
+    e = Catalog(spark, sf_dir).events
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("stage_reached"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention — signup week × activity week matrix
+# --------------------------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH cohort AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS active_week
+  FROM events
+)
+SELECT c.cohort_week,
+       a.active_week - c.cohort_week AS weeks_since,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+FROM cohort c JOIN activity a USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", oracle=RETENTION_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each later week they were active. Epoch-week buckets (UTC,
+    604800 s) keep both engines' week boundaries identical — calendar
+    weekofyear would couple the result to locale week rules. Two
+    aggregates + one join, all on user_id."""
+    e = Catalog(spark, sf_dir).events
+    # timestamp_ntz has no unix_timestamp — epoch seconds via date + time
+    # component arithmetic (exact at second resolution, mirrors epoch())
+    epoch_s = F.unix_date(F.col("ts").cast("date")) * 86400 + (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    )
+    wk = F.floor(epoch_s / 604800).cast("long")
+    cohort = e.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
+        "user_id",
+        F.floor(
+            (F.unix_date(F.col("first_ts").cast("date")) * 86400
+             + F.hour("first_ts") * 3600 + F.minute("first_ts") * 60
+             + F.second("first_ts"))
+            / 604800
+        ).cast("long").alias("cohort_week"),
+    )
+    activity = e.select("user_id", wk.alias("active_week")).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy("cohort_week", (F.col("active_week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )

@@ -110,6 +110,9 @@ _DEFERRED = (
     "weighted_sample_docs",
     # grid+LOCF composes graded window/join machinery
     "gap_fill_timeseries",
+    # funnel/cohort compose graded join+agg machinery
+    "funnel_signup_click_purchase",
+    "cohort_retention",
 )
 
 
