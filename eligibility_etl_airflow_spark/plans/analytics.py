@@ -600,3 +600,74 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("active_week") - F.col("cohort_week")).alias("weeks_since"))
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# --------------------------------------------------------------------------
+
+ANOMALY_ORACLE = """
+WITH scaled AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(round(value * 10000) AS BIGINT) AS xs
+  FROM events
+), scored AS (
+  SELECT user_id, ts, value, xs,
+         sum(xs) OVER w AS s1,
+         sum(xs * xs) OVER w AS s2,
+         count(*) OVER w AS n
+  FROM scaled
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, ts, round(value, 4) AS value,
+       CASE WHEN n > 0 THEN s1 / (n * 10000.0) END AS rolling_mean,
+       CAST(n AS BIGINT) AS n_window,
+       CASE WHEN n >= 4 AND n * s2 - s1 * s1 > 0
+                 AND (xs * n - s1) * (xs * n - s1) * (n - 1)
+                     > 9 * n * (n * s2 - s1 * s1)
+            THEN TRUE ELSE FALSE END AS is_anomaly
+FROM scored
+"""
+
+
+@query("rolling_zscore_anomalies", oracle=ANOMALY_ORACLE)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event scored against its own
+    trailing window (8 PRECEDING .. 1 PRECEDING — excluding the current
+    row, or a spike would inflate the very baseline it is judged
+    against). Flag |value − μ| > 3σ with ≥4 prior points and σ > 0.
+
+    All statistics run in SCALED-INTEGER arithmetic (value × 10⁴ as
+    long): floating windowed sums differ between engines in the last
+    ULP (summation order) and a rounded mean or a σ comparison can sit
+    exactly on the boundary — integer sums are order-independent, the
+    reported mean is the UNROUNDED double division of identical exact
+    integers (bit-identical on both engines; rounding it would re-
+    introduce half-tie divergence, measured at 4 dp), and
+    the 3σ test becomes the exact integer inequality
+    (x·n − Σ)²·(n−1) > 9·n·(n·Σx² − Σ²). Magnitudes stay far below
+    2⁶³ for the 8-row window. One shuffle on the series key."""
+    e = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, -1)
+    )
+    xs = F.round(F.col("value") * 10000).cast("long")
+    base = e.select("user_id", "ts", "event_id", "value", xs.alias("xs"))
+    s1 = F.sum("xs").over(w)
+    s2 = F.sum(F.col("xs") * F.col("xs")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    var_num = n * s2 - s1 * s1
+    dev = F.col("xs") * n - s1
+    return base.select(
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("value"),
+        F.when(n > 0, s1 / (n * F.lit(10000.0))).alias("rolling_mean"),
+        n.cast("long").alias("n_window"),
+        ((n >= 4) & (var_num > 0) & (dev * dev * (n - 1) > 9 * n * var_num)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -113,6 +113,7 @@ _DEFERRED = (
     # funnel/cohort compose graded join+agg machinery
     "funnel_signup_click_purchase",
     "cohort_retention",
+    "rolling_zscore_anomalies",
 )
 
 
