@@ -679,3 +679,97 @@ def edit_distance_pairs(
         .filter(F.col("edit_dist") >= 0)  # thresholded form returns -1 past the bound
         .select("block", "id_a", "id_b", "edit_dist")
     )
+
+
+def minhash_lsh_pairs_bipartite(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_bench_band_freq: int = 100,
+) -> DataFrame:
+    """Fuzzy cross-corpus matching: (corpus_id, bench_id, jaccard) for
+    every corpus document near-duplicating an eval-set document — the
+    LSH form of decontamination. Exact n-gram decontamination
+    (operators/decontam.py) catches verbatim inclusion; this catches
+    the paraphrased/lightly-edited leak a verbatim scan misses.
+
+    Scale shape differs from the self-join operator on purpose: the
+    bench side is small by definition, so its banded signatures
+    BROADCAST and the corpus side never shuffles at all — shingle →
+    signature (both shuffle-free maps) → broadcast-hash join on
+    (band_idx, band_sig) → estimated-Jaccard prefilter (pure JVM
+    zip_with fold over the two signature arrays) → exact verification
+    join against both shingle relations. ``max_bench_band_freq`` drops
+    boilerplate bands shared by many BENCH docs (the small-side twin of
+    the self-join's bucket cap): a junk band on the broadcast side
+    would fan every matching corpus row out |bench| ways.
+    """
+    from pyspark import StorageLevel
+
+    est_margin = 3.0 * (0.25 / num_perm) ** 0.5
+    est_floor = jaccard_threshold - est_margin
+
+    sh_c = shingle_table(corpus, id_col, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_b = shingle_table(bench, id_col, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    band_c = signature_band_table(sh_c, num_perm, bands).select(
+        F.col("id").alias("corpus_id"),
+        F.col("sig").alias("sig_c"),
+        F.posexplode_outer("bands").alias("band_idx", "band_sig"),
+    )
+    band_b = signature_band_table(sh_b, num_perm, bands).select(
+        F.col("id").alias("bench_id"),
+        F.col("sig").alias("sig_b"),
+        F.posexplode_outer("bands").alias("band_idx", "band_sig"),
+    )
+    from pyspark.sql.window import Window
+
+    freq = Window.partitionBy("band_idx", "band_sig")
+    band_b = (
+        band_b.withColumn("_n", F.count(F.lit(1)).over(freq))
+        .filter(F.col("_n") <= max_bench_band_freq)
+        .drop("_n")
+    )
+    est = (
+        F.expr(
+            "aggregate(zip_with(sig_c, sig_b, (x, y) -> IF(x = y, 1, 0)), "
+            "0, (acc, v) -> acc + v)"
+        )
+        / F.lit(float(num_perm))
+    )
+    candidates = (
+        band_c.join(F.broadcast(band_b), ["band_idx", "band_sig"])
+        .filter(est >= est_floor)
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    return (
+        candidates.join(
+            sh_c.select(F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_c")),
+            "corpus_id",
+        )
+        .join(
+            F.broadcast(
+                sh_b.select(F.col("id").alias("bench_id"), F.col("shingles").alias("sh_b"))
+            ),
+            "bench_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_c", "sh_b"))
+                / F.size(F.array_union("sh_c", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("corpus_id", "bench_id", "jaccard")
+    )

@@ -895,3 +895,17 @@ def dedup_global_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     return dedup_ops.dedup_repeated_segments(d, segment_tokens=16)
+
+
+@query("fuzzy_decontamination")
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-based fuzzy decontamination (operators/neardup.py::
+    minhash_lsh_pairs_bipartite): corpus docs near-duplicating the
+    doc_id % 97 eval slice at Jaccard ≥ 0.5 — catches the paraphrased
+    leak the exact 8-gram scan (decontamination_overlap) misses. The
+    eval side broadcasts; the corpus side never shuffles. Rows-only
+    (LSH candidate generation is probabilistic); recall vs planted
+    contamination pinned in tests/test_neardup.py."""
+    d = Catalog(spark, sf_dir).documents
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return neardup.minhash_lsh_pairs_bipartite(d, bench, jaccard_threshold=0.5)

@@ -477,3 +477,55 @@ def test_edit_distance_pairs_block_cap(spark):
     blocks = {r.block for r in out.collect()}
     assert "hot" not in blocks  # 10 > cap of 5: dropped
     assert "cold" in blocks     # small block still pairs
+
+
+def test_bipartite_lsh_finds_paraphrased_contamination(spark):
+    """Planted fuzzy contamination: a bench doc lightly edited into the
+    corpus is matched; unrelated corpus docs are not; verbatim copies
+    score jaccard 1.0."""
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet rooftops of the sleeping town tonight"
+    )
+    edited = bench_text.replace("quiet rooftops", "quiet red rooftops").replace(
+        "tonight", "this evening"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                       # verbatim leak
+            (2, edited),                           # paraphrased leak
+            (3, "completely unrelated text about distributed query engines "
+                "shuffles partitions catalyst codegen arrow and executors"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = neardup.minhash_lsh_pairs_bipartite(
+        corpus, bench, jaccard_threshold=0.5
+    )
+    rows = {r.corpus_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].jaccard == 1.0 and rows[1].bench_id == 100
+    assert 0.5 <= rows[2].jaccard < 1.0
+
+
+def test_bipartite_lsh_bench_band_cap(spark):
+    """A boilerplate band shared by many bench docs is dropped from the
+    broadcast side instead of fanning every corpus row out."""
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    same = "identical boilerplate text repeated across the whole bench set"
+    bench = spark.createDataFrame(
+        [(i, same) for i in range(20)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame([(1, same)], "doc_id long, text string")
+    capped = neardup.minhash_lsh_pairs_bipartite(
+        corpus, bench, jaccard_threshold=0.5, max_bench_band_freq=5
+    )
+    assert capped.count() == 0  # every band over the cap: no candidates
+    uncapped = neardup.minhash_lsh_pairs_bipartite(
+        corpus, bench, jaccard_threshold=0.5, max_bench_band_freq=100
+    )
+    assert uncapped.count() == 20
