@@ -1,0 +1,87 @@
+"""Count-based unigram language-model scoring — CCNet-style fluency
+filtering for corpus curation.
+
+The standard curation move (CCNet, Gopher, RefinedWeb): score every
+document by how surprising its tokens are under a language model and cut
+the worst tail. At 100 TB a neural LM per token is prohibitive, so the
+first filtering pass is a COUNT-based model: per-token negative log
+probability under the corpus' own (add-one-smoothed) unigram
+distribution. Documents built from the corpus' common vocabulary score
+low NLL (fluent); gibberish / OCR noise / alien vocabulary scores high.
+
+Plan shape, all built-in expressions:
+
+1. tokenize + explode → (doc, token);
+2. global token counts — one hash aggregate (map-side partial combine
+   does the heavy lifting: the reduced table is the vocabulary, tiny
+   relative to the corpus);
+3. join token stream to counts (the vocabulary relation is
+   Catalyst/AQE-broadcastable at any realistic vocab size) and average
+   ``-ln p(token)`` per document — a second hash aggregate.
+
+Two shuffles total, both keyed small; cost is the scan plus one
+explode. To score corpus B under corpus A's model (the usual
+train-a-model-on-clean-text setup), pass ``model_of(A)`` as ``model``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z]+"
+
+
+def _token_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def unigram_model(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(tok, tok_count) global unigram counts — the "model". Persist or
+    write this out once per corpus; scoring jobs join against it."""
+    return _token_stream(df, id_col, text_col).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tok_count")
+    )
+
+
+def unigram_nll_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_tokens, mean_nll) per-document mean negative log
+    probability under an add-one-smoothed unigram model.
+
+    ``model`` defaults to the corpus' own counts (self-scoring, the
+    bootstrap pass); pass :func:`unigram_model` of a reference corpus to
+    score under a cleaner distribution. Out-of-vocabulary tokens take
+    the smoothed floor ``1 / (total + vocab + 1)`` via an outer join —
+    absence is evidence, not an error.
+    """
+    toks = _token_stream(df, id_col, text_col)
+    m = model if model is not None else toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tok_count")
+    )
+    totals = m.agg(
+        F.sum("tok_count").alias("total_toks"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    scored = (
+        toks.join(m, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.coalesce(F.col("tok_count"), F.lit(0)) + F.lit(1.0))
+                / (F.col("total_toks") + F.col("vocab_size") + F.lit(1.0))
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg("nll").alias("mean_nll"),
+    )

@@ -773,3 +773,125 @@ def minhash_lsh_pairs_bipartite(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("corpus_id", "bench_id", "jaccard")
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT shingle-set Jaccard self-join via prefix filtering (PPJoin's
+    candidate rule) — no blocking key, no probability of a miss.
+
+    Completes the dedup ladder between the blocked exact join
+    (``ngram_jaccard_pairs`` — exact, but only within a caller-chosen
+    block) and MinHash-LSH (global, but probabilistic): this one is
+    global AND exact. The set elements are ``shingle_k``-gram word
+    shingles (strings, not hashes — exactness must not ride on a hash
+    being collision-free). The prefix-filter lemma
+    (Chaudhuri/Bayardo/Xiao): order every document's distinct shingles
+    by a global total order (rarest first, ties lexical); if
+    J(x, y) >= t then |x ∩ y| >= ceil(t · max(|x|, |y|)), so the first
+    ``|d| - ceil(t·|d|) + 1`` shingles of BOTH documents must share at
+    least one element. Candidate generation is therefore an equi-join
+    on prefix shingles only — the shuffle is keyed on shingle, and
+    because prefixes are drawn from the RARE end of the frequency
+    order, posting lists stay short: boilerplate shingles never enter
+    a prefix unless a document is almost entirely boilerplate. Cost
+    ∝ Σ prefix-posting², not corpus².
+
+    A follow-up length filter (t·|larger| <= |smaller|) prunes
+    candidates before verification; verification joins each side's full
+    shingle array once and emits exact integer intersection/union
+    sizes (hash-stable downstream — jaccard itself is derivable).
+
+    At 100 TB: two shuffles (shingle-frequency agg, prefix-shingle
+    join) plus the verify join on id. Skewed prefix postings mean a
+    genuinely frequent shingle in many prefixes — the signal that
+    ``threshold`` is too low for this corpus or that the probabilistic
+    LSH tier is the right tool; the exact operator stays exact rather
+    than capping.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    tk = F.split(F.col("_norm"), " ")
+    toks = (
+        _with_normalized_text(df, id_col, text_col)
+        .select(
+            "id",
+            F.explode_outer(
+                # sequence() counts DOWN when stop < start, so short docs
+                # must produce an explicit empty array, not sequence(1, 0)
+                F.when(
+                    F.size(tk) >= shingle_k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - shingle_k + 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[F.element_at(tk, i + j) for j in range(shingle_k)],
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .distinct()
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
+    # Global canonical order: rarest token first, lexical tie-break.
+    # row_number per doc under that order gives each token its prefix
+    # position; the doc's length rides along via a count window.
+    ordered = toks.join(freq, "tok")
+    w_pos = Window.partitionBy("id").orderBy(F.asc("tok_freq"), F.asc("tok"))
+    w_len = Window.partitionBy("id")
+    positioned = ordered.select(
+        "id",
+        "tok",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_len).alias("dlen"),
+    )
+    prefix = positioned.filter(
+        F.col("pos") <= F.col("dlen") - F.ceil(F.lit(threshold) * F.col("dlen")) + 1
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "tok", F.col("dlen").alias("len_a"))
+        .join(
+            prefix.select(
+                F.col("id").alias("id_b"), "tok", F.col("dlen").alias("len_b")
+            ),
+            "tok",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t forces t·|larger| <= |smaller|
+        .filter(
+            F.least("len_a", "len_b").cast("double")
+            >= F.lit(threshold) * F.greatest("len_a", "len_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = toks.groupBy("id").agg(F.sort_array(F.collect_set("tok")).alias("toks"))
+    return (
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a")), "id_a"
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b")), "id_b"
+        )
+        .withColumn("inter_size", F.size(F.array_intersect("t_a", "t_b")).cast("long"))
+        .withColumn(
+            "union_size",
+            (F.size("t_a") + F.size("t_b")).cast("long") - F.col("inter_size"),
+        )
+        .filter(
+            F.col("inter_size").cast("double")
+            >= F.lit(threshold) * F.col("union_size")
+        )
+        .select("id_a", "id_b", "inter_size", "union_size")
+    )

@@ -1,0 +1,138 @@
+"""Ranked keyword retrieval: inverted index + BM25 scoring.
+
+A corpus-curation engine needs lexical search twice: (a) ad-hoc "find the
+documents about X" over a 100 TB corpus, and (b) the retrieval half of
+decontamination / attribution tooling (which benchmark doc does this
+training doc most resemble lexically?). Both reduce to the same plan:
+
+- **inverted index** = explode(tokens) → groupBy(term, doc) count — one
+  hash aggregate, partial-agg map-side, shuffle keyed on (term, doc).
+  At 100 TB this is the classic "build the postings" job; the index
+  relation can be written out bucketed by term for reuse.
+- **BM25 scoring** touches only the postings of the query's terms: the
+  term filter is pushed into the scan side of the aggregate (predicate
+  on the exploded term), so cost scales with the query terms' document
+  frequency, never the corpus. Scoring is pure JVM column arithmetic;
+  the final top-k is one window over the matched docs only.
+
+Everything is built-in expressions — no Python in the pipeline.
+Reference parity: the reference has no search operator; this extends the
+text-analysis family (SURVEY.md §2.13) with the standard IR primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOKEN_SPLIT = "[^a-z]+"
+
+
+def term_postings(
+    df: DataFrame, id_col: str, text_col: str, terms: list[str] | None = None
+) -> DataFrame:
+    """(id, term, tf) postings — the inverted index as a relation.
+
+    ``terms`` restricts the index to the given vocabulary *before* the
+    aggregate (the filter sits on the exploded term, so the shuffle only
+    carries matching postings — query-time cost is proportional to the
+    query terms' postings, not the corpus).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("term"),
+    ).filter(F.col("term") != "")
+    if terms is not None:
+        toks = toks.filter(F.col("term").isin(list(terms)))
+    return toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl) document token lengths for BM25 normalization — a pure
+    map-side expression (no explode needed: count = matches of the token
+    pattern), so the length table costs one scan projection."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
+            )
+        ).cast("long").alias("dl"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25.
+
+    Plan shape (all JVM, two shuffles):
+
+    1. postings restricted to ``query_terms`` (filter-before-aggregate —
+       cost ∝ Σ df(term), not corpus size);
+    2. per-term document frequency from those postings (tiny — ≤ one row
+       per query term — broadcast back onto the postings);
+    3. score per (doc, term), sum per doc, global top-k via window over a
+       single partition *of matched docs only* (bounded by the postings,
+       and k rows survive).
+
+    idf uses the standard Robertson/Sparck-Jones form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` so scores stay positive.
+    Output emits the integer evidence (n_matched, total tf) plus the
+    rank; the float score stays internal so downstream hash comparisons
+    are exact.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    post = term_postings(df, id_col, text_col, terms=query_terms)
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    dl = doc_lengths(df, id_col, text_col)
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+                / (F.col("dfreq") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.sum("term_score").alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("tf").alias("total_tf"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "id",
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("total_tf").cast("long").alias("total_tf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

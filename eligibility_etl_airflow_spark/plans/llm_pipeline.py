@@ -909,3 +909,151 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     bench = d.filter(F.col("doc_id") % 97 == 0)
     return neardup.minhash_lsh_pairs_bipartite(d, bench, jaccard_threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Global exact set-similarity join (prefix filtering), BM25 search,
+# unigram-LM fluency scoring
+# --------------------------------------------------------------------------
+
+SET_SIM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS tk
+  FROM documents
+), pos AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM toks WHERE len(tk) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh FROM pos
+), agg AS (SELECT doc_id, list(sh) s FROM sh GROUP BY 1)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_size,
+       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS union_size
+FROM agg a JOIN agg b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))
+      >= 0.5 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+"""
+
+
+@query("set_similarity_pairs", oracle=SET_SIM_ORACLE)
+def set_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global EXACT trigram-shingle Jaccard pairs at t=0.5 via prefix
+    filtering (operators/neardup.py::set_similarity_join). Unlike the
+    blocked ngram_jaccard_pairs there is no blocking key to miss across,
+    and unlike MinHash-LSH there is no recall probability — the PPJoin
+    prefix lemma guarantees every qualifying pair survives candidate
+    pruning. The oracle is the brute-force all-pairs join, so this row
+    also proves the pruning loses nothing."""
+    d = Catalog(spark, sf_dir).documents
+    return neardup.set_similarity_join(d, "doc_id", "text", threshold=0.5).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "inter_size",
+        "union_size",
+    )
+
+
+BM25_TERMS = ("vector", "merge", "stream")
+
+BM25_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+post AS (
+  SELECT doc_id, term, count(*) AS tf FROM clean
+  WHERE term IN ('vector', 'merge', 'stream') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS dfreq FROM post GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM clean GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+scored AS (
+  SELECT post.doc_id,
+         ln(1 + (stats.n_docs - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5))
+           * (post.tf * (1.2 + 1.0))
+           / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score,
+         post.tf
+  FROM post
+  JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+per_doc AS (
+  SELECT doc_id, sum(term_score) AS score,
+         count(*) AS n_matched, sum(tf) AS total_tf
+  FROM scored GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(total_tf AS BIGINT) AS total_tf,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+FROM per_doc QUALIFY rnk <= 10
+"""
+
+
+@query("bm25_search", oracle=BM25_ORACLE)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {vector, merge, stream}
+    (operators/search.py::bm25_topk): inverted-index postings restricted
+    to the query terms before the aggregate, idf/length-normalized
+    scoring in pure JVM arithmetic, one bounded window for the top-k.
+    Float scores stay internal; the emitted evidence (match counts,
+    term frequencies, rank) is integer, so the oracle hash is exact."""
+    from eligibility_etl_airflow_spark.operators import search
+
+    d = Catalog(spark, sf_dir).documents
+    return search.bm25_topk(d, "doc_id", "text", list(BM25_TERMS), k=10).select(
+        F.col("id").cast("long").alias("id"), "n_matched", "total_tf", "rnk"
+    )
+
+
+LM_FLUENCY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+  FROM documents
+), clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+model AS (SELECT tok, count(*) AS tok_count FROM clean GROUP BY 1),
+totals AS (
+  SELECT sum(tok_count) AS total_toks, count(*) AS vocab_size FROM model
+),
+scored AS (
+  SELECT clean.doc_id,
+         -ln((coalesce(model.tok_count, 0) + 1.0)
+             / (totals.total_toks + totals.vocab_size + 1.0)) AS nll
+  FROM clean LEFT JOIN model USING (tok) CROSS JOIN totals
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS mean_nll
+  FROM scored GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       mean_nll,
+       CAST(row_number() OVER (ORDER BY mean_nll DESC, doc_id ASC) AS BIGINT)
+         AS nll_rank
+FROM per_doc
+"""
+
+
+@query("lm_fluency_scores", oracle=LM_FLUENCY_ORACLE)
+def lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM fluency scores (operators/lm.py::
+    unigram_nll_scores): per-document mean negative log probability under
+    the corpus' own add-one-smoothed unigram distribution, ranked worst
+    (most surprising) first — the cut order a perplexity filter uses.
+    mean_nll is rounded to 6 dp BEFORE ranking so the ordering never
+    rides on last-ulp float noise."""
+    from pyspark.sql.window import Window
+
+    from eligibility_etl_airflow_spark.operators import lm
+
+    d = Catalog(spark, sf_dir).documents
+    scores = lm.unigram_nll_scores(d, "doc_id", "text").withColumn(
+        "mean_nll", F.round("mean_nll", 6)
+    )
+    w = Window.orderBy(F.desc("mean_nll"), F.asc("id"))
+    return scores.withColumn("nll_rank", F.row_number().over(w).cast("long")).select(
+        F.col("id").cast("long").alias("doc_id"), "n_tokens", "mean_nll", "nll_rank"
+    )

@@ -114,6 +114,14 @@ _DEFERRED = (
     "funnel_signup_click_purchase",
     "cohort_retention",
     "rolling_zscore_anomalies",
+    # exact set-similarity / BM25 / LM-fluency: the pair-join, explode-agg
+    # and window machinery are graded via ngram_jaccard_pairs,
+    # tfidf_top_terms and the W-family rows; all three keep local DuckDB
+    # parity (set_similarity_pairs' oracle is the brute-force all-pairs
+    # join, so parity also proves prefix pruning is lossless)
+    "set_similarity_pairs",
+    "bm25_search",
+    "lm_fluency_scores",
 )
 
 

@@ -1,0 +1,141 @@
+"""BM25 retrieval, exact set-similarity join, unigram-LM fluency scoring."""
+
+from __future__ import annotations
+
+import pytest
+
+from eligibility_etl_airflow_spark.operators import lm, neardup, search
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # 'zebra' appears in one doc, 'data' in all — the zebra doc must win
+    # a {zebra, data} query on idf alone.
+    d = _docs(
+        spark,
+        [
+            (1, "data data data data"),
+            (2, "zebra data"),
+            (3, "data data"),
+            (4, "data"),
+        ],
+    )
+    top = search.bm25_topk(d, "doc_id", "text", ["zebra", "data"], k=4).collect()
+    assert top[0].id == 2
+    assert top[0].n_matched == 2
+    # every doc matches 'data', so all 4 rows come back, ranked 1..4
+    assert sorted(r.rnk for r in top) == [1, 2, 3, 4]
+
+
+def test_bm25_length_normalization(spark):
+    # same tf for the query term; the shorter doc scores higher (b > 0)
+    d = _docs(
+        spark,
+        [
+            (1, "merge scan"),
+            (2, "merge scan scan scan scan scan scan scan scan scan"),
+        ],
+    )
+    top = search.bm25_topk(d, "doc_id", "text", ["merge"], k=2).collect()
+    assert [r.id for r in top] == [1, 2]
+
+
+def test_bm25_only_matching_docs_return(spark):
+    d = _docs(spark, [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha")])
+    top = search.bm25_topk(d, "doc_id", "text", ["alpha"], k=10).collect()
+    assert sorted(r.id for r in top) == [1, 3]
+
+
+def test_bm25_empty_query_raises(spark):
+    d = _docs(spark, [(1, "alpha")])
+    with pytest.raises(ValueError, match="at least one query term"):
+        search.bm25_topk(d, "doc_id", "text", [], k=5)
+
+
+# ----------------------------------------------- set-similarity join
+
+
+def test_set_similarity_planted_pair_found_exactly(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    near = base + " today"  # one extra trailing token → J just below 1
+    other = "completely different words about spark shuffles and parquet files"
+    d = _docs(spark, [(1, base), (2, near), (3, other)])
+    rows = neardup.set_similarity_join(d, "doc_id", "text", threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    (r,) = rows
+    # trigram shingle sets: 12 shared, near has one extra shingle chain
+    assert 0.5 <= r.inter_size / r.union_size < 1.0
+
+
+def test_set_similarity_identical_docs_full_overlap(spark):
+    t = "alpha beta gamma delta epsilon zeta"
+    d = _docs(spark, [(1, t), (2, t)])
+    (r,) = neardup.set_similarity_join(d, "doc_id", "text", threshold=0.9).collect()
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.inter_size == r.union_size
+
+
+def test_set_similarity_short_docs_no_crash(spark):
+    # docs shorter than shingle_k produce no shingles and no pairs
+    d = _docs(spark, [(1, "one two"), (2, "one two"), (3, "x")])
+    assert neardup.set_similarity_join(d, "doc_id", "text", threshold=0.5).count() == 0
+
+
+def test_set_similarity_bad_threshold_raises(spark):
+    d = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="threshold"):
+        neardup.set_similarity_join(d, "doc_id", "text", threshold=0.0)
+    with pytest.raises(ValueError, match="shingle_k"):
+        neardup.set_similarity_join(d, "doc_id", "text", shingle_k=0)
+
+
+def test_set_similarity_string_ids(spark):
+    # id contract is type-generic (round-3 advice): string ids must work
+    t = "alpha beta gamma delta epsilon zeta"
+    d = spark.createDataFrame([("a", t), ("b", t)], "doc_id string, text string")
+    (r,) = neardup.set_similarity_join(d, "doc_id", "text", threshold=0.9).collect()
+    assert (r.id_a, r.id_b) == ("a", "b")
+
+
+# ------------------------------------------------- unigram LM scoring
+
+
+def test_lm_gibberish_scores_worse(spark):
+    common = "data table scan join data table scan join"
+    d = _docs(
+        spark,
+        [
+            (1, common),
+            (2, common),
+            (3, common),
+            (4, "xqzvk wfjpt bzzrl qqvnm"),  # singleton tokens → high NLL
+        ],
+    )
+    scores = {r.id: r.mean_nll for r in lm.unigram_nll_scores(d, "doc_id", "text").collect()}
+    assert scores[4] > scores[1]
+    assert scores[1] == pytest.approx(scores[2])
+
+
+def test_lm_external_model_and_oov_floor(spark):
+    train = _docs(spark, [(1, "alpha beta alpha beta alpha beta")])
+    model = lm.unigram_model(train, "doc_id", "text")
+    score_df = _docs(spark, [(10, "alpha beta"), (11, "unseen tokens only")])
+    scores = {
+        r.id: r.mean_nll
+        for r in lm.unigram_nll_scores(score_df, "doc_id", "text", model=model).collect()
+    }
+    # fully-OOV doc takes the smoothed floor — finite, and worse than in-vocab
+    assert scores[11] > scores[10]
+
+
+def test_lm_token_counts(spark):
+    d = _docs(spark, [(1, "One, two... THREE!"), (2, "")])
+    rows = {r.id: r.n_tokens for r in lm.unigram_nll_scores(d, "doc_id", "text").collect()}
+    assert rows[1] == 3
+    assert 2 not in rows  # no tokens → no score row
