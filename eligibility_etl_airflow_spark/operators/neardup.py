@@ -813,51 +813,82 @@ def set_similarity_join(
     ``threshold`` is too low for this corpus or that the probabilistic
     LSH tier is the right tool; the exact operator stays exact rather
     than capping.
+
+    The distinct (id, shingle) relation is persisted — three consumers
+    (frequency aggregate, prefix ordering, verification sets) would
+    otherwise re-run the scan + normalize + shingle explode three
+    times. Cache lifecycle contract is the same as
+    ``minhash_lsh_pairs``: repeated invocations over one corpus reuse a
+    single entry; a long-lived driver cycling corpora should
+    ``spark.catalog.clearCache()`` between jobs.
     """
-    from pyspark.sql.window import Window
+    from pyspark import StorageLevel
 
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if shingle_k < 1:
         raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
-    tk = F.split(F.col("_norm"), " ")
+    # Stage the token array as its own projection: `tk` is referenced
+    # many times below, and as a raw split() expression each reference
+    # would re-split the whole document (the O(len²) lambda
+    # re-evaluation trap measured on the winnowing operator). As a
+    # multi-referenced non-trivial alias, CollapseProject keeps it an
+    # attribute — one split per row.
+    staged = _with_normalized_text(df, id_col, text_col).select(
+        "id", F.split(F.col("_norm"), " ").alias("tk")
+    )
     toks = (
-        _with_normalized_text(df, id_col, text_col)
-        .select(
+        staged.select(
             "id",
             F.explode_outer(
                 # sequence() counts DOWN when stop < start, so short docs
                 # must produce an explicit empty array, not sequence(1, 0)
                 F.when(
-                    F.size(tk) >= shingle_k,
+                    F.size("tk") >= shingle_k,
                     F.transform(
-                        F.sequence(F.lit(1), F.size(tk) - shingle_k + 1),
-                        lambda i: F.concat_ws(
-                            " ",
-                            *[F.element_at(tk, i + j) for j in range(shingle_k)],
-                        ),
+                        F.sequence(F.lit(1), F.size("tk") - shingle_k + 1),
+                        lambda i: F.array_join(F.slice("tk", i, shingle_k), " "),
                     ),
                 ).otherwise(F.array().cast("array<string>"))
             ).alias("tok"),
         )
         .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
     # Global canonical order: rarest token first, lexical tie-break.
-    # row_number per doc under that order gives each token its prefix
-    # position; the doc's length rides along via a count window.
-    ordered = toks.join(freq, "tok")
-    w_pos = Window.partitionBy("id").orderBy(F.asc("tok_freq"), F.asc("tok"))
-    w_len = Window.partitionBy("id")
-    positioned = ordered.select(
-        "id",
-        "tok",
-        F.row_number().over(w_pos).alias("pos"),
-        F.count(F.lit(1)).over(w_len).alias("dlen"),
+    # One aggregate builds each doc's rarity-ordered shingle array
+    # (array_sort over (freq, tok) structs); the prefix is a slice of
+    # it. This single per-id shuffle replaces the join + row_number
+    # window + separate verification-set aggregate shape (three id- or
+    # sort-keyed exchanges) — the docsets relation then serves BOTH the
+    # prefix explode and the verification joins, so it is persisted.
+    docsets = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("tok_freq", "tok"))).alias("ordered")
+        )
+        .select(
+            "id",
+            F.transform("ordered", lambda x: x["tok"]).alias("toks"),
+            F.size("ordered").alias("dlen"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prefix = positioned.filter(
-        F.col("pos") <= F.col("dlen") - F.ceil(F.lit(threshold) * F.col("dlen")) + 1
+    prefix = docsets.select(
+        "id",
+        "dlen",
+        F.explode(
+            F.slice(
+                "toks",
+                1,
+                (F.col("dlen") - F.ceil(F.lit(threshold) * F.col("dlen")) + 1).cast(
+                    "int"
+                ),
+            )
+        ).alias("tok"),
     )
     cand = (
         prefix.select(F.col("id").alias("id_a"), "tok", F.col("dlen").alias("len_a"))
@@ -876,7 +907,7 @@ def set_similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = toks.groupBy("id").agg(F.sort_array(F.collect_set("tok")).alias("toks"))
+    sets = docsets.select("id", "toks")
     return (
         cand.join(
             sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a")), "id_a"

@@ -922,9 +922,11 @@ WITH toks AS (
          regexp_split_to_array(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS tk
   FROM documents
 ), pos AS (
-  SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM toks WHERE len(tk) >= 3
+  SELECT doc_id, tk, unnest(range(1, len(tk)-3)) AS i FROM toks WHERE len(tk) >= 5
 ), sh AS (
-  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh FROM pos
+  SELECT DISTINCT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS sh
+  FROM pos
 ), agg AS (SELECT doc_id, list(sh) s FROM sh GROUP BY 1)
 SELECT CAST(a.doc_id AS BIGINT) AS id_a,
        CAST(b.doc_id AS BIGINT) AS id_b,
@@ -938,15 +940,19 @@ WHERE len(list_intersect(a.s, b.s))
 
 @query("set_similarity_pairs", oracle=SET_SIM_ORACLE)
 def set_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global EXACT trigram-shingle Jaccard pairs at t=0.5 via prefix
+    """Global EXACT 5-gram-shingle Jaccard pairs at t=0.5 via prefix
     filtering (operators/neardup.py::set_similarity_join). Unlike the
     blocked ngram_jaccard_pairs there is no blocking key to miss across,
     and unlike MinHash-LSH there is no recall probability — the PPJoin
     prefix lemma guarantees every qualifying pair survives candidate
     pruning. The oracle is the brute-force all-pairs join, so this row
-    also proves the pruning loses nothing."""
+    also proves the pruning loses nothing. shingle_k=5 matches the
+    MinHash default (hashed_shingles_of_norm) and keeps prefix postings
+    near-unique even on a narrow-vocabulary corpus."""
     d = Catalog(spark, sf_dir).documents
-    return neardup.set_similarity_join(d, "doc_id", "text", threshold=0.5).select(
+    return neardup.set_similarity_join(
+        d, "doc_id", "text", threshold=0.5, shingle_k=5
+    ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "inter_size",
