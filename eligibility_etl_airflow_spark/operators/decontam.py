@@ -33,17 +33,36 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_RE = "[^a-z]+"
 
 
-def word_ngrams(col: F.Column, n: int = 8) -> F.Column:
-    """Distinct word n-grams of lowercased text as an array<string>;
-    empty array when the text has fewer than n tokens. The ``size >= n``
-    guard matters: Spark's ``sequence(1, 0)`` counts *down* (yielding
-    [1, 0]), it is not empty like most engines'."""
-    toks = F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+def tokens_of(col: F.Column) -> F.Column:
+    """Lowercased word tokens — stage this as its OWN projection alias
+    before feeding :func:`ngrams_of_tokens`: the n-gram lambda references
+    the token array once per position, and an inline split expression
+    would re-split the whole document per n-gram (the measured O(len²)
+    higher-order-function re-evaluation trap). A multi-referenced
+    non-trivial alias stays an attribute under CollapseProject, so the
+    split runs once per row."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def ngrams_of_tokens(toks: F.Column, n: int = 8) -> F.Column:
+    """Distinct word n-grams from a STAGED token-array column; empty
+    array when the doc has fewer than n tokens. The ``size >= n`` guard
+    matters: Spark's ``sequence(1, 0)`` counts *down* (yielding [1, 0]),
+    it is not empty like most engines'."""
     ngrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.array_distinct(F.when(F.size(toks) >= n, ngrams).otherwise(F.array()))
+
+
+def word_ngrams(col: F.Column, n: int = 8) -> F.Column:
+    """Distinct word n-grams straight from a text column. Convenience
+    for SMALL relations (the bench side): used inline, the token split
+    re-evaluates per n-gram position — on a corpus-side hot path, stage
+    :func:`tokens_of` into a projection and use
+    :func:`ngrams_of_tokens` instead."""
+    return ngrams_of_tokens(tokens_of(col), n)
 
 
 def benchmark_ngrams(
@@ -75,8 +94,10 @@ def contamination_flags(
         "_hit", F.lit(1)
     )
     doc_ng = docs.select(
+        F.col(id_col), tokens_of(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("ng"),
+        F.explode_outer(ngrams_of_tokens(F.col("_toks"), n)).alias("ng"),
     )
     if hash_ngrams:
         # xxhash64(NULL) returns the seed, not NULL — preserve the null

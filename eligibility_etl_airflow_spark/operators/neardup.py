@@ -75,7 +75,12 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 
 
 def char_shingles(col: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of the normalized text."""
+    """Distinct character k-shingles of the normalized text. Convenience
+    for small relations / ad-hoc use: the inline normalize re-evaluates
+    once per shingle position inside the transform lambda — on a hot
+    path, stage ``_with_normalized_text`` and use
+    ``hashed_shingles_of_norm`` (see its docstring for the measured
+    cost)."""
     norm = normalize_text(col)
     n = F.length(norm)
     starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))

@@ -136,3 +136,84 @@ def bm25_topk(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query for a WHOLE RELATION of queries —
+    the scale path when retrieval is a workload, not an ad-hoc call
+    (attribution sweeps, eval-set retrieval, dataset search APIs).
+
+    ``queries`` is (query_id, terms array<string>). Plan shape:
+
+    1. the distinct term vocabulary of all queries is a small relation —
+       it broadcasts into a semi join that prunes the postings build
+       (same filter-before-aggregate discipline as the single-query
+       form, generalized: cost ∝ Σ df over the union of query terms);
+    2. postings ⋈ exploded query terms (broadcast — the query relation
+       is the small side by definition) fans each posting out to the
+       queries containing its term;
+    3. per-(query, doc) score sum, then one row_number window
+       partitioned BY QUERY — top-k state never concentrates on a
+       single partition, unlike the single-query global window.
+
+    Scores follow the same Robertson/Sparck-Jones BM25 as
+    :func:`bm25_topk`; output is (query_id, id, n_matched, total_tf,
+    rnk)."""
+    qterms = queries.select(
+        F.col("query_id"), F.explode("terms").alias("term")
+    ).distinct()
+    vocab = qterms.select("term").distinct()
+    post = (
+        term_postings(df, id_col, text_col)
+        .join(F.broadcast(vocab), "term", "left_semi")
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    dl = doc_lengths(df, id_col, text_col)
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "term_score",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+                / (F.col("dfreq") + F.lit(0.5))
+            )
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per = scored.groupBy("query_id", "id").agg(
+        F.sum("term_score").alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("tf").alias("total_tf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "id",
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("total_tf").cast("long").alias("total_tf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

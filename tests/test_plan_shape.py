@@ -233,3 +233,51 @@ def test_cube_and_pivot_single_aggregate_shuffle(spark, sf_dir):
     # then the pivot fold whose shuffle moves only the cell grid
     pivot = diagnostics.plan_summary(analytics.pivot_status_matrix(spark, sf_dir))
     assert pivot.exchanges == 2
+
+
+def test_bm25_broadcasts_stats_and_filters_before_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bm25_search")
+    # df/N/avgdl scalars broadcast; postings never sort-merge
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the query-term filter runs scan-side, BEFORE the postings
+    # aggregate: the exploded-term Filter must list the literal terms
+    assert "vector" in plan and "merge" in plan and "stream" in plan
+    # map-side partial aggregation on the postings build
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_set_similarity_normalizes_and_splits_once(spark, sf_dir):
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    d = Catalog(spark, sf_dir).documents
+    plan = (
+        neardup.set_similarity_join(d, "doc_id", "text", threshold=0.5, shingle_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the token array must be a staged attribute: the shingle lambda
+    # slices `tk#N`, never re-evaluates the split/normalize per element
+    # (the higher-order-function re-evaluation trap). Textually: every
+    # split/regexp_replace lives in a `... AS tk#` Project line; no
+    # lambdafunction line may contain one.
+    for line in plan.splitlines():
+        if "lambdafunction" in line:
+            assert "regexp_replace" not in line and "split(" not in line, line[:300]
+    staged = [
+        line
+        for line in plan.splitlines()
+        if "regexp_replace" in line and "AS tk#" in line
+    ]
+    assert staged, "staged token-array projection not found in plan"
+
+
+def test_decontamination_stages_token_array(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "decontamination_overlap")
+    # corpus side: one broadcast join, no shuffle before the per-doc agg
+    assert "BroadcastHashJoin" in plan
+    # token split happens in a staged projection, once per row — the
+    # n-gram lambda must reference the attribute, not re-split; the
+    # split expression shows up a bounded number of times (corpus side
+    # + broadcast bench side), not once per n-gram construction step
+    assert plan.count("split(lower") <= 4, plan.count("split(lower")

@@ -139,3 +139,41 @@ def test_lm_token_counts(spark):
     rows = {r.id: r.n_tokens for r in lm.unigram_nll_scores(d, "doc_id", "text").collect()}
     assert rows[1] == 3
     assert 2 not in rows  # no tokens → no score row
+
+
+def test_bm25_batch_matches_single_query_loop(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "data table scan join merge"),
+            (2, "zebra data stream stream"),
+            (3, "merge merge stream data table"),
+            (4, "vector scan"),
+            (5, "unrelated words entirely"),
+        ],
+    )
+    qs = spark.createDataFrame(
+        [(100, ["zebra", "data"]), (200, ["merge", "stream"]), (300, ["vector"])],
+        "query_id long, terms array<string>",
+    )
+    batch = {
+        (r.query_id, r.id): (r.n_matched, r.total_tf, r.rnk)
+        for r in search.bm25_topk_batch(d, "doc_id", "text", qs, k=3).collect()
+    }
+    single = {}
+    for qid, terms in [(100, ["zebra", "data"]), (200, ["merge", "stream"]), (300, ["vector"])]:
+        for r in search.bm25_topk(d, "doc_id", "text", terms, k=3).collect():
+            single[(qid, r.id)] = (r.n_matched, r.total_tf, r.rnk)
+    assert batch == single
+
+
+def test_bm25_batch_queries_are_independent(spark):
+    # a term appearing in two queries scores identically in both
+    d = _docs(spark, [(1, "alpha beta"), (2, "alpha alpha"), (3, "beta")])
+    qs = spark.createDataFrame(
+        [(1, ["alpha"]), (2, ["alpha", "beta"])],
+        "query_id long, terms array<string>",
+    )
+    rows = search.bm25_topk_batch(d, "doc_id", "text", qs, k=10).collect()
+    q1 = sorted((r.id, r.rnk) for r in rows if r.query_id == 1)
+    assert q1 == [(1, 2), (2, 1)]  # doc 2 has tf=2 for alpha, same length
