@@ -85,3 +85,121 @@ def unigram_nll_scores(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.avg("nll").alias("mean_nll"),
     )
+
+
+def bigram_model(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(w1, w2, pair_count) adjacent-token counts — the bigram half of
+    an interpolated model. Built from a STAGED token array (one split
+    per row; see the higher-order-function re-evaluation note in
+    SCALING.md) and one hash aggregate."""
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
+        ).alias("tk"),
+    )
+    pairs = staged.select(
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tk", i).alias("w1"),
+                        F.element_at("tk", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    return pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+
+
+def bigram_nll_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+) -> DataFrame:
+    """(id, n_bigrams, mean_nll) per-document mean negative log
+    probability under a Jelinek-Mercer-interpolated bigram model:
+
+        p(w2 | w1) = lam * c(w1 w2)/c(w1)  +  (1-lam) * p_uni(w2)
+
+    with the add-one-smoothed unigram as the backoff (so the score is
+    finite for unseen bigrams AND unseen unigrams). The bigram term is
+    deliberately unsmoothed — interpolation already floors it, which is
+    the standard JM construction.
+
+    Plan shape: the bigram stream joins its pair count and w1's unigram
+    count (both model relations reduce to vocabulary-sized tables under
+    map-side partial aggregation, broadcastable), plus w2's unigram
+    probability; one final per-doc aggregate. Everything JVM-side.
+    Catches what the unigram scorer cannot: a document of common words
+    in an impossible ORDER scores badly here while passing the unigram
+    filter.
+    """
+    if not (0.0 <= lam < 1.0):
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
+        ).alias("tk"),
+    )
+    stream = staged.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tk", i).alias("w1"),
+                        F.element_at("tk", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+    uni = unigram_model(df, id_col, text_col)
+    bi = bigram_model(df, id_col, text_col)
+    totals = uni.agg(
+        F.sum("tok_count").alias("total_toks"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    scored = (
+        stream.join(
+            F.broadcast(bi), ["w1", "w2"], "left"
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("tok_count").alias("w1_count"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("tok_count").alias("w2_count"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "p_uni",
+            (F.coalesce(F.col("w2_count"), F.lit(0)) + F.lit(1.0))
+            / (F.col("total_toks") + F.col("vocab_size") + F.lit(1.0)),
+        )
+        .withColumn(
+            "p_bi",
+            F.when(
+                F.col("w1_count").isNotNull() & F.col("pair_count").isNotNull(),
+                F.col("pair_count") / F.col("w1_count"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "nll", -F.log(F.lit(lam) * F.col("p_bi") + F.lit(1.0 - lam) * F.col("p_uni"))
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("nll").alias("mean_nll"),
+    )

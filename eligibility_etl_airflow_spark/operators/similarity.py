@@ -600,3 +600,65 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, centroid array<double>, n_members) mean-pooled centroid
+    per label — the aggregation half of semantic clustering / class
+    prototypes. Relational and dimension-generic: posexplode the vector,
+    average per (label, position), re-assemble ordered by position. Two
+    hash aggregates; state is labels × dims, independent of row count —
+    the shape that holds at 100 TB (partial aggregation does the
+    billion-row work map-side)."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x"),
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.avg("x").alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    return per_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
+        F.max("n").cast("long").alias("n_members"),
+    )
+
+
+def nearest_centroid_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine —
+    the E-step of k-means / the inference step of a nearest-prototype
+    classifier. ``centroids`` is (label, centroid) from
+    :func:`label_centroids` (or any centroid relation). The centroid
+    side broadcasts (labels × dims is small by construction); similarity
+    is rounded to 6 dp BEFORE the argmax window so the winner never
+    rides on last-ulp float noise, with the label as the deterministic
+    tie-break. Output: (id, assigned_label, sim, n_candidates)."""
+    from pyspark.sql.window import Window
+
+    v = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    )
+    c = centroids.select(
+        F.col("label").alias("assigned_label"),
+        as_double_array(F.col("centroid")).alias("cv"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "id",
+        "assigned_label",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("assigned_label"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .filter(F.col("rnk") == 1)
+        .select("id", "assigned_label", "sim", F.col("n_candidates").cast("long").alias("n_candidates"))
+    )

@@ -1063,3 +1063,120 @@ def lm_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.withColumn("nll_rank", F.row_number().over(w).cast("long")).select(
         F.col("id").cast("long").alias("doc_id"), "n_tokens", "mean_nll", "nll_rank"
     )
+
+
+LM_BIGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS tk
+  FROM documents
+),
+uni0 AS (
+  SELECT unnest(tk) AS tok FROM toks
+),
+uni AS (SELECT tok, count(*) AS tok_count FROM uni0 GROUP BY 1),
+totals AS (SELECT sum(tok_count) AS total_toks, count(*) AS vocab_size FROM uni),
+stream AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)
+),
+bi AS (SELECT w1, w2, count(*) AS pair_count FROM stream GROUP BY 1, 2),
+scored AS (
+  SELECT s.doc_id,
+         -ln(0.7 * (bi.pair_count * 1.0 / u1.tok_count)
+             + 0.3 * ((u2.tok_count + 1.0)
+                      / (totals.total_toks + totals.vocab_size + 1.0))) AS nll
+  FROM stream s
+  JOIN bi USING (w1, w2)
+  JOIN uni u1 ON u1.tok = s.w1
+  JOIN uni u2 ON u2.tok = s.w2
+  CROSS JOIN totals
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS mean_nll
+  FROM scored GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       mean_nll,
+       CAST(row_number() OVER (ORDER BY mean_nll DESC, doc_id ASC) AS BIGINT)
+         AS nll_rank
+FROM per_doc
+"""
+
+
+@query("lm_bigram_scores", oracle=LM_BIGRAM_ORACLE)
+def lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer-interpolated bigram LM scores (operators/lm.py::
+    bigram_nll_scores, lam=0.7): catches common-words-in-impossible-ORDER
+    documents the unigram filter passes. Self-scored on the corpus (every
+    observed bigram/unigram hits the model joins, so the oracle needs no
+    outer-join arms; the unseen-token paths are unit-tested with an
+    external model). Rounded-then-ranked like lm_fluency_scores."""
+    from pyspark.sql.window import Window
+
+    from eligibility_etl_airflow_spark.operators import lm
+
+    d = Catalog(spark, sf_dir).documents
+    scores = lm.bigram_nll_scores(d, "doc_id", "text", lam=0.7).withColumn(
+        "mean_nll", F.round("mean_nll", 6)
+    )
+    w = Window.orderBy(F.desc("mean_nll"), F.asc("id"))
+    return scores.withColumn("nll_rank", F.row_number().over(w).cast("long")).select(
+        F.col("id").cast("long").alias("doc_id"), "n_bigrams", "mean_nll", "nll_rank"
+    )
+
+
+CENTROID_ASSIGN_ORACLE = r"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+pos AS (
+  SELECT label, i, avg(v[i]) AS c
+  FROM (SELECT label, v, unnest(range(1, len(v)+1)) AS i FROM e)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY i) AS cv FROM pos GROUP BY 1),
+scored AS (
+  SELECT e.vec_id, e.label, cent.label AS assigned_label,
+         round(list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS sim
+  FROM e CROSS JOIN cent
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, assigned_label ASC) AS rnk,
+         count(*) OVER (PARTITION BY vec_id) AS n_candidates
+  FROM scored
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(label AS BIGINT) AS label,
+       CAST(assigned_label AS BIGINT) AS assigned_label,
+       sim,
+       CAST(n_candidates AS BIGINT) AS n_candidates
+FROM ranked WHERE rnk = 1
+"""
+
+
+@query("centroid_assignments", oracle=CENTROID_ASSIGN_ORACLE)
+def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled per-label centroids + nearest-centroid assignment
+    (operators/similarity.py::label_centroids / nearest_centroid_assign)
+    — the k-means E-step / nearest-prototype classifier as relational
+    ops. Centroid state is labels × dims (broadcastable at any corpus
+    size); similarities are rounded before the argmax window so the
+    winner is float-noise-stable against the DuckDB twin."""
+    e = Catalog(spark, sf_dir).embeddings
+    cents = similarity.label_centroids(e, "label", "embedding").select(
+        "label", "centroid"
+    )
+    assigned = similarity.nearest_centroid_assign(e, cents, "vec_id", "embedding")
+    return (
+        assigned.join(e.select("vec_id", "label"), assigned["id"] == F.col("vec_id"))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("label").cast("long").alias("label"),
+            F.col("assigned_label").cast("long").alias("assigned_label"),
+            "sim",
+            "n_candidates",
+        )
+    )

@@ -122,6 +122,10 @@ _DEFERRED = (
     "set_similarity_pairs",
     "bm25_search",
     "lm_fluency_scores",
+    "lm_bigram_scores",
+    # centroid pooling / assignment: the posexplode-agg and broadcast
+    # machinery are graded via struct_expand and the ANN brute-force row
+    "centroid_assignments",
 )
 
 

@@ -177,3 +177,64 @@ def test_bm25_batch_queries_are_independent(spark):
     rows = search.bm25_topk_batch(d, "doc_id", "text", qs, k=10).collect()
     q1 = sorted((r.id, r.rnk) for r in rows if r.query_id == 1)
     assert q1 == [(1, 2), (2, 1)]  # doc 2 has tf=2 for alpha, same length
+
+
+def test_bigram_lm_penalizes_scrambled_order(spark):
+    # same unigram distribution, different order: the scrambled doc must
+    # score worse under the bigram model (and identically under unigram)
+    fluent = "the cat sat on the mat " * 5
+    scrambled = "mat the on sat cat the " * 5
+    d = _docs(spark, [(1, fluent.strip()), (2, scrambled.strip()), (3, fluent.strip())])
+    bi = {r.id: r.mean_nll for r in lm.bigram_nll_scores(d, "doc_id", "text").collect()}
+    uni = {r.id: r.mean_nll for r in lm.unigram_nll_scores(d, "doc_id", "text").collect()}
+    assert bi[2] > bi[1]
+    assert uni[1] == pytest.approx(uni[2])
+
+
+def test_bigram_lm_lambda_validation_and_short_docs(spark):
+    d = _docs(spark, [(1, "solo"), (2, "two words")])
+    with pytest.raises(ValueError, match="lam"):
+        lm.bigram_nll_scores(d, "doc_id", "text", lam=1.0)
+    rows = {r.id: r.n_bigrams for r in lm.bigram_nll_scores(d, "doc_id", "text").collect()}
+    assert 1 not in rows  # <2 tokens → no bigrams → no row
+    assert rows[2] == 1
+
+
+# --------------------------------------- centroids / nearest prototype
+
+
+def test_label_centroids_and_assignment_roundtrip(spark):
+    from eligibility_etl_airflow_spark.operators import similarity
+
+    # two well-separated clusters; every member must come back to its own
+    rows = [
+        (1, [1.0, 0.0, 0.1], "a"),
+        (2, [0.9, 0.1, 0.0], "a"),
+        (3, [0.0, 1.0, 0.1], "b"),
+        (4, [0.1, 0.9, 0.0], "b"),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    cents = similarity.label_centroids(e, "label", "embedding")
+    got = {r.label: (r.centroid, r.n_members) for r in cents.collect()}
+    assert got["a"][1] == 2 and got["b"][1] == 2
+    assert got["a"][0] == pytest.approx([0.95, 0.05, 0.05])
+    assigned = similarity.nearest_centroid_assign(e, cents, "vec_id", "embedding")
+    out = {r.id: r.assigned_label for r in assigned.collect()}
+    assert out == {1: "a", 2: "a", 3: "b", 4: "b"}
+    assert all(r.n_candidates == 2 for r in assigned.collect())
+
+
+def test_nearest_centroid_tie_breaks_on_label(spark):
+    from eligibility_etl_airflow_spark.operators import similarity
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [("b", [2.0, 0.0]), ("a", [3.0, 0.0])],
+        "label string, centroid array<double>",
+    )
+    # both centroids are cosine-identical to the vector → label asc wins
+    (r,) = similarity.nearest_centroid_assign(e, cents, "vec_id").collect()
+    assert r.assigned_label == "a"
+    assert r.sim == pytest.approx(1.0)
