@@ -163,7 +163,9 @@ def bigram_nll_scores(
         ).alias("bg"),
     ).select("id", "bg.w1", "bg.w2")
     uni = unigram_model(df, id_col, text_col)
-    bi = bigram_model(df, id_col, text_col)
+    # derive the bigram counts from the SAME stream being scored — one
+    # corpus pass fewer than rebuilding pairs via bigram_model
+    bi = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
     totals = uni.agg(
         F.sum("tok_count").alias("total_toks"),
         F.count(F.lit(1)).alias("vocab_size"),

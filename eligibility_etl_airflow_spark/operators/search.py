@@ -30,14 +30,19 @@ TOKEN_SPLIT = "[^a-z]+"
 
 
 def term_postings(
-    df: DataFrame, id_col: str, text_col: str, terms: list[str] | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str] | None = None,
+    terms_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, term, tf) postings — the inverted index as a relation.
 
-    ``terms`` restricts the index to the given vocabulary *before* the
-    aggregate (the filter sits on the exploded term, so the shuffle only
-    carries matching postings — query-time cost is proportional to the
-    query terms' postings, not the corpus).
+    ``terms`` (a literal list) or ``terms_df`` (a one-column ``term``
+    relation, broadcast semi join) restricts the index to the given
+    vocabulary *before* the aggregate — the filter sits on the exploded
+    term, so the shuffle only carries matching postings and query-time
+    cost is proportional to the query terms' postings, not the corpus.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -45,6 +50,8 @@ def term_postings(
     ).filter(F.col("term") != "")
     if terms is not None:
         toks = toks.filter(F.col("term").isin(list(terms)))
+    if terms_df is not None:
+        toks = toks.join(F.broadcast(terms_df.select("term")), "term", "left_semi")
     return toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
@@ -171,10 +178,9 @@ def bm25_topk_batch(
         F.col("query_id"), F.explode("terms").alias("term")
     ).distinct()
     vocab = qterms.select("term").distinct()
-    post = (
-        term_postings(df, id_col, text_col)
-        .join(F.broadcast(vocab), "term", "left_semi")
-    )
+    # vocabulary semi join applies BEFORE the postings aggregate — the
+    # shuffle never carries non-query terms
+    post = term_postings(df, id_col, text_col, terms_df=vocab)
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     dl = doc_lengths(df, id_col, text_col)
