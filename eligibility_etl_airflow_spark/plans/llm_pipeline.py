@@ -1180,3 +1180,20 @@ def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
         )
     )
+
+
+@query("bpe_token_counts")
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting under a corpus-trained BPE vocabulary
+    (operators/bpe.py): merges learned driver-side from a bounded sample
+    (same discipline as PQ/IVF training), applied in an Arrow-batched
+    map with a per-batch word memo. Rows-only (BPE inference is not
+    SQL-expressible); the algorithm is pinned by pure-core property
+    tests in tests/test_bpe.py."""
+    from eligibility_etl_airflow_spark.operators import bpe
+
+    d = Catalog(spark, sf_dir).documents
+    merges = bpe.train_bpe_merges(d, "text", num_merges=200, sample_size=2048)
+    return bpe.bpe_segment(d, "doc_id", "text", merges).select(
+        F.col("id").cast("long").alias("doc_id"), "n_words", "n_tokens"
+    )
