@@ -69,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
         help="corpus-curation only: parquet path of an eval set (text "
         "column); docs sharing any 8-gram with it are dropped",
     )
+    pp.add_argument(
+        "--fluency-cut",
+        type=float,
+        default=None,
+        help="corpus-curation only: drop this fraction (0-1) of surviving "
+        "docs with the highest unigram-LM mean NLL (CCNet perplexity cut)",
+    )
 
     dp = sub.add_parser(
         "dag", help="run a task-graph orchestration (the Airflow-DAG analog)"
@@ -140,6 +147,8 @@ def main(argv: list[str] | None = None) -> int:
             kwargs["repetition_filter"] = args.repetition_filter
             if args.decontam_bench:
                 kwargs["decontam_bench"] = spark.read.parquet(args.decontam_bench)
+            if args.fluency_cut is not None:
+                kwargs["fluency_cut"] = args.fluency_cut
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir, **kwargs), default=str))
         return 0
 

@@ -109,6 +109,7 @@ def run_corpus_curation_pipeline(
     neardup_removal: str = "component",
     repetition_filter: bool = False,
     decontam_bench: DataFrame | None = None,
+    fluency_cut: float | None = None,
 ) -> dict:
     """The LLM-training-data lifecycle the beyond-reference operators
     exist for, composed end to end: quality filter → language mix →
@@ -119,9 +120,12 @@ def run_corpus_curation_pipeline(
     ``repetition_filter=True`` drops docs failing the Gopher-family
     self-similarity thresholds (operators/repetition.py);
     ``decontam_bench`` (a DataFrame with a ``text`` column) drops docs
-    sharing any 8-gram with that eval set (operators/decontam.py).
-    Both read the cached quality-filtered relation — no extra source
-    scans.
+    sharing any 8-gram with that eval set (operators/decontam.py);
+    ``fluency_cut`` (e.g. 0.1) drops that fraction of surviving docs
+    with the highest unigram-LM mean NLL — the CCNet perplexity cut
+    (operators/lm.py), cutoff found with one approx-percentile
+    aggregate. All read the cached quality-filtered relation — no extra
+    source scans.
 
     Scale shape: one documents scan feeds the quality/lang filter; exact
     dedup is one hash aggregate; near-dup pairs come from the bucketed
@@ -196,6 +200,28 @@ def run_corpus_curation_pipeline(
             )
             hygiene_caches.append(hygienic)
             n_after_decontam = hygienic.count()
+        n_after_fluency = None
+        if fluency_cut is not None:
+            if not (0.0 < fluency_cut < 1.0):
+                raise ValueError(
+                    f"fluency_cut must be in (0, 1), got {fluency_cut}"
+                )
+            from eligibility_etl_airflow_spark.operators import lm
+
+            scores = lm.unigram_nll_scores(hygienic, "doc_id", "text")
+            # one aggregate finds the cut; only the scalar reaches the
+            # driver (approx sketch — exact percentile would sort)
+            cutoff = scores.agg(
+                F.percentile_approx("mean_nll", 1.0 - fluency_cut).alias("c")
+            ).collect()[0]["c"]
+            keep_ids = scores.filter(F.col("mean_nll") <= F.lit(cutoff)).select(
+                F.col("id").alias("doc_id")
+            )
+            hygienic = hygienic.join(keep_ids, "doc_id", "left_semi").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            hygiene_caches.append(hygienic)
+            n_after_fluency = hygienic.count()
 
         # exact dedup: keep min doc_id per content hash
         keeper = (
@@ -253,6 +279,8 @@ def run_corpus_curation_pipeline(
         stats["n_after_repetition"] = n_after_repetition
     if n_after_decontam is not None:
         stats["n_after_decontam"] = n_after_decontam
+    if n_after_fluency is not None:
+        stats["n_after_fluency"] = n_after_fluency
     return stats
 
 

@@ -243,3 +243,30 @@ def test_training_prep_pipeline(spark, sf_dir, tmp_path):
         .count()
     )
     assert over == 0
+
+
+def test_corpus_curation_fluency_cut(spark, sf_dir, tmp_path):
+    """Opt-in CCNet-style fluency stage: drops roughly the requested
+    fraction of the most-surprising docs, funnel stays monotone, and
+    validation rejects out-of-range cuts."""
+    import pytest
+    from eligibility_etl_airflow_spark import pipelines
+
+    stats = pipelines.run_corpus_curation_pipeline(
+        spark, sf_dir, str(tmp_path), min_quality=0.5, fluency_cut=0.2
+    )
+    assert (
+        stats["n_after_quality_lang"]
+        >= stats["n_after_fluency"]
+        >= stats["n_after_exact_dedup"]
+        >= stats["n_curated"]
+        > 0
+    )
+    # the cut removes a nonzero share, bounded by ~the requested fraction
+    # (approx-percentile sketch → allow slack above 20%)
+    removed = stats["n_after_quality_lang"] - stats["n_after_fluency"]
+    assert 0 < removed <= 0.35 * stats["n_after_quality_lang"]
+    with pytest.raises(ValueError, match="fluency_cut"):
+        pipelines.run_corpus_curation_pipeline(
+            spark, sf_dir, str(tmp_path / "x"), fluency_cut=1.5
+        )
