@@ -181,3 +181,35 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate); tests/test_streaming.py asserts stream == batch."""
     e = Catalog(spark, sf_dir).events
     return ops.interval_join_error_clicks(e, e, tolerance_s=1800)
+
+
+# --------------------------------------------------------------------------
+# Stream-static broadcast enrichment
+# --------------------------------------------------------------------------
+
+STATIC_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_mktsegment AS mktsegment,
+       CAST(c.c_nationkey AS BIGINT) AS nationkey
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+"""
+
+
+@query("stream_static_enrich", oracle=STATIC_ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (streaming/ops.py::static_enrich):
+    each event picks up its customer dimension row; the static side
+    broadcasts and is re-planned per micro-batch, the stream side never
+    shuffles. Left join — events keep flowing when the dimension has no
+    row (the null arm is exercised with a restricted dim in
+    tests/test_streaming.py)."""
+    e = Catalog(spark, sf_dir).events
+    dim = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    )
+    return ops.static_enrich(e, dim, on="user_id", dim_key="c_custkey").select(
+        "event_id", "user_id", "event_type", "mktsegment", "nationkey"
+    )

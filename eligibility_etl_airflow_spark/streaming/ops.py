@@ -279,6 +279,26 @@ def interval_join_error_clicks(
 # --------------------------------------------------------------------------
 
 
+def static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static broadcast enrichment — the micro-batch analog of the
+    reference's per-batch dimension lookups. The static side is marked
+    ``broadcast``: Structured Streaming re-plans it per micro-batch (a
+    changed dimension table is picked up on the next trigger) and the
+    join never shuffles the stream. Works identically under batch
+    execution, which is what the registered oracle query certifies;
+    stream == batch is asserted in tests/test_streaming.py."""
+    d = dim.withColumnRenamed(dim_key, on) if dim_key != on else dim
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(d), on, how)
+
+
 def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink and
     return the materialized result (test/driver helper: bounded replay of

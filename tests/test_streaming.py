@@ -185,3 +185,26 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     cols = ["error_id", "user_id", "e_ts", "c_ts", "c_value"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir):
+    dim = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    stream = ops.static_enrich(
+        ops.events_stream(spark, sf_dir), dim, on="user_id", dim_key="c_custkey"
+    )
+    got = ops.run_available_now(stream, "t_static_enrich")
+    want = ops.static_enrich(
+        Catalog(spark, sf_dir).events, dim, on="user_id", dim_key="c_custkey"
+    )
+    cols = ["event_id", "user_id", "c_mktsegment", "c_nationkey"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # unmatched stream keys survive with null dimension columns (restrict
+    # the dim so some events can't match)
+    partial = dim.filter("c_custkey >= 10")
+    sparse = ops.static_enrich(
+        Catalog(spark, sf_dir).events, partial, on="user_id", dim_key="c_custkey"
+    )
+    assert sparse.filter("c_mktsegment IS NULL").count() > 0
+    assert sparse.count() == Catalog(spark, sf_dir).events.count()
