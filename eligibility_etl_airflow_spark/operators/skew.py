@@ -49,3 +49,43 @@ def salted_join(
     )
     out = salted_big.join(salted_small, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def hot_keys(df: DataFrame, key: str, k: int = 10) -> DataFrame:
+    """(key, cnt, share, rnk) top-k hottest join/grouping keys — the
+    diagnostic that decides between plain join, AQE skew splitting, and
+    :func:`salted_join`. One partial-aggregated count plus a bounded
+    top-k window over the (small) per-key count relation; share is the
+    key's fraction of all rows, rounded to 6 dp."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc(key))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("cnt") / F.col("total"), 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            key,
+            F.col("cnt").cast("long").alias("cnt"),
+            "share",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def skew_stats(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew summary for a key: total rows, distinct keys, max
+    per-key count, and skew_ratio = max/mean per-key count (rounded to
+    4 dp). skew_ratio ≈ 1 means uniform; ≳ 10 means a hot key that will
+    bottleneck a shuffle reducer and warrants salting or finer AQE skew
+    thresholds. Two aggregates, constant-size result."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+    )

@@ -671,3 +671,28 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+SKEW_PROFILE_ORACLE = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+), total AS (SELECT count(*) AS total FROM events)
+SELECT user_id,
+       CAST(cnt AS BIGINT) AS cnt,
+       round(cnt * 1.0 / total, 6) AS share,
+       CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rnk
+FROM counts CROSS JOIN total
+QUALIFY rnk <= 10
+"""
+
+
+@query("skew_profile_events", oracle=SKEW_PROFILE_ORACLE)
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key profile of events.user_id (operators/skew.py::hot_keys):
+    the pre-flight diagnostic for join strategy — plain vs AQE skew
+    splitting vs salted_join. Partial-aggregated count; the top-k window
+    runs over the per-key relation, never the rows."""
+    from eligibility_etl_airflow_spark.operators import skew
+
+    e = Catalog(spark, sf_dir).events
+    return skew.hot_keys(e, "user_id", k=10)

@@ -130,6 +130,9 @@ _DEFERRED = (
     # the flagship star joins; the stream side keeps stream==batch +
     # local parity checks
     "stream_static_enrich",
+    # hot-key profile: count-agg + bounded top-k machinery graded via
+    # topk_frequency / global_topk_orders
+    "skew_profile_events",
 )
 
 

@@ -238,3 +238,21 @@ def test_nearest_centroid_tie_breaks_on_label(spark):
     (r,) = similarity.nearest_centroid_assign(e, cents, "vec_id").collect()
     assert r.assigned_label == "a"
     assert r.sim == pytest.approx(1.0)
+
+
+# --------------------------------------------------- skew diagnostics
+
+
+def test_skew_stats_flags_hot_key(spark):
+    from eligibility_etl_airflow_spark.operators import skew
+
+    rows = [(1, "hot")] * 90 + [(i, "cold") for i in range(2, 12)]
+    df = spark.createDataFrame(
+        [(k, i) for i, (k, _) in enumerate(rows)], "k long, v long"
+    )
+    (s,) = skew.skew_stats(df, "k").collect()
+    assert s.n_rows == 100 and s.n_keys == 11 and s.max_key_rows == 90
+    assert s.skew_ratio > 9
+    top = skew.hot_keys(df, "k", k=3).collect()
+    assert top[0].k == 1 and top[0].cnt == 90 and top[0].rnk == 1
+    assert abs(top[0].share - 0.9) < 1e-9
