@@ -256,3 +256,47 @@ def test_skew_stats_flags_hot_key(spark):
     top = skew.hot_keys(df, "k", k=3).collect()
     assert top[0].k == 1 and top[0].cnt == 90 and top[0].rnk == 1
     assert abs(top[0].share - 0.9) < 1e-9
+
+
+def test_set_similarity_matches_python_bruteforce_on_random_corpus(spark):
+    """Prefix-filter completeness on a seeded random corpus: the operator
+    must return EXACTLY the pairs a Python brute force finds."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 18))))
+        for i in range(60)
+    ]
+    # plant a few near-dups
+    docs.append((100, docs[0][1] + " extra"))
+    docs.append((101, docs[1][1]))
+    k, t = 3, 0.5
+
+    def shingles(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        } if len(toks) >= k else set()
+
+    sh = {i: shingles(txt) for i, txt in docs}
+    expect = set()
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sh.items()), 2):
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if inter >= t * union:
+            expect.add((a, b, inter, union))
+
+    d = _docs(spark, docs)
+    got = {
+        (r.id_a, r.id_b, r.inter_size, r.union_size)
+        for r in neardup.set_similarity_join(
+            d, "doc_id", "text", threshold=t, shingle_k=k
+        ).collect()
+    }
+    assert got == expect
+    assert (0, 100) in {(a, b) for a, b, *_ in got}
