@@ -29,7 +29,7 @@ from collections import Counter
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT = "[^a-z]+"
+from eligibility_etl_airflow_spark.operators.tokenize import TOKEN_SPLIT, tokens_of
 
 
 def train_merges_core(
@@ -133,16 +133,10 @@ def bpe_segment(
     ranks = {pair: i for i, pair in enumerate(merges)}
     id_type = dict(df.dtypes)[id_col]
 
+    # tokens_of coalesces null text to an empty token list (0 words,
+    # 0 tokens), not a null the Python stage would trip over
     src = df.select(
-        F.col(id_col).alias("id"),
-        # null text → empty token list (0 words, 0 tokens), not a null
-        # the Python stage would trip over
-        F.coalesce(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
-            ),
-            F.array().cast("array<string>"),
-        ).alias("words"),
+        F.col(id_col).alias("id"), tokens_of(F.col(text_col)).alias("words")
     )
 
     def seg(batches):

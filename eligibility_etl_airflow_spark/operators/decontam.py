@@ -30,18 +30,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT_RE = "[^a-z]+"
+from eligibility_etl_airflow_spark.operators.tokenize import (  # noqa: F401
+    TOKEN_SPLIT as TOKEN_SPLIT_RE,
+    tokens_of,
+)
 
-
-def tokens_of(col: F.Column) -> F.Column:
-    """Lowercased word tokens — stage this as its OWN projection alias
-    before feeding :func:`ngrams_of_tokens`: the n-gram lambda references
-    the token array once per position, and an inline split expression
-    would re-split the whole document per n-gram (the measured O(len²)
-    higher-order-function re-evaluation trap). A multi-referenced
-    non-trivial alias stays an attribute under CollapseProject, so the
-    split runs once per row."""
-    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+# tokens_of must be staged as its OWN projection alias before feeding
+# ngrams_of_tokens: the n-gram lambda references the token array once
+# per position, and an inline split expression would re-split the whole
+# document per n-gram (the measured O(len²) higher-order-function
+# re-evaluation trap). A multi-referenced non-trivial alias stays an
+# attribute under CollapseProject, so the split runs once per row.
 
 
 def ngrams_of_tokens(toks: F.Column, n: int = 8) -> F.Column:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT = "[^a-z]+"
+from eligibility_etl_airflow_spark.operators.tokenize import TOKEN_SPLIT
 
 
 def _token_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -87,18 +87,17 @@ def unigram_nll_scores(
     )
 
 
-def bigram_model(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(w1, w2, pair_count) adjacent-token counts — the bigram half of
-    an interpolated model. Built from a STAGED token array (one split
-    per row; see the higher-order-function re-evaluation note in
-    SCALING.md) and one hash aggregate."""
+def _bigram_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs from a STAGED token array (one
+    split per row; see the higher-order-function re-evaluation note in
+    SCALING.md)."""
+    from eligibility_etl_airflow_spark.operators.tokenize import tokens_of
+
     staged = df.select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
-        ).alias("tk"),
+        F.col(id_col).alias("id"), tokens_of(F.col(text_col)).alias("tk")
     )
-    pairs = staged.select(
+    return staged.select(
+        "id",
         F.explode(
             F.when(
                 F.size("tk") >= 2,
@@ -110,9 +109,16 @@ def bigram_model(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     ),
                 ),
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
-    return pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+
+
+def bigram_model(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(w1, w2, pair_count) adjacent-token counts — the bigram half of
+    an interpolated model, one hash aggregate over the shared stream."""
+    return _bigram_stream(df, id_col, text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
 
 
 def bigram_nll_scores(
@@ -131,37 +137,17 @@ def bigram_nll_scores(
     deliberately unsmoothed — interpolation already floors it, which is
     the standard JM construction.
 
-    Plan shape: the bigram stream joins its pair count and w1's unigram
-    count (both model relations reduce to vocabulary-sized tables under
-    map-side partial aggregation, broadcastable), plus w2's unigram
-    probability; one final per-doc aggregate. Everything JVM-side.
-    Catches what the unigram scorer cannot: a document of common words
-    in an impossible ORDER scores badly here while passing the unigram
-    filter.
+    Plan shape: the bigram stream joins its pair counts (NOT
+    force-broadcast: distinct adjacent pairs grow with the corpus, not
+    the vocabulary — Catalyst/AQE picks the strategy) and the two
+    vocabulary-bounded unigram relations, which do broadcast; one final
+    per-doc aggregate. Everything JVM-side. Catches what the unigram
+    scorer cannot: a document of common words in an impossible ORDER
+    scores badly here while passing the unigram filter.
     """
     if not (0.0 <= lam < 1.0):
         raise ValueError(f"lam must be in [0, 1), got {lam}")
-    staged = df.select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
-        ).alias("tk"),
-    )
-    stream = staged.select(
-        "id",
-        F.explode(
-            F.when(
-                F.size("tk") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - 1),
-                    lambda i: F.struct(
-                        F.element_at("tk", i).alias("w1"),
-                        F.element_at("tk", i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("bg"),
-    ).select("id", "bg.w1", "bg.w2")
+    stream = _bigram_stream(df, id_col, text_col)
     uni = unigram_model(df, id_col, text_col)
     # derive the bigram counts from the SAME stream being scored — one
     # corpus pass fewer than rebuilding pairs via bigram_model
@@ -171,9 +157,7 @@ def bigram_nll_scores(
         F.count(F.lit(1)).alias("vocab_size"),
     )
     scored = (
-        stream.join(
-            F.broadcast(bi), ["w1", "w2"], "left"
-        )
+        stream.join(bi, ["w1", "w2"], "left")
         .join(
             F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("tok_count").alias("w1_count"))),
             "w1",

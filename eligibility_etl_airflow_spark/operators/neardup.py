@@ -819,6 +819,10 @@ def set_similarity_join(
     LSH tier is the right tool; the exact operator stays exact rather
     than capping.
 
+    ``threshold`` is interpreted at 6-decimal precision (t = round(t·1e6)/1e6)
+    so every comparison runs in exact integer arithmetic — see the t_num
+    note in the body.
+
     The distinct (id, shingle) relation is persisted — three consumers
     (frequency aggregate, prefix ordering, verification sets) would
     otherwise re-run the scan + normalize + shingle explode three
@@ -833,6 +837,19 @@ def set_similarity_join(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if shingle_k < 1:
         raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    # All three threshold comparisons run in EXACT integer arithmetic on
+    # a 6-dp rational (t = t_num/1e6): double arithmetic rounds
+    # t*n past the exact integer for many thresholds (0.55*100 =
+    # 55.000000000000007 → ceil gives 56, shortening the PPJoin prefix
+    # by one and silently breaking the no-miss guarantee; the same
+    # boundary drops J-exactly-at-threshold pairs in verification).
+    # Products stay < 2^53, so the floor division below is exact.
+    t_num = round(threshold * 1_000_000)
+
+    def ceil_frac(n):  # smallest integer >= (t_num/1e6) * n
+        return F.floor((n * F.lit(t_num) + F.lit(999_999)) / F.lit(1_000_000.0)).cast(
+            "long"
+        )
     # Stage the token array as its own projection: `tk` is referenced
     # many times below, and as a raw split() expression each reference
     # would re-split the whole document (the O(len²) lambda
@@ -889,9 +906,7 @@ def set_similarity_join(
             F.slice(
                 "toks",
                 1,
-                (F.col("dlen") - F.ceil(F.lit(threshold) * F.col("dlen")) + 1).cast(
-                    "int"
-                ),
+                (F.col("dlen") - ceil_frac(F.col("dlen")) + 1).cast("int"),
             )
         ).alias("tok"),
     )
@@ -906,8 +921,8 @@ def set_similarity_join(
         .filter(F.col("id_a") < F.col("id_b"))
         # length filter: J >= t forces t·|larger| <= |smaller|
         .filter(
-            F.least("len_a", "len_b").cast("double")
-            >= F.lit(threshold) * F.greatest("len_a", "len_b")
+            F.least("len_a", "len_b") * F.lit(1_000_000)
+            >= F.lit(t_num) * F.greatest("len_a", "len_b")
         )
         .select("id_a", "id_b")
         .distinct()
@@ -926,8 +941,8 @@ def set_similarity_join(
             (F.size("t_a") + F.size("t_b")).cast("long") - F.col("inter_size"),
         )
         .filter(
-            F.col("inter_size").cast("double")
-            >= F.lit(threshold) * F.col("union_size")
+            F.col("inter_size") * F.lit(1_000_000)
+            >= F.lit(t_num) * F.col("union_size")
         )
         .select("id_a", "id_b", "inter_size", "union_size")
     )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-TOKEN_SPLIT = "[^a-z]+"
+from eligibility_etl_airflow_spark.operators.tokenize import TOKEN_SPLIT, tokens_of
 
 
 def term_postings(
@@ -57,15 +57,24 @@ def term_postings(
 
 def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, dl) document token lengths for BM25 normalization — a pure
-    map-side expression (no explode needed: count = matches of the token
-    pattern), so the length table costs one scan projection."""
+    map-side expression (no explode needed), one scan projection.
+    Null text counts as dl=0 (``tokens_of`` coalesces — Spark's
+    ``size(NULL)`` is -1, which would poison an average)."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.size(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
-            )
-        ).cast("long").alias("dl"),
+        F.size(tokens_of(F.col(text_col))).cast("long").alias("dl"),
+    )
+
+
+def _corpus_stats(dl: DataFrame) -> DataFrame:
+    """One-row (n_docs, avgdl) from the lengths relation — a single
+    aggregate over the scan BM25 already performs. n_docs counts EVERY
+    document (token-less ones are part of the collection for idf);
+    avgdl averages only docs with at least one token, matching the
+    postings-derived definition the DuckDB oracle uses."""
+    return dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
     )
 
 
@@ -100,14 +109,11 @@ def bm25_topk(
         raise ValueError("bm25_topk requires at least one query term")
     post = term_postings(df, id_col, text_col, terms=query_terms)
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     dl = doc_lengths(df, id_col, text_col)
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
     scored = (
         post.join(F.broadcast(dfreq), "term")
         .join(dl, "id")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(_corpus_stats(dl)))
         .withColumn(
             "idf",
             F.log(
@@ -182,15 +188,12 @@ def bm25_topk_batch(
     # shuffle never carries non-query terms
     post = term_postings(df, id_col, text_col, terms_df=vocab)
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     dl = doc_lengths(df, id_col, text_col)
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
     scored = (
         post.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
         .join(dl, "id")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(_corpus_stats(dl)))
         .withColumn(
             "term_score",
             F.log(

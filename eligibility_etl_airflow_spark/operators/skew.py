@@ -58,7 +58,8 @@ def hot_keys(df: DataFrame, key: str, k: int = 10) -> DataFrame:
     top-k window over the (small) per-key count relation; share is the
     key's fraction of all rows, rounded to 6 dp."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
-    total = df.agg(F.count(F.lit(1)).alias("total"))
+    # total derives from the per-key relation — NOT a second scan of df
+    total = counts.agg(F.sum("cnt").alias("total"))
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.desc("cnt"), F.asc(key))

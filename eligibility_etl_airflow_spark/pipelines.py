@@ -208,16 +208,28 @@ def run_corpus_curation_pipeline(
                 )
             from eligibility_etl_airflow_spark.operators import lm
 
-            scores = lm.unigram_nll_scores(hygienic, "doc_id", "text")
+            # persisted: the scoring lineage (tokenize + model join +
+            # per-doc aggregate) feeds BOTH the cutoff aggregate and the
+            # drop-id filter — same run-once discipline as every stage
+            scores = lm.unigram_nll_scores(hygienic, "doc_id", "text").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            hygiene_caches.append(scores)
             # one aggregate finds the cut; only the scalar reaches the
             # driver (approx sketch — exact percentile would sort)
             cutoff = scores.agg(
                 F.percentile_approx("mean_nll", 1.0 - fluency_cut).alias("c")
             ).collect()[0]["c"]
-            keep_ids = scores.filter(F.col("mean_nll") <= F.lit(cutoff)).select(
-                F.col("id").alias("doc_id")
-            )
-            hygienic = hygienic.join(keep_ids, "doc_id", "left_semi").persist(
+            # anti-join on the docs ABOVE the cut: token-less docs have
+            # no score row and must survive (a semi join on the keep set
+            # would silently drop them regardless of the cut fraction);
+            # an empty score relation (cutoff None) then drops nothing
+            drop_ids = scores.filter(
+                F.col("mean_nll") > F.lit(cutoff)
+                if cutoff is not None
+                else F.lit(False)
+            ).select(F.col("id").alias("doc_id"))
+            hygienic = hygienic.join(drop_ids, "doc_id", "left_anti").persist(
                 StorageLevel.MEMORY_AND_DISK
             )
             hygiene_caches.append(hygienic)

@@ -300,3 +300,25 @@ def test_set_similarity_matches_python_bruteforce_on_random_corpus(spark):
     }
     assert got == expect
     assert (0, 100) in {(a, b) for a, b, *_ in got}
+
+
+def test_set_similarity_exact_at_float_hostile_threshold(spark):
+    """t=0.55 boundary: 0.55*20 = 11.000000000000002 in IEEE double —
+    float ceil/compare would shorten the prefix and drop the
+    J-exactly-0.55 pair. The integer-arithmetic comparisons must keep it."""
+    shared = [f"s{i:02d}" for i in range(11)]
+    only_a = [f"a{i:02d}" for i in range(9)]
+    a_words = shared + only_a          # |A| = 20
+    b_words = shared                   # |B| = 11 → inter=11, union=20, J=0.55
+    # C: 10 shared + 10 unique → J(A,C)=10/30, J(B,C)=10/21 — both < 0.55
+    c_words = shared[:10] + [f"c{i:02d}" for i in range(10)]
+    d = _docs(
+        spark,
+        [(1, " ".join(a_words)), (2, " ".join(b_words)), (3, " ".join(c_words))],
+    )
+    rows = neardup.set_similarity_join(
+        d, "doc_id", "text", threshold=0.55, shingle_k=1
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    (r,) = [x for x in rows if (x.id_a, x.id_b) == (1, 2)]
+    assert (r.inter_size, r.union_size) == (11, 20)
