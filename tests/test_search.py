@@ -322,3 +322,77 @@ def test_set_similarity_exact_at_float_hostile_threshold(spark):
     assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
     (r,) = [x for x in rows if (x.id_a, x.id_b) == (1, 2)]
     assert (r.inter_size, r.union_size) == (11, 20)
+
+
+def test_bm25_matches_python_reference_on_random_corpus(spark):
+    """Rank-for-rank equivalence with a from-scratch Python BM25 on a
+    seeded random corpus."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    vocab = ["".join(chr(97 + (i + j) % 26) for j in range(3)) for i in range(15)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(40)
+    ]
+    terms = [vocab[0], vocab[3], vocab[7]]
+    k1, b = 1.2, 0.75
+
+    toks = {i: t.split() for i, t in docs}
+    dl = {i: len(t) for i, t in toks.items()}
+    with_tokens = [i for i in toks if dl[i] > 0]
+    avgdl = sum(dl[i] for i in with_tokens) / len(with_tokens)
+    n = len(docs)
+    scores = {}
+    for i, ts in toks.items():
+        s, matched, total_tf = 0.0, 0, 0
+        for term in terms:
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            dfreq = sum(1 for j in toks.values() if term in j)
+            idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[i] / avgdl))
+            matched += 1
+            total_tf += tf
+        if matched:
+            scores[i] = (s, matched, total_tf)
+    order = sorted(scores, key=lambda i: (-scores[i][0], i))[:10]
+    expect = {
+        i: (scores[i][1], scores[i][2], rnk + 1) for rnk, i in enumerate(order)
+    }
+
+    d = _docs(spark, docs)
+    got = {
+        r.id: (r.n_matched, r.total_tf, r.rnk)
+        for r in search.bm25_topk(d, "doc_id", "text", terms, k=10).collect()
+    }
+    assert got == expect
+
+
+def test_unigram_lm_matches_python_reference(spark):
+    import math
+    import random
+
+    rng = random.Random(3)
+    vocab = ["".join(chr(97 + (i + j) % 26) for j in range(4)) for i in range(8)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(25)
+    ]
+    toks = {i: t.split() for i, t in docs}
+    counts = {}
+    for ts in toks.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    total, v = sum(counts.values()), len(counts)
+    expect = {
+        i: sum(-math.log((counts[t] + 1.0) / (total + v + 1.0)) for t in ts) / len(ts)
+        for i, ts in toks.items()
+    }
+    d = _docs(spark, docs)
+    got = {r.id: r.mean_nll for r in lm.unigram_nll_scores(d, "doc_id", "text").collect()}
+    assert set(got) == set(expect)
+    for i in got:
+        assert got[i] == pytest.approx(expect[i], rel=1e-12)
