@@ -77,6 +77,15 @@ def main(argv: list[str] | None = None) -> int:
         "docs with the highest unigram-LM mean NLL (CCNet perplexity cut)",
     )
 
+    ip = sub.add_parser(
+        "incremental-curation",
+        help="curate a new document batch against the persisted corpus "
+        "index (exact + fuzzy dedup vs state, idempotent appends)",
+    )
+    ip.add_argument("--batch-parquet", required=True, help="parquet path of the new batch (doc_id, text)")
+    ip.add_argument("--state-dir", required=True, help="corpus state directory (indexes + accepted docs)")
+    ip.add_argument("--jaccard-threshold", type=float, default=0.8)
+
     dp = sub.add_parser(
         "dag", help="run a task-graph orchestration (the Airflow-DAG analog)"
     )
@@ -150,6 +159,16 @@ def main(argv: list[str] | None = None) -> int:
             if args.fluency_cut is not None:
                 kwargs["fluency_cut"] = args.fluency_cut
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir, **kwargs), default=str))
+        return 0
+
+    if args.cmd == "incremental-curation":
+        from eligibility_etl_airflow_spark import pipelines
+
+        batch = spark.read.parquet(args.batch_parquet)
+        stats = pipelines.run_incremental_curation(
+            spark, batch, args.state_dir, jaccard_threshold=args.jaccard_threshold
+        )
+        print(json.dumps(stats, default=str))
         return 0
 
     if args.cmd == "layout":

@@ -413,3 +413,168 @@ def run_training_prep_pipeline(
         "n_chunks_test": counts.get("test", 0),
         "n_packs": n_packs,
     }
+
+
+def run_incremental_curation(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    jaccard_threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    boilerplate_band_cap: int = 1000,
+) -> dict:
+    """Curate a NEW batch against a persisted corpus index — the
+    production dedup shape at 100 TB, where re-scanning the accepted
+    corpus per batch is the cost that kills naive designs. The state
+    directory holds three INDEX relations maintained incrementally
+    (content hashes, exploded MinHash band keys, hashed shingle sets) so
+    each batch pays:
+
+    1. internal exact dedup (one hash aggregate over the batch);
+    2. exact-vs-state: anti-join on content hash against the hash index
+       — catches re-ingested duplicates under NEW doc ids;
+    3. fuzzy-vs-state: the batch's band keys (small side) join the band
+       index; state bands hotter than ``boilerplate_band_cap`` are
+       dropped as boilerplate (same cap discipline as
+       ``minhash_lsh_pairs_bipartite``); candidates verify by exact
+       hashed-shingle Jaccard against the shingle index;
+    4. fuzzy within the batch (``minhash_lsh_pairs``, higher id drops).
+
+    Accepted docs and their index rows append idempotently
+    (``append_dedup``) — replaying a batch is a no-op, and the index
+    keys make the whole pipeline restart-safe without checkpoint files.
+    Nothing ever re-reads accepted TEXT: fuzzy verification runs against
+    the stored shingle sets.
+    """
+    from pyspark import StorageLevel
+
+    from eligibility_etl_airflow_spark.operators import neardup, text
+
+    docs_path = os.path.join(state_dir, "accepted_docs")
+    hash_path = os.path.join(state_dir, "index_hashes")
+    band_path = os.path.join(state_dir, "index_bands")
+    shingle_path = os.path.join(state_dir, "index_shingles")
+    has_state = os.path.exists(hash_path)
+
+    n_batch = batch.count()
+    hashed = batch.withColumn("content_hash", text.fingerprint_md5(F.col("text")))
+    keeper = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    internal = hashed.join(keeper.select("doc_id"), "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    caches = [internal]
+    try:
+        n_internal = internal.count()
+
+        if has_state:
+            seen = spark.read.parquet(hash_path).select("content_hash")
+            fresh = internal.join(seen, "content_hash", "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            caches.append(fresh)
+        else:
+            fresh = internal
+        n_fresh = fresh.count()
+
+        sh = neardup.shingle_table(fresh, "doc_id", "text", shingle_k).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        caches.append(sh)
+        band_tab = neardup.signature_band_table(sh, num_perm, bands).select(
+            "id", F.posexplode_outer("bands").alias("band_idx", "band_sig")
+        )
+
+        if has_state and os.path.exists(band_path):
+            state_bands = spark.read.parquet(band_path)
+            from pyspark.sql.window import Window
+
+            # boilerplate cap on the STATE side: a band shared by
+            # everyone has no discriminative signal but linear fan-out
+            hot = (
+                state_bands.groupBy("band_idx", "band_sig")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > boilerplate_band_cap)
+                .select("band_idx", "band_sig")
+            )
+            pruned = state_bands.join(hot, ["band_idx", "band_sig"], "left_anti")
+            cand = (
+                band_tab.withColumnRenamed("id", "new_id")
+                .join(
+                    pruned.withColumnRenamed("id", "old_id"),
+                    ["band_idx", "band_sig"],
+                )
+                .select("new_id", "old_id")
+                .distinct()
+            )
+            state_sh = spark.read.parquet(shingle_path)
+            dup_new = (
+                cand.join(
+                    sh.select(
+                        F.col("id").alias("new_id"), F.col("shingles").alias("sh_n")
+                    ),
+                    "new_id",
+                )
+                .join(
+                    state_sh.select(
+                        F.col("id").alias("old_id"), F.col("shingles").alias("sh_o")
+                    ),
+                    "old_id",
+                )
+                .withColumn(
+                    "j",
+                    F.size(F.array_intersect("sh_n", "sh_o"))
+                    / F.size(F.array_union("sh_n", "sh_o")).cast("double"),
+                )
+                .filter(F.col("j") >= jaccard_threshold)
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = fresh.join(dup_new, "doc_id", "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            caches.append(survivors)
+        else:
+            survivors = fresh
+        n_vs_state = survivors.count()
+
+        pairs = neardup.minhash_lsh_pairs(
+            survivors, "doc_id", "text", jaccard_threshold=jaccard_threshold
+        )
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        accepted = survivors.join(losers, "doc_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        caches.append(accepted)
+        n_accepted = accepted.count()
+
+        # idempotent index + corpus maintenance (doc_id-keyed appends)
+        sinks.append_dedup(
+            spark, docs_path, accepted.drop("content_hash"), ["doc_id"]
+        )
+        sinks.append_dedup(
+            spark, hash_path, accepted.select("doc_id", "content_hash"), ["doc_id"]
+        )
+        acc_sh = sh.join(
+            accepted.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(acc_sh)
+        sinks.append_dedup(spark, shingle_path, acc_sh, ["id"])
+        acc_bands = neardup.signature_band_table(acc_sh, num_perm, bands).select(
+            "id", F.posexplode_outer("bands").alias("band_idx", "band_sig")
+        )
+        sinks.append_dedup(spark, band_path, acc_bands, ["id", "band_idx"])
+    finally:
+        for c in caches:
+            c.unpersist()
+    return {
+        "n_batch": n_batch,
+        "n_after_internal_exact": n_internal,
+        "n_after_exact_vs_state": n_fresh,
+        "n_after_fuzzy_vs_state": n_vs_state,
+        "n_accepted": n_accepted,
+        "n_corpus_total": (
+            spark.read.parquet(docs_path).count() if os.path.exists(docs_path) else 0
+        ),
+    }

@@ -270,3 +270,44 @@ def test_corpus_curation_fluency_cut(spark, sf_dir, tmp_path):
         pipelines.run_corpus_curation_pipeline(
             spark, sf_dir, str(tmp_path / "x"), fluency_cut=1.5
         )
+
+
+def test_incremental_curation_dedups_across_batches(spark, tmp_path):
+    """Batch 2 must lose its exact re-ingest (new doc_id, same text) and
+    its near-dup of a batch-1 doc, keep its fresh doc, and replaying
+    batch 2 must be a no-op (idempotent indexes)."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    state = str(tmp_path / "state")
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other), (3, base)],  # 3 = exact dup of 1 in-batch
+        "doc_id long, text string",
+    )
+    s1 = pipelines.run_incremental_curation(spark, b1, state)
+    assert s1["n_batch"] == 3
+    assert s1["n_after_internal_exact"] == 2
+    assert s1["n_accepted"] == 2
+    assert s1["n_corpus_total"] == 2
+
+    near = base + " extra"  # near-dup of doc 1 (jaccard >> 0.8)
+    fresh = "completely different words spark parquet shuffle broadcast join window"
+    b2 = spark.createDataFrame(
+        [(10, base), (11, near), (12, fresh)],  # 10 = exact re-ingest
+        "doc_id long, text string",
+    )
+    s2 = pipelines.run_incremental_curation(spark, b2, state)
+    assert s2["n_after_exact_vs_state"] == 2  # 10 removed by hash index
+    assert s2["n_after_fuzzy_vs_state"] == 1  # 11 removed by band+shingle index
+    assert s2["n_accepted"] == 1
+    assert s2["n_corpus_total"] == 3
+
+    s3 = pipelines.run_incremental_curation(spark, b2, state)  # replay
+    assert s3["n_accepted"] == 0
+    assert s3["n_corpus_total"] == 3
+    docs = spark.read.parquet(str(tmp_path / "state" / "accepted_docs"))
+    assert sorted(r.doc_id for r in docs.collect()) == [1, 2, 12]
