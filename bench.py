@@ -65,6 +65,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "reps": max(1, REPS),
+                "methodology": (
+                    "best-of-N cold reps (clearCache at rep boundary); "
+                    "WITHIN a rep persisted intermediates are shared "
+                    "across queries, so per-query lines are not "
+                    "standalone costs (whichever neardup query runs "
+                    "first alphabetically pays the shingle build) — "
+                    "only the suite total is comparable across rounds"
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -100,11 +100,22 @@ def train_bpe_merges(
     sample_size: int = 2048,
 ) -> list[tuple[str, str]]:
     """Learn BPE merges from a bounded corpus sample. The driver sees at
-    most ``sample_size`` rows (limit-bounded transfer) and the word-freq
-    Counter derived from them — never the corpus."""
+    most ``sample_size`` rows (bounded transfer) and the word-freq
+    Counter derived from them — never the corpus.
+
+    The sample is a function of the DATA, not the file layout: rows are
+    ranked by ``md5(seed || text)`` and the lowest ``sample_size`` taken
+    (a plain ``limit()`` on an unordered relation is partition-layout-
+    dependent — compacting or repartitioning the same corpus would
+    silently change the learned vocabulary). Spark plans the
+    orderBy+limit as TakeOrderedAndProject: per-partition top-k plus a
+    driver merge of k-row heads, no global sort shuffle — the same cost
+    shape as the old limit at any scale. Same reproducibility discipline
+    as ``assign_split`` (operators/sampling.py)."""
     rows = (
         df.select(F.lower(F.col(text_col)).alias("t"))
         .where(F.col("t").isNotNull())
+        .orderBy(F.md5(F.concat(F.lit("bpe-sample-v1|"), F.col("t"))), "t")
         .limit(sample_size)
         .collect()
     )

@@ -137,11 +137,15 @@ def bigram_nll_scores(
     deliberately unsmoothed — interpolation already floors it, which is
     the standard JM construction.
 
-    Plan shape: the bigram stream joins its pair counts (NOT
-    force-broadcast: distinct adjacent pairs grow with the corpus, not
-    the vocabulary — Catalyst/AQE picks the strategy) and the two
-    vocabulary-bounded unigram relations, which do broadcast; one final
-    per-doc aggregate. Everything JVM-side. Catches what the unigram
+    Plan shape: the bigram stream joins its pair counts and the two
+    unigram relations with NO forced broadcast on either — distinct
+    adjacent pairs grow with the corpus, and even the "vocabulary" under
+    the ``[^a-z]+`` split is corpus-dependent (OCR noise and gibberish
+    keep minting new types), so a hardcoded ``F.broadcast`` would bypass
+    AQE's size guard and risk a driver OOM at the 100 TB design point.
+    Catalyst/AQE picks broadcast when the relation is actually small,
+    which is what the hint asserted and couldn't guarantee. One final
+    per-doc aggregate; everything JVM-side. Catches what the unigram
     scorer cannot: a document of common words in an impossible ORDER
     scores badly here while passing the unigram filter.
     """
@@ -159,12 +163,12 @@ def bigram_nll_scores(
     scored = (
         stream.join(bi, ["w1", "w2"], "left")
         .join(
-            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("tok_count").alias("w1_count"))),
+            uni.select(F.col("tok").alias("w1"), F.col("tok_count").alias("w1_count")),
             "w1",
             "left",
         )
         .join(
-            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("tok_count").alias("w2_count"))),
+            uni.select(F.col("tok").alias("w2"), F.col("tok_count").alias("w2_count")),
             "w2",
             "left",
         )

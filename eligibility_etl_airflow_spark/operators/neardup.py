@@ -107,6 +107,19 @@ def hashed_shingles_of_norm(norm: Column, k: int = 5) -> Column:
     )
 
 
+def string_shingles_of_norm(norm: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of ALREADY-NORMALIZED text, kept as
+    STRINGS — the collision-free twin of ``hashed_shingles_of_norm`` for
+    callers whose exactness contract must not ride on 64-bit hashes.
+    ~5× more per-probe cost in set ops (string hashing per comparison);
+    same staging contract: ``norm`` must be a materialized column
+    reference (see the per-element lambda re-evaluation note on the
+    hashed variant)."""
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(starts, lambda i: F.substring(norm, i, k)))
+
+
 def _with_normalized_text(
     df: DataFrame, id_col: str, text_col: str, extra: dict[str, Column] | None = None
 ) -> DataFrame:
@@ -268,7 +281,6 @@ def minhash_lsh_pairs(
     # exact-verification join — a 3σ margin below the threshold keeps
     # true near-dups with ~99.9% probability while discarding the
     # low-similarity bulk that dominates candidate volume.
-    est_margin = 3.0 * (0.25 / num_perm) ** 0.5
     # The hashed-shingle relation feeds BOTH the signature derivation and
     # the exact-Jaccard verification join; persisted (disk-spillable) so
     # the corpus is scanned + normalized + shingled exactly once instead
@@ -283,6 +295,32 @@ def minhash_lsh_pairs(
     shingle_tab = shingle_table(df, id_col, text_col, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    return lsh_pairs_from_shingles(
+        shingle_tab,
+        num_perm=num_perm,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def lsh_pairs_from_shingles(
+    shingle_tab: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` from an ALREADY-STAGED ``(id, shingles)``
+    relation (``shingle_table`` output). Callers that maintain their own
+    shingle relation — e.g. ``run_incremental_curation``, which persists
+    one table feeding the vs-state index, the within-batch dedup, AND the
+    index appends — use this entry point so the corpus is shingled
+    exactly once per batch. The caller owns persistence: pass a persisted
+    relation, since both the signature derivation and the verification
+    join consume it."""
+    # 3σ below threshold: see minhash_lsh_pairs for the prefilter rationale.
+    est_margin = 3.0 * (0.25 / num_perm) ** 0.5
     bandtab = signature_band_table(shingle_tab, num_perm, bands).select(
         "id", "sig", F.posexplode_outer("bands").alias("band_idx", "band_sig")
     )
@@ -352,12 +390,20 @@ def ngram_jaccard_pairs(
     text_col: str,
     block_col: str,
     shingle_k: int = 3,
+    hashed: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for every pair inside a blocking key (e.g.
-    same language + length bucket). Blocking bounds the pair count; the
-    join shuffles once on the block key. The shingled relation is
-    persisted because BOTH sides of the self-join consume it — without
-    it the scan + normalize + shingling lineage executes twice.
+    """n-gram Jaccard for every pair inside a blocking key (e.g. same
+    language + length bucket). Blocking bounds the pair count; the join
+    shuffles once on the block key. The shingled relation is persisted
+    because BOTH sides of the self-join consume it — without it the
+    scan + normalize + shingling lineage executes twice.
+
+    ``hashed=True`` (default) compares 64-bit-hashed shingle sets —
+    exact up to xxhash64 collision-freeness (w.h.p.; a collision would
+    silently inflate an intersection count) and ~5× cheaper in the set
+    ops. ``hashed=False`` keeps shingles as strings: collision-free
+    exactness at higher per-probe cost — the same contract
+    ``set_similarity_join`` makes unconditionally.
 
     Cache lifecycle (same contract as ``minhash_lsh_pairs``): Spark's
     CacheManager dedupes by analyzed plan, so repeated invocations over
@@ -367,12 +413,13 @@ def ngram_jaccard_pairs(
     storage level bounds the memory side)."""
     from pyspark import StorageLevel
 
+    shingler = hashed_shingles_of_norm if hashed else string_shingles_of_norm
     sh = (
         _with_normalized_text(df, id_col, text_col, extra={"block": F.col(block_col)})
         .select(
             "id",
             "block",
-            hashed_shingles_of_norm(F.col("_norm"), shingle_k).alias("sh"),
+            shingler(F.col("_norm"), shingle_k).alias("sh"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -539,8 +539,17 @@ def run_incremental_curation(
             survivors = fresh
         n_vs_state = survivors.count()
 
-        pairs = neardup.minhash_lsh_pairs(
-            survivors, "doc_id", "text", jaccard_threshold=jaccard_threshold
+        # within-batch fuzzy dedup reuses the persisted shingle relation
+        # (restricted to survivors) under the SAME shingle_k/num_perm/
+        # bands as the vs-state check and the index appends — one
+        # signature scheme end to end, and no second shingling pass.
+        pairs = neardup.lsh_pairs_from_shingles(
+            sh.join(
+                survivors.select(F.col("doc_id").alias("id")), "id", "left_semi"
+            ),
+            num_perm=num_perm,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
         )
         losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
         accepted = survivors.join(losers, "doc_id", "left_anti").persist(

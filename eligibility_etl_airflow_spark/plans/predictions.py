@@ -275,7 +275,15 @@ def llm_cost_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-level token columns back to one row per CALL (the billing unit,
     reference predictions.py:320-339), then the exact nano-USD cost
     rollup. Partial-aggregatable throughout — two shuffles total (the
-    pipeline's group key, then the rollup's), constant-size result."""
+    pipeline's group key, then the rollup's), constant-size result.
+
+    Registration note: this query RE-EXECUTES the pipeline because every
+    registered query must be self-contained (the driver calls each in
+    isolation). Production callers should NOT do this — run the pipeline
+    once, write its output relation, and roll costs up from that relation
+    (``llm_cost_totals`` over the persisted output): the rollup is then
+    two cheap partial-agg shuffles over already-materialized rows, with
+    no duplicate LLM/transport work."""
     pipeline = llm_predictions_pipeline(spark, sf_dir)
     per_call = pipeline.groupBy("order_id").agg(
         F.max("input_tokens").alias("input_tokens"),

@@ -293,6 +293,13 @@ def static_enrich(
     join never shuffles the stream. Works identically under batch
     execution, which is what the registered oracle query certifies;
     stream == batch is asserted in tests/test_streaming.py."""
+    if dim_key != on and on in dim.columns:
+        raise ValueError(
+            f"dimension already has a column named {on!r} alongside its key "
+            f"{dim_key!r}; renaming the key would create two {on!r} columns "
+            "and an ambiguous join — drop or rename the conflicting column "
+            "first"
+        )
     d = dim.withColumnRenamed(dim_key, on) if dim_key != on else dim
     from pyspark.sql import functions as F
 
