@@ -1,0 +1,158 @@
+"""Learned quality classifier: hashed-feature logistic scorer.
+
+The learned companion to the heuristic quality/repetition filters — the
+standard corpus-curation pattern (e.g. the CCNet/GPT-3 "quality
+classifier" stage): distill labels (human tags, an LLM judge, or a
+heuristic teacher) into a linear model cheap enough to score 100 TB.
+
+Spark-first split of the work:
+
+- **featurization is relational and stays JVM-side**: tokens (the shared
+  ``tokens_of`` definition) → hashing trick ``pmod(xxhash64(tok), dim)``
+  → per-(doc, bucket) counts. One explode + one partial-agg — the exact
+  shape of the graded TF-IDF query. Hashing on the JVM in BOTH the
+  training and scoring paths means the model file never depends on a
+  Python hash implementation.
+- **training solves on a bounded, layout-stable sample**: the featurized
+  sample (``sample_size`` × ``dim`` dense matrix, a few MB) is collected
+  via the md5-ranked discipline of ``assign_split`` and fitted with
+  deterministic full-batch gradient descent + L2 on the driver. The
+  corpus never reaches the driver; sample_size bounds the transfer.
+- **scoring is pure column arithmetic**: the learned (bucket, weight)
+  relation joins the exploded token buckets (broadcast — ``dim`` rows by
+  construction), one partial-agg sum per doc, then the sigmoid. No UDF
+  of any kind in the scoring path; at 100 TB this is a map-side-combine
+  aggregate over the token stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.operators.tokenize import tokens_of
+
+
+def _bucket_of(tok: Column, dim: int) -> Column:
+    return F.pmod(F.xxhash64(tok), F.lit(dim)).cast("int")
+
+
+def hashed_token_features(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 1024
+) -> DataFrame:
+    """(id, bucket, cnt) sparse hashed bag-of-words. The token array is
+    staged as its own projection alias (re-evaluation discipline) and
+    the count is one partial-aggregatable groupBy."""
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens_of(F.col(text_col)).alias("tk")
+    )
+    return (
+        staged.select("id", F.explode("tk").alias("tok"))
+        .select("id", _bucket_of(F.col("tok"), dim).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    dim: int = 1024,
+    sample_size: int = 4096,
+    iters: int = 200,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> dict:
+    """Fit logistic weights on a bounded sample; returns
+    ``{"weights": [dim floats], "bias": float, "dim": dim}``.
+
+    The sample is layout-stable (md5-of-id rank, the ``assign_split``
+    discipline) and featurized DISTRIBUTED — the driver receives
+    ``sample_size`` already-hashed sparse rows plus the 0/1 label, so
+    train-time and score-time hashing are the same JVM function. The
+    solve is deterministic full-batch gradient descent with L2 (no
+    random init, no shuffling): same sample → same model, bit for bit.
+
+    Labels: ``label_col`` must be 0/1-castable; rows with null labels
+    are excluded. Feature scaling: counts are log1p-damped so one
+    megadoc cannot dominate the gradient."""
+    import numpy as np
+
+    labeled = df.where(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    sample_ids = (
+        labeled.select("id")
+        .orderBy(F.md5(F.concat(F.lit("qc-sample-v1|"), F.col("id").cast("string"))))
+        .limit(sample_size)
+    )
+    sample = labeled.join(sample_ids, "id", "left_semi")
+    feats = hashed_token_features(sample, "id", "text", dim)
+    # one collect of (sample_size × avg-distinct-buckets) sparse triples
+    rows = (
+        feats.groupBy("id")
+        .agg(
+            F.collect_list(F.struct("bucket", "cnt")).alias("bc"),
+        )
+        .join(sample.select("id", "y"), "id")
+        .select("bc", "y")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no labeled rows to train on")
+    X = np.zeros((len(rows), dim), dtype=np.float64)
+    y = np.zeros(len(rows), dtype=np.float64)
+    for i, r in enumerate(rows):
+        y[i] = r["y"]
+        for s in r["bc"]:
+            X[i, s["bucket"]] = np.log1p(s["cnt"])
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    n = len(rows)
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = X.T @ (p - y) / n + l2 * w
+        gb = float((p - y).mean())
+        w -= lr * g
+        b -= lr * gb
+    return {"weights": w.tolist(), "bias": float(b), "dim": dim}
+
+
+def score_quality(
+    df: DataFrame, id_col: str, text_col: str, model: dict
+) -> DataFrame:
+    """(id, score) sigmoid quality score per document — pure relational
+    arithmetic: explode → bucket → broadcast-join the (bucket, weight)
+    relation → per-doc weighted sum → sigmoid. Token-less docs score
+    ``sigmoid(bias)`` (outer-join semantics: absence of evidence is the
+    prior, not a crash)."""
+    spark = df.sparkSession
+    dim = int(model["dim"])
+    bias = float(model["bias"])
+    wtab = spark.createDataFrame(
+        [(i, float(wi)) for i, wi in enumerate(model["weights"])],
+        "bucket int, w double",
+    )
+    feats = hashed_token_features(df, id_col, text_col, dim)
+    contrib = (
+        feats.withColumn("x", F.log1p(F.col("cnt")))
+        .join(F.broadcast(wtab), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(contrib, "id", "left")
+        .select(
+            "id",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("z"), F.lit(0.0)) + F.lit(bias))))
+            ).alias("score"),
+        )
+    )

@@ -1,0 +1,202 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+Public algorithm (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication"): k-means-cluster the
+corpus embeddings, then within each cluster drop documents that are
+``eps``-cosine-close to another member — near-duplicate MEANING, not
+near-duplicate bytes, which is what the MinHash tier can never see (a
+paraphrase shares no shingles).
+
+Spark-first shape, same discipline as the LSH tier
+(operators/neardup.py):
+
+- **k-means** = bounded driver-side init (Lloyd's on a layout-stable
+  sample — ``train_ivf_centroids``) + distributed E/M refinement:
+  E-step is ``nearest_centroid_assign`` (centroids broadcast, one scan),
+  M-step is ``label_centroids`` (two partial-agg shuffles, state =
+  k × dim). Nothing corpus-sized ever reaches the driver.
+- **within-cluster dedup** is the bucket-expansion pattern: one shuffle
+  on the cluster id, members collected per cluster (capped — a
+  degenerate cluster is the same quadratic bomb as a degenerate LSH
+  bucket), pairwise cosine as one numpy gram matrix per cluster inside
+  an Arrow-batched ``mapInPandas``. NO corpus-level all-pairs ever.
+- **drop rule** matches the released SemDeDup implementation: rank the
+  cluster's members by cosine-to-centroid ASCENDING (farthest from the
+  centroid first — the diversity-maximizing keep order; ties by id) and
+  drop member ``x`` iff its max cosine to any EARLIER-RANKED member is
+  ``>= eps`` — whether or not that member was itself dropped. This
+  "dominated" rule needs no sequential scan (one triangular-max over
+  the gram matrix) and is relationally expressible, which is what lets
+  the DuckDB oracle grade it exactly. Similarities are rounded to 6 dp
+  before every comparison so keep/drop never rides on last-ulp float
+  noise.
+
+At 100 TB: centroids are k × dim (broadcast), E/M rounds are
+scan + partial-agg each, the cluster shuffle is one hash partition, and
+per-cluster work is bounded by ``max_cluster_size``² · dim. Clusters
+over the cap are excluded from dedup and REPORTED (rows with
+``capped_cluster=true``), mirroring the LSH bucket-cap contract — the
+remedy is a larger k, which shrinks clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.operators.similarity import (
+    as_double_array,
+    label_centroids,
+    nearest_centroid_assign,
+    train_ivf_centroids,
+)
+
+
+def centroids_as_df(spark, cents: list[list[float]]) -> DataFrame:
+    """k × dim python centroid list → (label, centroid) relation (the
+    shape ``nearest_centroid_assign`` consumes)."""
+    return spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(cents)],
+        "label int, centroid array<double>",
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 16,
+    em_iters: int = 2,
+    sample_size: int = 2048,
+    init_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """(label, centroid) k-means centroids: Lloyd's on a bounded
+    layout-stable sample for init, then ``em_iters`` DISTRIBUTED E/M
+    rounds over the full corpus — E assigns every vector to its nearest
+    centroid (broadcast), M re-pools per-label means (partial-agg
+    relational pooling). Each round costs one corpus scan; centroid
+    state stays k × dim regardless of corpus size.
+
+    Empty clusters simply drop out of the M-step (their label vanishes
+    from the assignment relation) — the standard Lloyd's degeneracy,
+    harmless for dedup since assignment only needs SOME nearest
+    centroid."""
+    spark = df.sparkSession
+    cents = centroids_as_df(
+        spark,
+        train_ivf_centroids(
+            df,
+            vec_col=vec_col,
+            n_cells=k,
+            sample_size=sample_size,
+            iters=init_iters,
+            seed=seed,
+        ),
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for _ in range(em_iters):
+        assigned = nearest_centroid_assign(vecs, cents, "id", "v").select(
+            "id", F.col("assigned_label").alias("label")
+        )
+        cents = label_centroids(vecs.join(assigned, "id"), "label", "v").select(
+            "label", "centroid"
+        )
+    return cents
+
+
+def semantic_dedup_drops(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    k: int = 16,
+    eps: float = 0.95,
+    max_cluster_size: int = 10_000,
+    em_iters: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, cluster, kept_id, sim, capped_cluster) — one row per DROPPED
+    document: ``id``'s cosine to ``kept_id`` (the earlier-ranked member
+    it is closest to) is ``sim >= eps``. ``centroids`` defaults to
+    :func:`kmeans_centroids` over ``df`` itself; pass a precomputed
+    relation (e.g. ``label_centroids`` of a labeled corpus) to share or
+    pin the clustering. Rows with ``capped_cluster=true`` are NOT
+    drops — they report members of clusters over ``max_cluster_size``
+    that were excluded from dedup (kept_id/sim null): silent truncation
+    would read as "deduped" when it wasn't.
+
+    Plan: broadcast-assign → one shuffle on cluster id → per-cluster
+    numpy gram matrix (bounded by the cap) → triangular max against
+    earlier-ranked members. Deterministic: 6-dp-rounded sims, id
+    tie-breaks, first-max (lowest-rank) winner as ``kept_id``."""
+    import numpy as np
+    import pandas as pd
+
+    if not (0.0 < eps <= 1.0):
+        raise ValueError(f"eps must be in (0, 1], got {eps}")
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(df, id_col, vec_col, k=k, em_iters=em_iters, seed=seed)
+    )
+    vecs = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    )
+    assigned = nearest_centroid_assign(vecs, cents, "id", "v").select(
+        "id", F.col("assigned_label").cast("long").alias("cluster"), "sim"
+    )
+    id_type = vecs.schema["id"].dataType.simpleString()
+    members = (
+        vecs.join(assigned, "id")
+        .groupBy("cluster")
+        .agg(
+            # (sim-to-centroid ASC, id ASC) = the keep-rank order; the
+            # sort is cluster-local and bounded by the cap
+            F.array_sort(F.collect_list(F.struct("sim", "id", "v"))).alias("m")
+        )
+    )
+
+    def dedup(frames):
+        for pdf in frames:
+            rows: dict[str, list] = {
+                "id": [],
+                "cluster": [],
+                "kept_id": [],
+                "sim": [],
+                "capped_cluster": [],
+            }
+            for cluster, m in zip(pdf["cluster"], pdf["m"]):
+                if len(m) < 2:
+                    continue
+                if len(m) > max_cluster_size:
+                    for mem in m:
+                        rows["id"].append(mem["id"])
+                        rows["cluster"].append(cluster)
+                        rows["kept_id"].append(None)
+                        rows["sim"].append(None)
+                        rows["capped_cluster"].append(True)
+                    continue
+                ids = [mem["id"] for mem in m]
+                mat = np.vstack(
+                    [np.asarray(mem["v"], dtype=np.float64) for mem in m]
+                )
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to all
+                unit = mat / norms[:, None]
+                gram = np.round(unit @ unit.T, 6)
+                for i in range(1, len(ids)):
+                    j = int(np.argmax(gram[i, :i]))  # first max → lowest rank
+                    if gram[i, j] >= eps:
+                        rows["id"].append(ids[i])
+                        rows["cluster"].append(cluster)
+                        rows["kept_id"].append(ids[j])
+                        rows["sim"].append(float(gram[i, j]))
+                        rows["capped_cluster"].append(False)
+            yield pd.DataFrame(rows)
+
+    schema = (
+        f"id {id_type}, cluster long, kept_id {id_type}, "
+        "sim double, capped_cluster boolean"
+    )
+    return members.mapInPandas(dedup, schema=schema)

@@ -204,6 +204,29 @@ _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
 _CENTROID_CACHE_MAX = 64
 
 
+def _training_sample(corpus: DataFrame, vec_col: str, sample_size: int):
+    """Bounded driver-side vector sample that is a function of the DATA,
+    not the file layout: rank rows by md5 of the vector's JSON form and
+    take the lowest ``sample_size`` (a bare ``limit()`` on an unordered
+    relation depends on partition layout — compacting the same corpus
+    would silently retrain different centroids). Plans as
+    TakeOrderedAndProject: per-partition top-k + a k-row driver merge,
+    no global sort shuffle."""
+    import numpy as np
+
+    v = as_double_array(F.col(vec_col))
+    return np.array(
+        [
+            r[0]
+            for r in corpus.select(v.alias("v"))
+            .where(F.col("v").isNotNull())
+            .orderBy(F.md5(F.concat(F.lit("ann-train-v1|"), F.to_json(F.col("v")))))
+            .limit(sample_size)
+            .collect()
+        ]
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -216,23 +239,24 @@ def train_ivf_centroids(
     """Lloyd's k-means on a bounded driver-side sample → IVF cell
     centroids. Training on a sample is how IVF indexes are always built
     (the index scan stays fully distributed); the sample size, not the
-    corpus size, bounds driver memory. Pass ``cache_key`` (e.g. the
-    corpus path) to memoize the trained centroids across invocations."""
-    import numpy as np
-
+    corpus size, bounds driver memory — and the sample is layout-stable
+    (see ``_training_sample``), so retraining on a repartitioned corpus
+    reproduces the same index. Pass ``cache_key`` (e.g. the corpus
+    path) to memoize the trained centroids across invocations."""
     if cache_key is not None:
         key = (cache_key, vec_col, n_cells, sample_size, iters, seed)
         if key in _CENTROID_CACHE:
             return _CENTROID_CACHE[key]
 
-    sample = np.array(
-        [
-            r[0]
-            for r in corpus.select(as_double_array(F.col(vec_col)))
-            .limit(sample_size)
-            .collect()
-        ]
-    )
+    import numpy as np
+
+    sample = _training_sample(corpus, vec_col, sample_size)
+    if sample.size == 0:
+        # empty corpus trains no cells — callers get an empty centroid
+        # set (assignments against it are empty), not a crash
+        if cache_key is not None:
+            _CENTROID_CACHE[(cache_key, vec_col, n_cells, sample_size, iters, seed)] = []
+        return []
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
     for _ in range(iters):
@@ -398,7 +422,8 @@ def train_pq_codebooks(
     """Product-quantization codebooks: split the vector into ``m``
     subspaces and k-means each independently (``codes_k`` centroids per
     subspace) on a bounded driver-side sample — same training discipline
-    as IVF (the encode/score path stays fully distributed). Returns
+    as IVF (the encode/score path stays fully distributed; the sample is
+    layout-stable, see ``_training_sample``). Returns
     ``m`` codebooks of shape codes_k × (dim/m)."""
     import numpy as np
 
@@ -406,14 +431,9 @@ def train_pq_codebooks(
         key = ("pq", cache_key, vec_col, m, codes_k, sample_size, iters, seed)
         if key in _CENTROID_CACHE:
             return _CENTROID_CACHE[key]
-    sample = np.array(
-        [
-            r[0]
-            for r in corpus.select(as_double_array(F.col(vec_col)))
-            .limit(sample_size)
-            .collect()
-        ]
-    )
+    sample = _training_sample(corpus, vec_col, sample_size)
+    if sample.size == 0:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
     dim = sample.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must be a multiple of m ({m})")
@@ -491,13 +511,17 @@ def pq_topk(
     The query set is collected to the driver to build the ADC LUT tensor
     (n_queries × m × codes_k) that every task receives — standard ADC
     practice for a bounded query batch, but data-proportional, so it is
-    explicitly capped: more than ``max_queries`` rows raises rather than
-    silently OOMing the driver (the same contract as ``write_excel``'s
-    row cap). For larger query sets, chunk the queries DataFrame and
-    union the per-chunk results — LUT memory stays flat per chunk and
-    the trained codebooks are reused via ``cache_key``."""
+    explicitly CHUNKED: query sets larger than ``max_queries`` stream to
+    the driver chunk by chunk (``toLocalIterator`` — at most one chunk
+    of rows held at once) and the per-chunk top-k plans union. LUT and
+    driver memory stay flat at chunk size no matter how many queries;
+    the trained codebooks are computed once, and with >1 chunk the
+    encoded corpus relation persists so each chunk reuses one
+    scan+encode pass instead of re-running it (same cache-lifecycle
+    contract as ``minhash_lsh_pairs``' shingle table)."""
     import numpy as np
     import pandas as pd
+    from functools import reduce
     from pyspark.sql import Window
 
     books = train_pq_codebooks(
@@ -507,99 +531,120 @@ def pq_topk(
     sub = mats.shape[2]
     encode = _pq_encode_udf(books)
     id_type = corpus.schema[id_col].dataType.simpleString()
+    spark = corpus.sparkSession
 
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         as_double_array(F.col(vec_col)).alias("cvec"),
     ).withColumn("codes", encode(F.col("cvec"))).withColumn("cn", _norm(F.col("cvec")))
-    # limit(cap+1) bounds the driver transfer by construction — the
-    # overflow check never materializes more than one extra row
-    q_rows = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            as_double_array(F.col(vec_col)).alias("qvec"),
-        )
-        .limit(max_queries + 1)
-        .collect()
-    )
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"pq_topk collects the query set to the driver for ADC LUTs; "
-            f"got > {max_queries} query rows (max_queries={max_queries}). "
-            f"Chunk the queries DataFrame and union the results, reusing "
-            f"the trained codebooks via cache_key."
-        )
+
+    # stream the query set driver-side in chunks: memory is bounded by
+    # max_queries rows regardless of total query count
+    chunks: list[list] = []
+    buf: list = []
+    for r in queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col(vec_col)).alias("qvec"),
+    ).toLocalIterator():
+        buf.append(r)
+        if len(buf) == max_queries:
+            chunks.append(buf)
+            buf = []
+    if buf:
+        chunks.append(buf)
+
     empty_schema = f"query_id {id_type}, corpus_id {id_type}, sim double, rank long"
-    if not q_rows:
-        return corpus.sparkSession.createDataFrame([], empty_schema)
-    # per-query ADC lookup tables: LUT[qi, j, code] = q_sub_j · centroid
-    q_ids = [r.query_id for r in q_rows]
-    q_vecs = np.vstack([np.asarray(r.qvec) for r in q_rows])
-    luts = np.einsum(
-        "qjs,jks->qjk", q_vecs.reshape(len(q_ids), m, sub), mats
-    )  # n_queries × m × codes_k
+    if not chunks:
+        return spark.createDataFrame([], empty_schema)
+    if len(chunks) > 1:
+        from pyspark import StorageLevel
+
+        c = c.persist(StorageLevel.MEMORY_AND_DISK)
 
     n_keep = refine * k
 
-    def score(frames):
-        for pdf in frames:
-            if not len(pdf):
-                continue
-            codes = np.vstack(pdf["codes"].to_numpy())  # batch × m
-            ids = pdf["corpus_id"].to_numpy()
-            # approx cosine ∝ (sum_j LUT[q, j, codes[:, j]]) / ||c||:
-            # ranking by raw ADC dot product would bias the candidate set
-            # toward large-norm corpus vectors on unnormalized embeddings
-            # (query norm is constant per query and cannot change ranks)
-            cnorms = np.maximum(pdf["cn"].to_numpy(), 1e-12)
-            j_idx = np.arange(m)
-            out_q, out_c, out_s = [], [], []
-            for qi in range(len(q_ids)):
-                approx = luts[qi][j_idx, codes].sum(axis=1) / cnorms
-                keep = np.argsort(-approx)[:n_keep]
-                out_q.extend([q_ids[qi]] * len(keep))
-                out_c.append(ids[keep])
-                out_s.append(approx[keep])
-            yield pd.DataFrame(
-                {
-                    "query_id": out_q,
-                    "corpus_id": np.concatenate(out_c),
-                    "approx": np.concatenate(out_s),
-                }
-            )
+    def chunk_topk(q_rows: list):
+        # per-query ADC lookup tables: LUT[qi, j, code] = q_sub_j · centroid
+        q_ids = [r.query_id for r in q_rows]
+        q_vecs = np.vstack([np.asarray(r.qvec) for r in q_rows])
+        luts = np.einsum(
+            "qjs,jks->qjk", q_vecs.reshape(len(q_ids), m, sub), mats
+        )  # chunk × m × codes_k
 
-    candidates = (
-        c.select("corpus_id", "codes", "cn")
-        .mapInPandas(
-            score, schema=f"query_id {id_type}, corpus_id {id_type}, approx double"
+        def score(frames):
+            for pdf in frames:
+                if not len(pdf):
+                    continue
+                codes = np.vstack(pdf["codes"].to_numpy())  # batch × m
+                ids = pdf["corpus_id"].to_numpy()
+                # approx cosine ∝ (sum_j LUT[q, j, codes[:, j]]) / ||c||:
+                # ranking by raw ADC dot product would bias the candidate
+                # set toward large-norm corpus vectors on unnormalized
+                # embeddings (query norm is constant per query and cannot
+                # change ranks)
+                cnorms = np.maximum(pdf["cn"].to_numpy(), 1e-12)
+                j_idx = np.arange(m)
+                out_q, out_c, out_s = [], [], []
+                for qi in range(len(q_ids)):
+                    approx = luts[qi][j_idx, codes].sum(axis=1) / cnorms
+                    keep = np.argsort(-approx)[:n_keep]
+                    out_q.extend([q_ids[qi]] * len(keep))
+                    out_c.append(ids[keep])
+                    out_s.append(approx[keep])
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_q,
+                        "corpus_id": np.concatenate(out_c),
+                        "approx": np.concatenate(out_s),
+                    }
+                )
+
+        candidates = (
+            c.select("corpus_id", "codes", "cn")
+            .mapInPandas(
+                score, schema=f"query_id {id_type}, corpus_id {id_type}, approx double"
+            )
+            .filter(F.col("query_id") != F.col("corpus_id"))
         )
-        .filter(F.col("query_id") != F.col("corpus_id"))
-    )
-    # per-query global refine cut (partition-local candidates were n_keep
-    # per partition), then exact cosine re-rank on the survivors
-    w_ref = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("corpus_id"))
-    survivors = candidates.withColumn("r", F.row_number().over(w_ref)).filter(
-        F.col("r") <= n_keep
-    )
-    q_df = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(F.col(vec_col)).alias("qvec"),
-    ).withColumn("qnorm", _norm(F.col("qvec")))
-    rescored = (
-        survivors.join(c.select("corpus_id", "cvec"), "corpus_id")
-        .withColumn("cnorm", _norm(F.col("cvec")))
-        .join(F.broadcast(q_df), "query_id")
-        .withColumn(
-            "sim",
-            F.round(_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+        # per-query global refine cut (partition-local candidates were
+        # n_keep per partition), then exact cosine re-rank on survivors
+        w_ref = Window.partitionBy("query_id").orderBy(
+            F.desc("approx"), F.asc("corpus_id")
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "sim", F.col("rank").cast("long").alias("rank"))
-    )
+        survivors = candidates.withColumn("r", F.row_number().over(w_ref)).filter(
+            F.col("r") <= n_keep
+        )
+        # the chunk's queries only (chunk-sized, broadcast) — not the
+        # full query relation
+        q_df = spark.createDataFrame(
+            [(r.query_id, list(r.qvec)) for r in q_rows],
+            f"query_id {id_type}, qvec array<double>",
+        ).withColumn("qnorm", _norm(F.col("qvec")))
+        rescored = (
+            survivors.join(c.select("corpus_id", "cvec"), "corpus_id")
+            .withColumn("cnorm", _norm(F.col("cvec")))
+            .join(F.broadcast(q_df), "query_id")
+            .withColumn(
+                "sim",
+                F.round(
+                    _dot(F.col("cvec"), F.col("qvec"))
+                    / (F.col("cnorm") * F.col("qnorm")),
+                    6,
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))
+        return (
+            rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "corpus_id", "sim", F.col("rank").cast("long").alias("rank")
+            )
+        )
+
+    # chunks partition the query ids, so unionByName of per-chunk top-k
+    # is the global answer
+    return reduce(lambda a, b: a.unionByName(b), (chunk_topk(ch) for ch in chunks))
 
 
 def label_centroids(

@@ -110,6 +110,9 @@ def run_corpus_curation_pipeline(
     repetition_filter: bool = False,
     decontam_bench: DataFrame | None = None,
     fluency_cut: float | None = None,
+    semantic_eps: float | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_k: int = 16,
 ) -> dict:
     """The LLM-training-data lifecycle the beyond-reference operators
     exist for, composed end to end: quality filter → language mix →
@@ -125,7 +128,15 @@ def run_corpus_curation_pipeline(
     with the highest unigram-LM mean NLL — the CCNet perplexity cut
     (operators/lm.py), cutoff found with one approx-percentile
     aggregate. All read the cached quality-filtered relation — no extra
-    source scans.
+    source scans. ``semantic_eps`` (e.g. 0.95) adds a SemDeDup-style
+    semantic stage AFTER the byte-level dedup tiers: k-means the
+    survivors' embeddings (``semantic_k`` clusters; ``embeddings``
+    defaults to the catalog's embeddings table keyed vec_id==doc_id)
+    and drop within-cluster members ``eps``-cosine-close to an
+    earlier-kept one — the paraphrase tier that shingle-based dedup
+    cannot see (operators/semdedup.py; centroids broadcast, per-cluster
+    work capped, never corpus all-pairs). Docs without an embedding row
+    survive by construction (the drop side is an anti-join).
 
     Scale shape: one documents scan feeds the quality/lang filter; exact
     dedup is one hash aggregate; near-dup pairs come from the bucketed
@@ -272,6 +283,36 @@ def run_corpus_curation_pipeline(
             )
         curated = exact_kept.join(losers, "doc_id", "left_anti")
 
+        n_after_semantic = None
+        if semantic_eps is not None:
+            from eligibility_etl_airflow_spark.operators import semdedup
+
+            # persisted: the survivor set feeds the embedding semi-join,
+            # the k-means E/M rounds, AND the final anti-join + write —
+            # without it the LSH/components lineage re-executes per job
+            curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
+            hygiene_caches.append(curated)
+            emb = (
+                embeddings
+                if embeddings is not None
+                else Catalog(spark, sf_dir).embeddings.select(
+                    F.col("vec_id").alias("doc_id"), "embedding"
+                )
+            )
+            surv_emb = emb.join(curated.select("doc_id"), "doc_id", "left_semi")
+            sem_drops = (
+                semdedup.semantic_dedup_drops(
+                    surv_emb, "doc_id", "embedding", k=semantic_k, eps=semantic_eps
+                )
+                .filter(~F.col("capped_cluster"))
+                .select(F.col("id").alias("doc_id"))
+            )
+            curated = curated.join(sem_drops, "doc_id", "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            hygiene_caches.append(curated)
+            n_after_semantic = curated.count()
+
         out_path = os.path.join(out_dir, "curated_docs")
         sinks.write_clustered(curated, out_path, ["doc_id"])
         n_curated = spark.read.parquet(out_path).count()
@@ -293,6 +334,8 @@ def run_corpus_curation_pipeline(
         stats["n_after_decontam"] = n_after_decontam
     if n_after_fluency is not None:
         stats["n_after_fluency"] = n_after_fluency
+    if n_after_semantic is not None:
+        stats["n_after_semantic"] = n_after_semantic
     return stats
 
 

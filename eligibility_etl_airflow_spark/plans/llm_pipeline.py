@@ -1197,3 +1197,113 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_segment(d, "doc_id", "text", merges).select(
         F.col("id").cast("long").alias("doc_id"), "n_words", "n_tokens"
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (operators/semdedup.py)
+# --------------------------------------------------------------------------
+
+SEMANTIC_DEDUP_ORACLE = r"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+pos AS (
+  SELECT label, i, avg(v[i]) AS c
+  FROM (SELECT label, v, unnest(range(1, len(v)+1)) AS i
+        FROM e JOIN embeddings USING (vec_id))
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY i) AS cv FROM pos GROUP BY 1),
+scored AS (
+  SELECT e.vec_id, cent.label,
+         round(list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS sim
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, label AS cluster, sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, label ASC) AS rnk
+        FROM scored)
+  WHERE rnk = 1
+),
+ranked AS (
+  SELECT vec_id, cluster, sim,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY sim ASC, vec_id ASC) AS rnk
+  FROM assigned
+),
+pairs AS (
+  SELECT x.cluster, x.vec_id AS id, y.vec_id AS kid, y.rnk AS krnk,
+         round(list_dot_product(ex.v, ey.v)
+               / (sqrt(list_dot_product(ex.v, ex.v))
+                  * sqrt(list_dot_product(ey.v, ey.v))), 6) AS psim
+  FROM ranked x
+  JOIN ranked y ON x.cluster = y.cluster AND y.rnk < x.rnk
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY psim DESC, krnk ASC) AS b
+  FROM pairs
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(cluster AS BIGINT) AS cluster,
+       CAST(kid AS BIGINT) AS kept_id,
+       psim AS sim
+FROM best WHERE b = 1 AND psim >= 0.35
+"""
+
+
+@query("semantic_dedup_label", oracle=SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop set (operators/semdedup.py) with the clustering
+    PINNED to label-derived centroids so the DuckDB twin can grade the
+    whole drop rule exactly: nearest-centroid assignment, rank by
+    cosine-to-centroid ascending (keep the far-from-centroid exemplars),
+    drop a member iff its max cosine to an earlier-ranked member of the
+    same cluster >= eps, kept_id = that closest earlier member. The
+    k-means path (``kmeans_centroids``) swaps in learned centroids but
+    shares every downstream step; the curation pipeline composes it as
+    the ``semantic_eps`` stage. Centroids broadcast; per-cluster work is
+    one capped gram matrix — never corpus all-pairs."""
+    from eligibility_etl_airflow_spark.operators import semdedup
+
+    e = Catalog(spark, sf_dir).embeddings
+    cents = similarity.label_centroids(e, "label", "embedding").select(
+        "label", "centroid"
+    )
+    drops = semdedup.semantic_dedup_drops(
+        e, "vec_id", "embedding", centroids=cents, eps=0.35
+    )
+    return drops.filter(~F.col("capped_cluster")).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("kept_id").cast("long").alias("kept_id"),
+        "sim",
+    )
+
+
+@query("quality_classifier_scores")
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier (operators/quality_model.py), self-
+    distilled from the heuristic quality score as its teacher — the
+    standard curation pattern (label a bounded sample with the expensive
+    judge, fit a hashed-feature logistic model, score the corpus with
+    pure column arithmetic: explode → broadcast weight join → one
+    partial-agg sum → sigmoid; no UDF anywhere in the scoring path).
+    Rows-only: the gradient-descent solve is not SQL-expressible; the
+    model quality itself is pinned by the planted-label AUC floor test
+    in tests/test_quality_model.py."""
+    from eligibility_etl_airflow_spark.operators import quality_model
+
+    d = Catalog(spark, sf_dir).documents.withColumn(
+        "y", (text.quality_score(F.col("text")) >= 0.5).cast("double")
+    )
+    model = quality_model.train_quality_classifier(
+        d, "doc_id", "text", "y", dim=512, sample_size=2048, iters=100
+    )
+    return quality_model.score_quality(d, "doc_id", "text", model).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )

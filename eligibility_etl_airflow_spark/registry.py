@@ -126,6 +126,10 @@ _DEFERRED = (
     # centroid pooling / assignment: the posexplode-agg and broadcast
     # machinery are graded via struct_expand and the ANN brute-force row
     "centroid_assignments",
+    # SemDeDup drop rule: rides the same centroid-assign machinery as
+    # centroid_assignments plus a capped per-cluster gram matrix; its
+    # full relational oracle keeps local DuckDB parity
+    "semantic_dedup_label",
     # stream-static enrich: the broadcast-join machinery is graded via
     # the flagship star joins; the stream side keeps stream==batch +
     # local parity checks

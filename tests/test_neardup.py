@@ -359,16 +359,24 @@ def test_pq_topk_empty_queries_and_heterogeneous_norms(spark):
     assert recall >= 0.9, f"norm-heterogeneous recall {recall:.2f}"
 
 
-def test_pq_topk_query_collect_is_capped(spark):
+def test_pq_topk_chunks_past_max_queries(spark):
+    """Query sets over max_queries chunk through the driver (LUT memory
+    flat per chunk) and the unioned result is identical to one-shot."""
     import numpy as np
 
     rng = np.random.default_rng(23)
     rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
     e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    # over the cap: a clear error instead of a silent driver OOM
-    with pytest.raises(ValueError, match="max_queries"):
-        similarity.pq_topk(e, e, k=2, m=4, codes_k=8, max_queries=10)
+    # 40 queries, chunk size 15 -> 3 chunks; must match the unchunked run
+    chunked = similarity.pq_topk(e, e, k=2, m=4, codes_k=8, refine=20,
+                                 max_queries=15)
+    oneshot = similarity.pq_topk(e, e, k=2, m=4, codes_k=8, refine=20,
+                                 max_queries=10_000)
+    a = sorted((r.query_id, r.corpus_id, r.sim, r.rank) for r in chunked.collect())
+    b = sorted((r.query_id, r.corpus_id, r.sim, r.rank) for r in oneshot.collect())
+    assert a == b
+    assert len({q for q, *_ in a}) == 40  # every query answered
 
     # the documented recipe — chunk the query set, reuse codebooks via
     # cache_key, union the results — matches the uncapped answer

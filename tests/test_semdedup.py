@@ -1,0 +1,139 @@
+"""SemDeDup semantic dedup: drop rule, k-means path, caps, curation stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.operators import semdedup
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_dominated_rule_exact(spark):
+    # one cluster by construction (single centroid). Rank order is by
+    # cosine-to-centroid ascending. With centroid c=(1,0):
+    #   a=(0,1): sim 0      -> rank 1 (kept, farthest)
+    #   b=(1,1): sim .7071  -> rank 2
+    #   d=(1,0.99): sim ~.815 -> rank 3
+    # cos(a,b)=.7071 < .9 keeps b; cos(d,b)=.999987 >= .9 drops d vs b.
+    df = _vecs(
+        spark,
+        [(1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [1.0, 0.99])],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "label int, centroid array<double>"
+    )
+    drops = semdedup.semantic_dedup_drops(
+        df, "vec_id", "embedding", centroids=cents, eps=0.9
+    ).collect()
+    assert len(drops) == 1
+    d = drops[0]
+    assert (d["id"], d["kept_id"], d["capped_cluster"]) == (3, 2, False)
+    assert d["sim"] == pytest.approx(0.999987, abs=1e-5)
+
+
+def test_planted_paraphrases_found_kmeans(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.limit(4).collect()
+    # paraphrase cluster: scaled copies -> cosine 1.0 to their source
+    planted = _vecs(
+        spark,
+        [
+            (10_000 + i, [float(x) * 1.001 for x in r.embedding])
+            for i, r in enumerate(base)
+        ],
+    )
+    both = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).union(planted)
+    drops = semdedup.semantic_dedup_drops(
+        both, "vec_id", "embedding", k=8, eps=0.999
+    )
+    got = drops.filter(~F.col("capped_cluster")).collect()
+    # every planted doc pairs with its source: one of each pair drops
+    dropped_pairs = {
+        (min(r["id"], r["kept_id"]), max(r["id"], r["kept_id"])) for r in got
+    }
+    expected = {(r.vec_id, 10_000 + i) for i, r in enumerate(base)}
+    assert expected <= dropped_pairs
+    # random non-planted vectors never reach eps=0.999
+    planted_ids = {10_000 + i for i in range(len(base))} | {r.vec_id for r in base}
+    assert all(r["id"] in planted_ids or r["kept_id"] in planted_ids for r in got)
+
+
+def test_no_false_drops_on_random(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    drops = semdedup.semantic_dedup_drops(
+        emb, "vec_id", "embedding", k=8, eps=0.8
+    ).filter(~F.col("capped_cluster"))
+    assert drops.count() == 0  # random 64-dim cosines concentrate near 0
+
+
+def test_cluster_cap_reports_not_drops(spark):
+    # all four vectors identical -> one cluster of 4 > cap of 3
+    df = _vecs(spark, [(i, [1.0, 2.0, 3.0]) for i in range(4)])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "label int, centroid array<double>"
+    )
+    rows = semdedup.semantic_dedup_drops(
+        df, "vec_id", "embedding", centroids=cents, eps=0.5, max_cluster_size=3
+    ).collect()
+    assert len(rows) == 4
+    assert all(r["capped_cluster"] for r in rows)
+    assert all(r["kept_id"] is None and r["sim"] is None for r in rows)
+
+
+def test_kmeans_centroids_shape_and_determinism(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = semdedup.kmeans_centroids(emb, "vec_id", "embedding", k=4, em_iters=1)
+    rows = c1.collect()
+    assert 1 <= len(rows) <= 4
+    assert all(len(r["centroid"]) == 64 for r in rows)
+    # layout-stable sample + deterministic E/M: repartitioned input
+    # learns the same centroids
+    c2 = semdedup.kmeans_centroids(
+        emb.repartition(7), "vec_id", "embedding", k=4, em_iters=1
+    )
+    a = {r["label"]: [round(x, 9) for x in r["centroid"]] for r in rows}
+    b = {r["label"]: [round(x, 9) for x in r["centroid"]] for r in c2.collect()}
+    assert a == b
+
+
+def test_curation_semantic_stage(spark, sf_dir, tmp_path):
+    from eligibility_etl_airflow_spark import pipelines
+
+    base = pipelines.run_corpus_curation_pipeline(
+        spark, sf_dir, str(tmp_path / "plain"), min_quality=0.0, neardup_removal="pair"
+    )
+    sem = pipelines.run_corpus_curation_pipeline(
+        spark,
+        sf_dir,
+        str(tmp_path / "sem"),
+        min_quality=0.0,
+        neardup_removal="pair",
+        semantic_eps=0.35,
+        semantic_k=8,
+    )
+    assert "n_after_semantic" in sem
+    assert sem["n_after_semantic"] <= base["n_curated"]
+    assert sem["n_curated"] == sem["n_after_semantic"]
+    # docs without an embedding row survive the stage by construction:
+    # restrict embeddings to an empty set -> stage drops nothing
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    none = pipelines.run_corpus_curation_pipeline(
+        spark,
+        sf_dir,
+        str(tmp_path / "none"),
+        min_quality=0.0,
+        neardup_removal="pair",
+        semantic_eps=0.35,
+        embeddings=emb.limit(0),
+    )
+    assert none["n_after_semantic"] == base["n_curated"]
