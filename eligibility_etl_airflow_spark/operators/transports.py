@@ -170,6 +170,39 @@ class ChatResult:
     output_tokens: int
 
 
+def _accumulate_sse_stream(resp) -> tuple[str, dict]:
+    """Accumulate an OpenAI-style SSE chat stream into (text, usage).
+
+    Parses ``data: {json}`` lines, concatenates every chunk's
+    ``choices[0].delta.content``, stops at ``data: [DONE]``, and captures
+    the ``usage`` block servers send on the final chunk when the request
+    asked for ``stream_options.include_usage`` — the same
+    accumulate-chunks contract as the reference's streaming path
+    (src/predictions.py:100-126, where ``for chunk in llm.stream(...)``
+    concatenates ``chunk.content``)."""
+    parts: list[str] = []
+    usage: dict = {}
+    for raw in resp.iter_lines():
+        if not raw:
+            continue
+        line = raw.decode("utf-8") if isinstance(raw, bytes) else raw
+        if not line.startswith("data:"):
+            continue  # SSE comments / event fields
+        data = line[len("data:"):].strip()
+        if data == "[DONE]":
+            break
+        chunk = json.loads(data)
+        if chunk.get("usage"):
+            usage = chunk["usage"]
+        choices = chunk.get("choices") or []
+        if choices:
+            delta = choices[0].get("delta") or {}
+            content = delta.get("content")
+            if content:
+                parts.append(content)
+    return "".join(parts), usage
+
+
 def chat_completion_transport(
     url: str,
     *,
@@ -180,6 +213,7 @@ def chat_completion_transport(
     timeout_s: float = 120.0,
     response_format: dict | None = None,
     extra_headers: dict[str, str] | None = None,
+    stream: bool = False,
     session_factory: Callable[[], object] | None = None,
 ) -> Callable[[], Callable[[list[dict]], ChatResult]]:
     """A per-partition factory of ``messages -> ChatResult`` callables.
@@ -192,6 +226,13 @@ def chat_completion_transport(
     content plus token usage. Server-reported ``usage`` wins; when absent
     the deterministic :func:`count_tokens` fallback is used (parity with
     count_tokens over prompt+response, src/predictions.py:108-123).
+
+    ``stream=True`` switches to the reference's Fireworks-style streaming
+    accumulation (src/predictions.py:100-126): the body carries
+    ``stream: true`` plus ``stream_options.include_usage``, SSE chunks
+    are concatenated into the final text, and the last chunk's ``usage``
+    block feeds the same token contract — identical ``ChatResult`` either
+    way, so ``llm_per_group`` callers never see the difference.
 
     HTTP failures raise :class:`TransportError`; ``llm_per_group``'s
     RetryPolicy then drives the failed-group second pass.
@@ -213,16 +254,27 @@ def chat_completion_transport(
             }
             if response_format is not None:
                 body["response_format"] = response_format
+            if stream:
+                body["stream"] = True
+                body["stream_options"] = {"include_usage": True}
             try:
-                resp = session.request(
-                    "POST", url, json=body, headers=headers, timeout=timeout_s
-                )
-                resp.raise_for_status()
-                payload = resp.json()
-                text = payload["choices"][0]["message"]["content"]
+                if stream:
+                    resp = session.request(
+                        "POST", url, json=body, headers=headers,
+                        timeout=timeout_s, stream=True,
+                    )
+                    resp.raise_for_status()
+                    text, usage = _accumulate_sse_stream(resp)
+                else:
+                    resp = session.request(
+                        "POST", url, json=body, headers=headers, timeout=timeout_s
+                    )
+                    resp.raise_for_status()
+                    payload = resp.json()
+                    text = payload["choices"][0]["message"]["content"]
+                    usage = payload.get("usage") or {}
             except Exception as exc:
                 raise TransportError(str(exc)) from exc
-            usage = payload.get("usage") or {}
             in_tok = usage.get("prompt_tokens")
             out_tok = usage.get("completion_tokens")
             if in_tok is None:

@@ -208,3 +208,52 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir):
     )
     assert sparse.filter("c_mktsegment IS NULL").count() > 0
     assert sparse.count() == Catalog(spark, sf_dir).events.count()
+
+
+def test_stream_incremental_curation_replay_is_noop(spark, tmp_path):
+    """Incremental curation under a real checkpointed stream: batches
+    dedup against the persisted index as they arrive, and a forced full
+    replay (checkpoint wiped, same source) leaves the index unchanged —
+    the layered restart-safety contract (stream checkpoint + doc_id-keyed
+    idempotent index appends)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    fresh = "completely different words spark parquet shuffle broadcast join window"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # single FILES (not spark output dirs): the file stream source lists
+    # top-level files of the source directory, one file per micro-batch
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [base, fresh]}),
+        str(src / "b1.parquet"),
+    )
+    near = base + " extra"
+    pq.write_table(  # exact re-ingest + near-dup, both vs state
+        pa.table({"doc_id": [10, 11], "text": [base, near]}),
+        str(src / "b2.parquet"),
+    )
+
+    stream = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
+    stats = ops.stream_incremental_curation(
+        stream, state, str(tmp_path / "ckpt1")
+    )
+    assert sum(s["n_batch"] for s in stats) == 4
+    docs = spark.read.parquet(f"{state}/accepted_docs")
+    accepted = sorted(r.doc_id for r in docs.collect())
+    assert accepted == [1, 2]  # 10 exact-vs-state, 11 fuzzy-vs-state
+
+    # restart-mid-stream: wipe the checkpoint so EVERY micro-batch
+    # replays against the already-built index — must be a no-op
+    stream2 = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
+    stats2 = ops.stream_incremental_curation(
+        stream2, state, str(tmp_path / "ckpt2")
+    )
+    assert all(s["n_accepted"] == 0 for s in stats2)
+    docs_after = spark.read.parquet(f"{state}/accepted_docs")
+    assert sorted(r.doc_id for r in docs_after.collect()) == accepted

@@ -312,3 +312,102 @@ def test_rest_transport_payload_bug_is_not_laundered():
     call = t()
     with pytest.raises(KeyError):
         call({"present": 1})
+
+
+# --------------------------------------------------------------------------
+# stream=True: SSE accumulation (reference predictions.py:100-126 parity)
+# --------------------------------------------------------------------------
+
+
+class FakeStreamResponse:
+    """SSE response: iter_lines yields scripted byte lines."""
+
+    def __init__(self, status: int, lines: list[str]):
+        self.status_code = status
+        self._lines = lines
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            raise RuntimeError(f"HTTP {self.status_code}")
+
+    def iter_lines(self):
+        yield from (line.encode("utf-8") for line in self._lines)
+
+
+class FakeStreamSession:
+    def __init__(self, response):
+        self._response = response
+        self.calls = []
+
+    def request(self, method, url, json=None, headers=None, timeout=None,
+                stream=False):
+        self.calls.append(
+            {"method": method, "url": url, "json": json,
+             "headers": headers, "timeout": timeout, "stream": stream}
+        )
+        return self._response
+
+
+def _sse(obj) -> str:
+    import json as _json
+
+    return "data: " + _json.dumps(obj)
+
+
+def test_chat_transport_stream_accumulates_chunks_and_usage():
+    lines = [
+        _sse({"choices": [{"delta": {"role": "assistant"}}]}),
+        _sse({"choices": [{"delta": {"content": '{"Reject'}}]}),
+        "",  # SSE keep-alive blank line
+        ": comment line",  # SSE comment, must be ignored
+        _sse({"choices": [{"delta": {"content": 'ed": {}}'}}]}),
+        _sse({"choices": [], "usage": {"prompt_tokens": 11, "completion_tokens": 4}}),
+        "data: [DONE]",
+        _sse({"choices": [{"delta": {"content": "NEVER"}}]}),  # after DONE
+    ]
+    session = FakeStreamSession(FakeStreamResponse(200, lines))
+    result = chat_completion_transport(
+        "https://x", model="m", stream=True, session_factory=lambda: session
+    )()([{"role": "user", "content": "hi"}])
+    # identical ChatResult contract as the non-streaming path
+    assert result == ChatResult(text='{"Rejected": {}}', input_tokens=11,
+                                output_tokens=4)
+    req = session.calls[0]
+    assert req["stream"] is True
+    assert req["json"]["stream"] is True
+    assert req["json"]["stream_options"] == {"include_usage": True}
+
+
+def test_chat_transport_stream_usage_fallback():
+    lines = [
+        _sse({"choices": [{"delta": {"content": "two "}}]}),
+        _sse({"choices": [{"delta": {"content": "words"}}]}),
+        "data: [DONE]",
+    ]
+    session = FakeStreamSession(FakeStreamResponse(200, lines))
+    result = chat_completion_transport(
+        "https://x", model="m", stream=True, session_factory=lambda: session
+    )()([{"role": "user", "content": "hello, world"}])
+    assert result.text == "two words"
+    assert result.output_tokens == count_tokens("two words") == 2
+    assert result.input_tokens == count_tokens("hello, world") == 3
+
+
+def test_chat_transport_stream_http_error_raises():
+    session = FakeStreamSession(FakeStreamResponse(500, []))
+    call = chat_completion_transport(
+        "https://x", model="m", stream=True, session_factory=lambda: session
+    )()
+    with pytest.raises(TransportError):
+        call([{"role": "user", "content": "hi"}])
+
+
+def test_chat_transport_stream_malformed_chunk_raises():
+    session = FakeStreamSession(
+        FakeStreamResponse(200, ["data: {not json"])
+    )
+    call = chat_completion_transport(
+        "https://x", model="m", stream=True, session_factory=lambda: session
+    )()
+    with pytest.raises(TransportError):
+        call([{"role": "user", "content": "hi"}])
