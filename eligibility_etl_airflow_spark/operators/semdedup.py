@@ -200,3 +200,107 @@ def semantic_dedup_drops(
         "sim double, capped_cluster boolean"
     )
     return members.mapInPandas(dedup, schema=schema)
+
+
+def semantic_dedup_drops_bipartite(
+    batch: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    eps: float = 0.95,
+    max_cluster_side: int = 10_000,
+) -> DataFrame:
+    """(id, cluster, kept_id, sim, capped_cluster) — BATCH documents that
+    are ``eps``-cosine-close to an already-ACCEPTED document (``state``),
+    compared only within their shared k-means cluster. The vs-state twin
+    of :func:`semantic_dedup_drops`, completing the semantic tier's
+    incremental form the way the band/shingle indexes complete MinHash's
+    (``run_incremental_curation``): per-batch cost is proportional to
+    the batch plus its clusters' state members — never a state rescan,
+    never state × state.
+
+    ``centroids`` must be the SAME relation across every batch (the
+    persisted-index discipline: train once, store, reload) or cluster
+    assignments drift between what the index stored and what the batch
+    probes. Both sides assign by broadcast centroids — except a ``state``
+    that already carries a ``cluster`` column (the persisted vector
+    index stores the assignment it was accepted under), which skips the
+    re-assignment map entirely; the comparison is a cogrouped
+    per-cluster bipartite gram matrix (batch-side rows × state-side
+    rows), each side capped at ``max_cluster_side`` — an over-cap
+    cluster reports its batch members as ``capped_cluster`` rows (null
+    kept_id/sim) rather than silently skipping them. Deterministic:
+    6-dp-rounded sims; kept_id is the lowest state id among
+    maximal-similarity matches (state side sorted by id, first-max
+    argmax)."""
+    import numpy as np
+    import pandas as pd
+
+    if not (0.0 < eps <= 1.0):
+        raise ValueError(f"eps must be in (0, 1], got {eps}")
+    id_type = batch.schema[id_col].dataType.simpleString()
+
+    def assigned(df: DataFrame) -> DataFrame:
+        if "cluster" in df.columns:  # pre-assigned (persisted index rows)
+            return df.select(
+                F.col(id_col).alias("id"),
+                as_double_array(F.col(vec_col)).alias("v"),
+                F.col("cluster").cast("long").alias("cluster"),
+            )
+        vecs = df.select(
+            F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+        )
+        a = nearest_centroid_assign(vecs, centroids, "id", "v").select(
+            "id", F.col("assigned_label").cast("long").alias("cluster")
+        )
+        return vecs.join(a, "id")
+
+    b = assigned(batch)
+    s = assigned(state)
+
+    def compare(key, bpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {
+            "id": [], "cluster": [], "kept_id": [], "sim": [],
+            "capped_cluster": [],
+        }
+        (cluster,) = key
+        if len(bpdf) == 0 or len(spdf) == 0:
+            return pd.DataFrame(rows)
+        if len(bpdf) > max_cluster_side or len(spdf) > max_cluster_side:
+            for bid in bpdf["id"]:
+                rows["id"].append(bid)
+                rows["cluster"].append(cluster)
+                rows["kept_id"].append(None)
+                rows["sim"].append(None)
+                rows["capped_cluster"].append(True)
+            return pd.DataFrame(rows)
+        spdf = spdf.sort_values("id").reset_index(drop=True)
+
+        def unit(col):
+            m = np.vstack([np.asarray(x, dtype=np.float64) for x in col])
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0.0] = 1.0
+            return m / n[:, None]
+
+        gram = np.round(unit(bpdf["v"]) @ unit(spdf["v"]).T, 6)
+        s_ids = spdf["id"].to_numpy()
+        for i, bid in enumerate(bpdf["id"]):
+            j = int(np.argmax(gram[i]))  # first max -> lowest state id
+            if gram[i, j] >= eps:
+                rows["id"].append(bid)
+                rows["cluster"].append(cluster)
+                rows["kept_id"].append(s_ids[j])
+                rows["sim"].append(float(gram[i, j]))
+                rows["capped_cluster"].append(False)
+        return pd.DataFrame(rows)
+
+    schema = (
+        f"id {id_type}, cluster long, kept_id {id_type}, "
+        "sim double, capped_cluster boolean"
+    )
+    return (
+        b.groupBy("cluster")
+        .cogroup(s.groupBy("cluster"))
+        .applyInPandas(compare, schema=schema)
+    )

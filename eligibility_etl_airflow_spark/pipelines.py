@@ -467,6 +467,9 @@ def run_incremental_curation(
     num_perm: int = 64,
     bands: int = 16,
     boilerplate_band_cap: int = 1000,
+    semantic_eps: float | None = None,
+    embedding_col: str = "embedding",
+    semantic_k: int = 16,
 ) -> dict:
     """Curate a NEW batch against a persisted corpus index — the
     production dedup shape at 100 TB, where re-scanning the accepted
@@ -490,6 +493,16 @@ def run_incremental_curation(
     keys make the whole pipeline restart-safe without checkpoint files.
     Nothing ever re-reads accepted TEXT: fuzzy verification runs against
     the stored shingle sets.
+
+    ``semantic_eps`` adds the SemDeDup tier's incremental form: the
+    batch's ``embedding_col`` vectors (docs without one survive by
+    construction) check against a persisted VECTOR index — k-means
+    centroids trained on the first semantic batch and stored
+    (``index_centroids``), accepted vectors stored WITH their cluster
+    assignment (``index_vectors``) so later batches never re-assign or
+    re-scan state: the bipartite comparison is cluster-cogrouped,
+    batch-side × state-side only (operators/semdedup.py). Within-batch
+    semantic dedup runs under the same stored centroids.
     """
     from pyspark import StorageLevel
 
@@ -599,12 +612,102 @@ def run_incremental_curation(
             StorageLevel.MEMORY_AND_DISK
         )
         caches.append(accepted)
-        n_accepted = accepted.count()
+        n_after_byte = accepted.count()
+
+        n_after_semantic = None
+        acc_vecs = None
+        if semantic_eps is not None:
+            if embedding_col not in accepted.columns:
+                raise ValueError(
+                    f"semantic_eps requires the batch to carry an "
+                    f"{embedding_col!r} column (null for docs without an "
+                    "embedding — those survive the stage)"
+                )
+            from eligibility_etl_airflow_spark.operators import semdedup
+            from eligibility_etl_airflow_spark.operators.similarity import (
+                as_double_array,
+                nearest_centroid_assign,
+            )
+
+            cent_path = os.path.join(state_dir, "index_centroids")
+            vec_path = os.path.join(state_dir, "index_vectors")
+            bvec = (
+                accepted.where(F.col(embedding_col).isNotNull())
+                .select(
+                    "doc_id", as_double_array(F.col(embedding_col)).alias("v")
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            caches.append(bvec)
+            if os.path.exists(cent_path):
+                cents = spark.read.parquet(cent_path)
+            else:
+                # first semantic batch trains the index's centroids; every
+                # later batch loads them — one clustering for the corpus'
+                # lifetime, the persisted-index discipline
+                cents = semdedup.kmeans_centroids(bvec, "doc_id", "v", k=semantic_k)
+                cents.write.mode("overwrite").parquet(cent_path)
+                cents = spark.read.parquet(cent_path)
+            sem_drop_ids = None
+            if os.path.exists(vec_path):
+                # the index stores (id, cluster, v); surface the id under
+                # the batch's column name, keep the stored cluster so the
+                # operator skips state re-assignment
+                state_vecs = spark.read.parquet(vec_path).select(
+                    F.col("id").alias("doc_id"), "cluster", "v"
+                )
+                vs_state = semdedup.semantic_dedup_drops_bipartite(
+                    bvec, state_vecs, "doc_id", "v", cents, eps=semantic_eps
+                )
+                sem_drop_ids = (
+                    vs_state.filter(~F.col("capped_cluster"))
+                    .select(F.col("id").alias("doc_id"))
+                    .distinct()
+                )
+                bvec_in = bvec.join(sem_drop_ids, "doc_id", "left_anti")
+            else:
+                bvec_in = bvec
+            within = semdedup.semantic_dedup_drops(
+                bvec_in, "doc_id", "v", centroids=cents, eps=semantic_eps
+            )
+            within_ids = within.filter(~F.col("capped_cluster")).select(
+                F.col("id").alias("doc_id")
+            )
+            all_sem = (
+                within_ids
+                if sem_drop_ids is None
+                else sem_drop_ids.unionByName(within_ids).distinct()
+            )
+            accepted = accepted.join(all_sem, "doc_id", "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            caches.append(accepted)
+            n_after_semantic = accepted.count()
+            # the accepted vectors enter the index WITH their assignment,
+            # so future batches compare without re-assigning state
+            acc_vecs = (
+                nearest_centroid_assign(
+                    bvec.join(accepted.select("doc_id"), "doc_id", "left_semi"),
+                    cents,
+                    "doc_id",
+                    "v",
+                )
+                .select("id", F.col("assigned_label").cast("long").alias("cluster"))
+                .join(bvec.select(F.col("doc_id").alias("id"), "v"), "id")
+            )
+        n_accepted = n_after_semantic if n_after_semantic is not None else n_after_byte
 
         # idempotent index + corpus maintenance (doc_id-keyed appends)
         sinks.append_dedup(
             spark, docs_path, accepted.drop("content_hash"), ["doc_id"]
         )
+        if acc_vecs is not None:
+            sinks.append_dedup(
+                spark,
+                os.path.join(state_dir, "index_vectors"),
+                acc_vecs,
+                ["id"],
+            )
         sinks.append_dedup(
             spark, hash_path, accepted.select("doc_id", "content_hash"), ["doc_id"]
         )
@@ -620,13 +723,17 @@ def run_incremental_curation(
     finally:
         for c in caches:
             c.unpersist()
-    return {
+    stats = {
         "n_batch": n_batch,
         "n_after_internal_exact": n_internal,
         "n_after_exact_vs_state": n_fresh,
         "n_after_fuzzy_vs_state": n_vs_state,
+        "n_after_byte_dedup": n_after_byte,
         "n_accepted": n_accepted,
         "n_corpus_total": (
             spark.read.parquet(docs_path).count() if os.path.exists(docs_path) else 0
         ),
     }
+    if n_after_semantic is not None:
+        stats["n_after_semantic"] = n_after_semantic
+    return stats

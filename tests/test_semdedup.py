@@ -137,3 +137,104 @@ def test_curation_semantic_stage(spark, sf_dir, tmp_path):
         embeddings=emb.limit(0),
     )
     assert none["n_after_semantic"] == base["n_curated"]
+
+
+def test_bipartite_drops_batch_near_state(spark):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "label int, centroid array<double>"
+    )
+    state = _vecs(spark, [(1, [1.0, 0.05]), (2, [0.05, 1.0])])
+    batch = _vecs(
+        spark,
+        [
+            (10, [1.0, 0.06]),   # ~state 1, same cluster -> drop
+            (11, [0.06, 1.0]),   # ~state 2, same cluster -> drop
+            (12, [1.0, 1.0]),    # cos to both ~0.74 < eps -> keep
+        ],
+    )
+    drops = semdedup.semantic_dedup_drops_bipartite(
+        batch, state, "vec_id", "embedding", cents, eps=0.99
+    ).collect()
+    got = {(r["id"], r["kept_id"]) for r in drops if not r["capped_cluster"]}
+    assert got == {(10, 1), (11, 2)}
+
+
+def test_bipartite_preassigned_state_skips_reassignment(spark):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "label int, centroid array<double>"
+    )
+    # state stored WITH its cluster column: the persisted-index shape.
+    # cluster 1 here is deliberately NOT what re-assignment would pick —
+    # proving the stored assignment is honored, not recomputed.
+    state = spark.createDataFrame(
+        [(1, [1.0, 0.05], 1)], "vec_id long, embedding array<double>, cluster int"
+    )
+    batch = _vecs(spark, [(10, [1.0, 0.06])])  # assigns to cluster 0
+    drops = semdedup.semantic_dedup_drops_bipartite(
+        batch, state, "vec_id", "embedding", cents, eps=0.9
+    ).collect()
+    assert drops == []  # different clusters -> never compared
+
+
+def test_bipartite_cap_reports(spark):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "label int, centroid array<double>"
+    )
+    state = _vecs(spark, [(i, [1.0, 0.001 * i]) for i in range(5)])
+    batch = _vecs(spark, [(100, [1.0, 0.002])])
+    rows = semdedup.semantic_dedup_drops_bipartite(
+        batch, state, "vec_id", "embedding", cents, eps=0.9, max_cluster_side=3
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["capped_cluster"] and rows[0]["id"] == 100
+
+
+def test_incremental_semantic_tier(spark, tmp_path):
+    """Batch 2's paraphrase-of-state (no shared shingles, same meaning
+    direction) is dropped by the vector index; its fresh doc survives;
+    replaying batch 2 is a no-op; docs without embeddings pass through."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    state = str(tmp_path / "state")
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven"
+    b1 = spark.createDataFrame(
+        [(1, t1, [1.0, 0.0, 0.0]), (2, t2, [0.0, 1.0, 0.0])],
+        "doc_id long, text string, embedding array<double>",
+    )
+    s1 = pipelines.run_incremental_curation(
+        spark, b1, state, semantic_eps=0.99, semantic_k=2
+    )
+    assert s1["n_accepted"] == 2
+
+    # doc 10: byte-fresh but embedding ~ state doc 1 -> semantic drop;
+    # doc 11: genuinely new direction -> kept;
+    # doc 12: NO embedding -> survives the semantic stage by construction
+    b2 = spark.createDataFrame(
+        [
+            (10, "totally different words entirely here", [1.0, 0.001, 0.0]),
+            (11, "spark parquet shuffle broadcast join", [0.0, 0.0, 1.0]),
+            (12, "no embedding for this one at all", None),
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    s2 = pipelines.run_incremental_curation(
+        spark, b2, state, semantic_eps=0.99, semantic_k=2
+    )
+    assert s2["n_after_byte_dedup"] == 3
+    assert s2["n_after_semantic"] == 2
+    assert s2["n_accepted"] == 2
+    docs = spark.read.parquet(f"{state}/accepted_docs")
+    assert sorted(r.doc_id for r in docs.collect()) == [1, 2, 11, 12]
+
+    s3 = pipelines.run_incremental_curation(  # replay
+        spark, b2, state, semantic_eps=0.99, semantic_k=2
+    )
+    assert s3["n_accepted"] == 0
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{state}/accepted_docs").collect()
+    ) == [1, 2, 11, 12]
+    # vector index only holds embedded accepted docs, with clusters
+    vecs = spark.read.parquet(f"{state}/index_vectors")
+    assert sorted(r.id for r in vecs.collect()) == [1, 2, 11]
+    assert set(vecs.columns) == {"id", "cluster", "v"}
