@@ -76,6 +76,19 @@ def main(argv: list[str] | None = None) -> int:
         help="corpus-curation only: drop this fraction (0-1) of surviving "
         "docs with the highest unigram-LM mean NLL (CCNet perplexity cut)",
     )
+    pp.add_argument(
+        "--semantic-eps",
+        type=float,
+        default=None,
+        help="corpus-curation only: SemDeDup stage — drop docs whose "
+        "embedding is this cosine-close to an earlier-kept cluster member",
+    )
+    pp.add_argument(
+        "--semantic-k",
+        type=int,
+        default=16,
+        help="corpus-curation only: k-means cluster count for --semantic-eps",
+    )
 
     ip = sub.add_parser(
         "incremental-curation",
@@ -85,6 +98,14 @@ def main(argv: list[str] | None = None) -> int:
     ip.add_argument("--batch-parquet", required=True, help="parquet path of the new batch (doc_id, text)")
     ip.add_argument("--state-dir", required=True, help="corpus state directory (indexes + accepted docs)")
     ip.add_argument("--jaccard-threshold", type=float, default=0.8)
+    ip.add_argument(
+        "--semantic-eps",
+        type=float,
+        default=None,
+        help="also check the batch's embedding column against the "
+        "persisted vector index (SemDeDup incremental form)",
+    )
+    ip.add_argument("--semantic-k", type=int, default=16)
 
     dp = sub.add_parser(
         "dag", help="run a task-graph orchestration (the Airflow-DAG analog)"
@@ -158,15 +179,20 @@ def main(argv: list[str] | None = None) -> int:
                 kwargs["decontam_bench"] = spark.read.parquet(args.decontam_bench)
             if args.fluency_cut is not None:
                 kwargs["fluency_cut"] = args.fluency_cut
+            if args.semantic_eps is not None:
+                kwargs["semantic_eps"] = args.semantic_eps
+                kwargs["semantic_k"] = args.semantic_k
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir, **kwargs), default=str))
         return 0
 
     if args.cmd == "incremental-curation":
-        from eligibility_etl_airflow_spark import pipelines
-
         batch = spark.read.parquet(args.batch_parquet)
+        inc_kwargs = {"jaccard_threshold": args.jaccard_threshold}
+        if args.semantic_eps is not None:
+            inc_kwargs["semantic_eps"] = args.semantic_eps
+            inc_kwargs["semantic_k"] = args.semantic_k
         stats = pipelines.run_incremental_curation(
-            spark, batch, args.state_dir, jaccard_threshold=args.jaccard_threshold
+            spark, batch, args.state_dir, **inc_kwargs
         )
         print(json.dumps(stats, default=str))
         return 0

@@ -537,3 +537,28 @@ def test_bipartite_lsh_bench_band_cap(spark):
         corpus, bench, jaccard_threshold=0.5, max_bench_band_freq=100
     )
     assert uncapped.count() == 20
+
+
+def test_ngram_jaccard_hashed_and_string_paths_agree(spark, sf_dir):
+    """hashed=False (collision-free string shingles) must produce the
+    same pairs and jaccards as the default hashed path on real text —
+    the parity that makes 'exact up to 64-bit hash collisions' an
+    evidence-backed claim rather than a hope."""
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.limit(120)
+        .select("doc_id", "text", F.col("lang").alias("block"))
+    )
+    hashed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in neardup.ngram_jaccard_pairs(
+            d, "doc_id", "text", "block", shingle_k=3
+        ).collect()
+    }
+    strings = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in neardup.ngram_jaccard_pairs(
+            d, "doc_id", "text", "block", shingle_k=3, hashed=False
+        ).collect()
+    }
+    assert hashed == strings

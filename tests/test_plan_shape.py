@@ -281,3 +281,22 @@ def test_decontamination_stages_token_array(spark, sf_dir):
     # split expression shows up a bounded number of times (corpus side
     # + broadcast bench side), not once per n-gram construction step
     assert plan.count("split(lower") <= 4, plan.count("split(lower")
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "semantic_dedup_label")
+    # centroid attach is a broadcast (nested-loop on the k-row centroid
+    # relation), never a CartesianProduct over the corpus
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # within-cluster work is ONE Arrow map over the collected clusters
+    assert plan.count("MapInPandas") == 1
+
+
+def test_quality_scoring_is_broadcast_join_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "quality_classifier_scores")
+    # learned weights broadcast to the exploded token stream
+    assert "BroadcastHashJoin" in plan
+    # the scoring path is pure JVM arithmetic — no Python islands at all
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, node
