@@ -113,6 +113,8 @@ def run_corpus_curation_pipeline(
     semantic_eps: float | None = None,
     embeddings: DataFrame | None = None,
     semantic_k: int = 16,
+    quality_model: dict | None = None,
+    quality_model_min: float = 0.5,
 ) -> dict:
     """The LLM-training-data lifecycle the beyond-reference operators
     exist for, composed end to end: quality filter → language mix →
@@ -137,6 +139,12 @@ def run_corpus_curation_pipeline(
     cannot see (operators/semdedup.py; centroids broadcast, per-cluster
     work capped, never corpus all-pairs). Docs without an embedding row
     survive by construction (the drop side is an anti-join).
+    ``quality_model`` (a ``train_quality_classifier`` output dict) adds
+    the LEARNED quality gate after the heuristic hygiene stages: docs
+    scoring below ``quality_model_min`` drop. Pass a model trained on
+    labels you trust (human tags, an LLM judge, a cleaner corpus) — the
+    classifier generalizes them to the whole corpus at pure-column-
+    arithmetic cost (operators/quality_model.py).
 
     Scale shape: one documents scan feeds the quality/lang filter; exact
     dedup is one hash aggregate; near-dup pairs come from the bucketed
@@ -246,6 +254,25 @@ def run_corpus_curation_pipeline(
             hygiene_caches.append(hygienic)
             n_after_fluency = hygienic.count()
 
+        n_after_learned_quality = None
+        if quality_model is not None:
+            from eligibility_etl_airflow_spark.operators import quality_model as qm
+
+            # a TRAINED model (train_quality_classifier output — distilled
+            # from human tags, an LLM judge, or a cleaner corpus) gates the
+            # funnel; scoring is the UDF-free broadcast-join aggregate, so
+            # this stage adds one partial-agg pass over the cached relation
+            drop_ids = (
+                qm.score_quality(hygienic, "doc_id", "text", quality_model)
+                .filter(F.col("score") < quality_model_min)
+                .select(F.col("id").alias("doc_id"))
+            )
+            hygienic = hygienic.join(drop_ids, "doc_id", "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            hygiene_caches.append(hygienic)
+            n_after_learned_quality = hygienic.count()
+
         # exact dedup: keep min doc_id per content hash
         keeper = (
             hygienic.select(
@@ -334,6 +361,8 @@ def run_corpus_curation_pipeline(
         stats["n_after_decontam"] = n_after_decontam
     if n_after_fluency is not None:
         stats["n_after_fluency"] = n_after_fluency
+    if n_after_learned_quality is not None:
+        stats["n_after_learned_quality"] = n_after_learned_quality
     if n_after_semantic is not None:
         stats["n_after_semantic"] = n_after_semantic
     return stats

@@ -114,3 +114,31 @@ def test_null_labels_excluded_and_empty_raises(spark):
         quality_model.train_quality_classifier(
             nolab, "doc_id", "text", "y", dim=64, sample_size=100, iters=10
         )
+
+
+def test_curation_learned_quality_stage(spark, sf_dir, tmp_path):
+    """A trained model gates the curation funnel: a marker-word model
+    drops low-scoring docs; threshold 0 drops nothing."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    docs = _planted_corpus(spark, n=200)
+    model = quality_model.train_quality_classifier(
+        docs, "doc_id", "text", "y", dim=256, sample_size=200, iters=200
+    )
+    base = pipelines.run_corpus_curation_pipeline(
+        spark, sf_dir, str(tmp_path / "plain"), min_quality=0.0,
+        neardup_removal="pair",
+    )
+    gated = pipelines.run_corpus_curation_pipeline(
+        spark, sf_dir, str(tmp_path / "gated"), min_quality=0.0,
+        neardup_removal="pair", quality_model=model, quality_model_min=0.999,
+    )
+    # real documents contain none of the planted good-marker vocabulary:
+    # a near-1 threshold must remove (almost) everything
+    assert gated["n_after_learned_quality"] < base["n_after_quality_lang"]
+    lax = pipelines.run_corpus_curation_pipeline(
+        spark, sf_dir, str(tmp_path / "lax"), min_quality=0.0,
+        neardup_removal="pair", quality_model=model, quality_model_min=0.0,
+    )
+    assert lax["n_after_learned_quality"] == base["n_after_quality_lang"]
+    assert lax["n_curated"] == base["n_curated"]

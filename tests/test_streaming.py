@@ -257,3 +257,43 @@ def test_stream_incremental_curation_replay_is_noop(spark, tmp_path):
     assert all(s["n_accepted"] == 0 for s in stats2)
     docs_after = spark.read.parquet(f"{state}/accepted_docs")
     assert sorted(r.doc_id for r in docs_after.collect()) == accepted
+
+
+def test_stream_incremental_curation_semantic_passthrough(spark, tmp_path):
+    """curation kwargs flow through the stream wrapper: the semantic
+    vector index builds under foreachBatch and drops a batch-2
+    paraphrase-of-state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": ["alpha beta gamma delta epsilon zeta", "one two three four"],
+                "embedding": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+            }
+        ),
+        str(src / "b1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [10, 11],
+                # 10: byte-fresh but embedding ~ state doc 1 -> semantic drop
+                "text": ["totally different words here", "spark parquet shuffle join"],
+                "embedding": [[1.0, 0.001, 0.0], [0.0, 0.0, 1.0]],
+            }
+        ),
+        str(src / "b2.parquet"),
+    )
+    stream = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
+    stats = ops.stream_incremental_curation(
+        stream, state, str(tmp_path / "ckpt"), semantic_eps=0.99, semantic_k=2
+    )
+    assert sum(s["n_accepted"] for s in stats) == 3
+    docs = spark.read.parquet(f"{state}/accepted_docs")
+    assert sorted(r.doc_id for r in docs.collect()) == [1, 2, 11]
