@@ -81,10 +81,7 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     path, stage ``_with_normalized_text`` and use
     ``hashed_shingles_of_norm`` (see its docstring for the measured
     cost)."""
-    norm = normalize_text(col)
-    n = F.length(norm)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(starts, lambda i: F.substring(norm, i, k)))
+    return string_shingles_of_norm(normalize_text(col), k)
 
 
 def hashed_shingles_of_norm(norm: Column, k: int = 5) -> Column:

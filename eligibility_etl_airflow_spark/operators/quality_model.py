@@ -92,13 +92,21 @@ def train_quality_classifier(
     )
     sample = labeled.join(sample_ids, "id", "left_semi")
     feats = hashed_token_features(sample, "id", "text", dim)
-    # one collect of (sample_size × avg-distinct-buckets) sparse triples
+    # one collect of (sample_size × avg-distinct-buckets) sparse triples.
+    # LEFT join from the labeled sample: token-less docs (whitespace/
+    # punctuation junk — often exactly the label-0 class the gate
+    # exists for) contribute an all-zero feature row, so the bias is
+    # fitted WITH their labels — score-time gives them sigmoid(bias),
+    # which must reflect that evidence, not a clean-docs-only prior.
     rows = (
-        feats.groupBy("id")
-        .agg(
-            F.collect_list(F.struct("bucket", "cnt")).alias("bc"),
+        sample.select("id", "y")
+        .join(
+            feats.groupBy("id").agg(
+                F.collect_list(F.struct("bucket", "cnt")).alias("bc")
+            ),
+            "id",
+            "left",
         )
-        .join(sample.select("id", "y"), "id")
         .select("bc", "y")
         .collect()
     )
@@ -108,7 +116,7 @@ def train_quality_classifier(
     y = np.zeros(len(rows), dtype=np.float64)
     for i, r in enumerate(rows):
         y[i] = r["y"]
-        for s in r["bc"]:
+        for s in r["bc"] or ():  # null bc = token-less doc, all-zero row
             X[i, s["bucket"]] = np.log1p(s["cnt"])
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0

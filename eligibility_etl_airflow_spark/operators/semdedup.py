@@ -81,7 +81,14 @@ def kmeans_centroids(
     Empty clusters simply drop out of the M-step (their label vanishes
     from the assignment relation) — the standard Lloyd's degeneracy,
     harmless for dedup since assignment only needs SOME nearest
-    centroid."""
+    centroid.
+
+    Each round's k × dim centroid state is COLLECTED to the driver and
+    re-emitted as a literal relation: leaving it as lazy lineage would
+    nest every prior round's plan inside the next round's broadcast, so
+    the final consumer re-executes the corpus scan once per nesting
+    level. Collecting a few KB per round keeps every round at exactly
+    one corpus scan."""
     spark = df.sparkSession
     cents = centroids_as_df(
         spark,
@@ -99,8 +106,12 @@ def kmeans_centroids(
         assigned = nearest_centroid_assign(vecs, cents, "id", "v").select(
             "id", F.col("assigned_label").alias("label")
         )
-        cents = label_centroids(vecs.join(assigned, "id"), "label", "v").select(
-            "label", "centroid"
+        pooled = label_centroids(vecs.join(assigned, "id"), "label", "v").collect()
+        if not pooled:
+            break  # empty input: keep the init centroids (possibly [])
+        cents = spark.createDataFrame(
+            [(int(r["label"]), list(r["centroid"])) for r in pooled],
+            "label int, centroid array<double>",
         )
     return cents
 
@@ -126,12 +137,20 @@ def semantic_dedup_drops(
     that were excluded from dedup (kept_id/sim null): silent truncation
     would read as "deduped" when it wasn't.
 
-    Plan: broadcast-assign → one shuffle on cluster id → per-cluster
-    numpy gram matrix (bounded by the cap) → triangular max against
-    earlier-ranked members. Deterministic: 6-dp-rounded sims, id
-    tie-breaks, first-max (lowest-rank) winner as ``kept_id``."""
+    Plan: broadcast-assign (persisted — the assignment feeds the size
+    count, the capped report, and the member collect; same cache
+    contract as ``minhash_lsh_pairs``' shingle table) → cluster sizes
+    counted from the VECTORLESS assignment relation, so an over-cap
+    cluster is detected and reported without ever materializing its
+    members' embeddings into one row (a million-member cluster must
+    fail SOFT, not blow the collect_list) → under-cap clusters only:
+    one shuffle on cluster id, per-cluster numpy gram matrix →
+    triangular max against earlier-ranked members. Deterministic:
+    6-dp-rounded sims, id tie-breaks, first-max (lowest-rank) winner
+    as ``kept_id``."""
     import numpy as np
     import pandas as pd
+    from pyspark import StorageLevel
 
     if not (0.0 < eps <= 1.0):
         raise ValueError(f"eps must be in (0, 1], got {eps}")
@@ -143,12 +162,28 @@ def semantic_dedup_drops(
     vecs = df.select(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
     )
-    assigned = nearest_centroid_assign(vecs, cents, "id", "v").select(
-        "id", F.col("assigned_label").cast("long").alias("cluster"), "sim"
+    assigned = (
+        nearest_centroid_assign(vecs, cents, "id", "v")
+        .select("id", F.col("assigned_label").cast("long").alias("cluster"), "sim")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     id_type = vecs.schema["id"].dataType.simpleString()
+    over_cap = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cluster_size)
+        .select("cluster")
+    )
+    capped_rows = assigned.join(F.broadcast(over_cap), "cluster", "left_semi").select(
+        F.col("id"),
+        F.col("cluster"),
+        F.lit(None).cast(id_type).alias("kept_id"),
+        F.lit(None).cast("double").alias("sim"),
+        F.lit(True).alias("capped_cluster"),
+    )
     members = (
         vecs.join(assigned, "id")
+        .join(F.broadcast(over_cap), "cluster", "left_anti")
         .groupBy("cluster")
         .agg(
             # (sim-to-centroid ASC, id ASC) = the keep-rank order; the
@@ -168,14 +203,6 @@ def semantic_dedup_drops(
             }
             for cluster, m in zip(pdf["cluster"], pdf["m"]):
                 if len(m) < 2:
-                    continue
-                if len(m) > max_cluster_size:
-                    for mem in m:
-                        rows["id"].append(mem["id"])
-                        rows["cluster"].append(cluster)
-                        rows["kept_id"].append(None)
-                        rows["sim"].append(None)
-                        rows["capped_cluster"].append(True)
                     continue
                 ids = [mem["id"] for mem in m]
                 mat = np.vstack(
@@ -199,7 +226,7 @@ def semantic_dedup_drops(
         f"id {id_type}, cluster long, kept_id {id_type}, "
         "sim double, capped_cluster boolean"
     )
-    return members.mapInPandas(dedup, schema=schema)
+    return members.mapInPandas(dedup, schema=schema).unionByName(capped_rows)
 
 
 def semantic_dedup_drops_bipartite(
@@ -256,8 +283,41 @@ def semantic_dedup_drops_bipartite(
         )
         return vecs.join(a, "id")
 
-    b = assigned(batch)
+    from pyspark import StorageLevel
+
+    # batch-side assignment persists: it feeds the size counts, the
+    # capped report, and the cogroup. The state side is only ever read
+    # through column-pruned projections (cluster for the count, the
+    # cogroup for the compare) — no persist of the big side.
+    b = assigned(batch).persist(StorageLevel.MEMORY_AND_DISK)
     s = assigned(state)
+
+    # over-cap detection from VECTORLESS projections, before any group
+    # materializes its embeddings into one pandas frame (fail SOFT on
+    # degenerate clusters — same discipline as semantic_dedup_drops)
+    b_over = (
+        b.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cluster_side)
+        .select("cluster")
+    )
+    s_over = (
+        s.select("cluster")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cluster_side)
+        .select("cluster")
+    )
+    over = b_over.unionByName(s_over).distinct()
+    capped_rows = b.join(F.broadcast(over), "cluster", "left_semi").select(
+        F.col("id"),
+        F.col("cluster"),
+        F.lit(None).cast(id_type).alias("kept_id"),
+        F.lit(None).cast("double").alias("sim"),
+        F.lit(True).alias("capped_cluster"),
+    )
+    b_in = b.join(F.broadcast(over), "cluster", "left_anti")
+    s_in = s.join(F.broadcast(over), "cluster", "left_anti")
 
     def compare(key, bpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
         rows: dict[str, list] = {
@@ -266,14 +326,6 @@ def semantic_dedup_drops_bipartite(
         }
         (cluster,) = key
         if len(bpdf) == 0 or len(spdf) == 0:
-            return pd.DataFrame(rows)
-        if len(bpdf) > max_cluster_side or len(spdf) > max_cluster_side:
-            for bid in bpdf["id"]:
-                rows["id"].append(bid)
-                rows["cluster"].append(cluster)
-                rows["kept_id"].append(None)
-                rows["sim"].append(None)
-                rows["capped_cluster"].append(True)
             return pd.DataFrame(rows)
         spdf = spdf.sort_values("id").reset_index(drop=True)
 
@@ -300,7 +352,8 @@ def semantic_dedup_drops_bipartite(
         "sim double, capped_cluster boolean"
     )
     return (
-        b.groupBy("cluster")
-        .cogroup(s.groupBy("cluster"))
+        b_in.groupBy("cluster")
+        .cogroup(s_in.groupBy("cluster"))
         .applyInPandas(compare, schema=schema)
+        .unionByName(capped_rows)
     )

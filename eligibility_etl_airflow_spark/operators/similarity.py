@@ -496,6 +496,7 @@ def pq_topk(
     seed: int = 42,
     cache_key: str | None = None,
     max_queries: int = 10_000,
+    max_chunks: int = 64,
 ) -> DataFrame:
     """PQ approximate top-k with exact re-ranking (ADC + refine).
 
@@ -511,14 +512,19 @@ def pq_topk(
     The query set is collected to the driver to build the ADC LUT tensor
     (n_queries × m × codes_k) that every task receives — standard ADC
     practice for a bounded query batch, but data-proportional, so it is
-    explicitly CHUNKED: query sets larger than ``max_queries`` stream to
-    the driver chunk by chunk (``toLocalIterator`` — at most one chunk
-    of rows held at once) and the per-chunk top-k plans union. LUT and
-    driver memory stay flat at chunk size no matter how many queries;
-    the trained codebooks are computed once, and with >1 chunk the
-    encoded corpus relation persists so each chunk reuses one
-    scan+encode pass instead of re-running it (same cache-lifecycle
-    contract as ``minhash_lsh_pairs``' shingle table)."""
+    explicitly CHUNKED with a HARD CEILING: query rows stream to the
+    driver via ``toLocalIterator`` and flush into a per-chunk plan every
+    ``max_queries`` rows, so raw-row memory is one chunk at a time —
+    but each flushed chunk's LUT tensor and query literals stay alive in
+    the union plan's closures, so TOTAL driver memory is
+    n_chunks × chunk-LUT, which is why ``max_chunks`` exists: past
+    ``max_queries × max_chunks`` query rows the call raises instead of
+    silently exhausting the driver (split the query relation and run
+    separate jobs — at that scale per-job batches are the right shape
+    anyway). The trained codebooks are computed once, and with >1 chunk
+    the encoded corpus relation persists so each chunk reuses one
+    scan+encode pass (same cache-lifecycle contract as
+    ``minhash_lsh_pairs``' shingle table)."""
     import numpy as np
     import pandas as pd
     from functools import reduce
@@ -537,29 +543,6 @@ def pq_topk(
         F.col(id_col).alias("corpus_id"),
         as_double_array(F.col(vec_col)).alias("cvec"),
     ).withColumn("codes", encode(F.col("cvec"))).withColumn("cn", _norm(F.col("cvec")))
-
-    # stream the query set driver-side in chunks: memory is bounded by
-    # max_queries rows regardless of total query count
-    chunks: list[list] = []
-    buf: list = []
-    for r in queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(F.col(vec_col)).alias("qvec"),
-    ).toLocalIterator():
-        buf.append(r)
-        if len(buf) == max_queries:
-            chunks.append(buf)
-            buf = []
-    if buf:
-        chunks.append(buf)
-
-    empty_schema = f"query_id {id_type}, corpus_id {id_type}, sim double, rank long"
-    if not chunks:
-        return spark.createDataFrame([], empty_schema)
-    if len(chunks) > 1:
-        from pyspark import StorageLevel
-
-        c = c.persist(StorageLevel.MEMORY_AND_DISK)
 
     n_keep = refine * k
 
@@ -642,9 +625,49 @@ def pq_topk(
             )
         )
 
+    # Stream query rows and flush each chunk into its plan as it fills:
+    # raw Row memory is one chunk at a time (the buffer clears on flush);
+    # what accumulates is one LUT tensor + query literal per flushed
+    # chunk inside the union plan's closures — which max_chunks caps.
+    plans: list[DataFrame] = []
+    buf: list = []
+
+    def flush() -> None:
+        nonlocal c
+        if len(plans) >= max_chunks:
+            raise ValueError(
+                f"pq_topk: query set exceeds max_queries × max_chunks = "
+                f"{max_queries * max_chunks} rows. Each chunk's ADC LUT "
+                "stays alive in the union plan, so driver memory grows "
+                "with chunk count — split the query relation into "
+                "separate jobs at this scale."
+            )
+        if len(plans) == 1:
+            # second chunk proves multi-chunk: persist the encoded corpus
+            # so every chunk (incl. the first — CacheManager keys on the
+            # analyzed plan) reuses one scan+encode pass
+            from pyspark import StorageLevel
+
+            c = c.persist(StorageLevel.MEMORY_AND_DISK)
+        plans.append(chunk_topk(list(buf)))
+        buf.clear()
+
+    for r in queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col(vec_col)).alias("qvec"),
+    ).toLocalIterator():
+        buf.append(r)
+        if len(buf) == max_queries:
+            flush()
+    if buf:
+        flush()
+
+    empty_schema = f"query_id {id_type}, corpus_id {id_type}, sim double, rank long"
+    if not plans:
+        return spark.createDataFrame([], empty_schema)
     # chunks partition the query ids, so unionByName of per-chunk top-k
     # is the global answer
-    return reduce(lambda a, b: a.unionByName(b), (chunk_topk(ch) for ch in chunks))
+    return reduce(lambda a, b: a.unionByName(b), plans)
 
 
 def label_centroids(

@@ -182,24 +182,32 @@ def _accumulate_sse_stream(resp) -> tuple[str, dict]:
     concatenates ``chunk.content``)."""
     parts: list[str] = []
     usage: dict = {}
-    for raw in resp.iter_lines():
-        if not raw:
-            continue
-        line = raw.decode("utf-8") if isinstance(raw, bytes) else raw
-        if not line.startswith("data:"):
-            continue  # SSE comments / event fields
-        data = line[len("data:"):].strip()
-        if data == "[DONE]":
-            break
-        chunk = json.loads(data)
-        if chunk.get("usage"):
-            usage = chunk["usage"]
-        choices = chunk.get("choices") or []
-        if choices:
-            delta = choices[0].get("delta") or {}
-            content = delta.get("content")
-            if content:
-                parts.append(content)
+    try:
+        for raw in resp.iter_lines():
+            if not raw:
+                continue
+            line = raw.decode("utf-8") if isinstance(raw, bytes) else raw
+            if not line.startswith("data:"):
+                continue  # SSE comments / event fields
+            data = line[len("data:"):].strip()
+            if data == "[DONE]":
+                break
+            chunk = json.loads(data)
+            if chunk.get("usage"):
+                usage = chunk["usage"]
+            choices = chunk.get("choices") or []
+            if choices:
+                delta = choices[0].get("delta") or {}
+                content = delta.get("content")
+                if content:
+                    parts.append(content)
+    finally:
+        # breaking out at [DONE] abandons the response mid-iteration;
+        # without an explicit close the connection never returns to the
+        # session pool and long-lived executors leak one socket per call
+        close = getattr(resp, "close", None)
+        if close is not None:
+            close()
     return "".join(parts), usage
 
 

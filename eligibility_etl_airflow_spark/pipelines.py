@@ -536,6 +536,7 @@ def run_incremental_curation(
     from pyspark import StorageLevel
 
     from eligibility_etl_airflow_spark.operators import neardup, text
+    from eligibility_etl_airflow_spark.operators.components import _stable
 
     docs_path = os.path.join(state_dir, "accepted_docs")
     hash_path = os.path.join(state_dir, "index_hashes")
@@ -671,84 +672,140 @@ def run_incremental_curation(
             if os.path.exists(cent_path):
                 cents = spark.read.parquet(cent_path)
             else:
-                # first semantic batch trains the index's centroids; every
-                # later batch loads them — one clustering for the corpus'
-                # lifetime, the persisted-index discipline
+                # first semantic batch WITH embeddings trains the index's
+                # centroids; every later batch loads them — one clustering
+                # for the corpus' lifetime (persisted-index discipline).
+                # An embedding-less first batch trains NOTHING and writes
+                # nothing, so a later batch that does carry embeddings
+                # still gets to train — an empty centroid file would
+                # silently disable the tier forever.
                 cents = semdedup.kmeans_centroids(bvec, "doc_id", "v", k=semantic_k)
-                cents.write.mode("overwrite").parquet(cent_path)
-                cents = spark.read.parquet(cent_path)
-            sem_drop_ids = None
-            if os.path.exists(vec_path):
-                # the index stores (id, cluster, v); surface the id under
-                # the batch's column name, keep the stored cluster so the
-                # operator skips state re-assignment
-                state_vecs = spark.read.parquet(vec_path).select(
-                    F.col("id").alias("doc_id"), "cluster", "v"
-                )
-                vs_state = semdedup.semantic_dedup_drops_bipartite(
-                    bvec, state_vecs, "doc_id", "v", cents, eps=semantic_eps
-                )
-                sem_drop_ids = (
-                    vs_state.filter(~F.col("capped_cluster"))
-                    .select(F.col("id").alias("doc_id"))
-                    .distinct()
-                )
-                bvec_in = bvec.join(sem_drop_ids, "doc_id", "left_anti")
+                if cents.limit(1).count() > 0:
+                    cents.write.mode("overwrite").parquet(cent_path)
+                    cents = spark.read.parquet(cent_path)
+                else:
+                    cents = None
+            n_semantic_capped = 0
+            if cents is None:
+                n_after_semantic = n_after_byte
             else:
-                bvec_in = bvec
-            within = semdedup.semantic_dedup_drops(
-                bvec_in, "doc_id", "v", centroids=cents, eps=semantic_eps
-            )
-            within_ids = within.filter(~F.col("capped_cluster")).select(
-                F.col("id").alias("doc_id")
-            )
-            all_sem = (
-                within_ids
-                if sem_drop_ids is None
-                else sem_drop_ids.unionByName(within_ids).distinct()
-            )
-            accepted = accepted.join(all_sem, "doc_id", "left_anti").persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            caches.append(accepted)
-            n_after_semantic = accepted.count()
-            # the accepted vectors enter the index WITH their assignment,
-            # so future batches compare without re-assigning state
-            acc_vecs = (
-                nearest_centroid_assign(
-                    bvec.join(accepted.select("doc_id"), "doc_id", "left_semi"),
-                    cents,
-                    "doc_id",
-                    "v",
+                sem_drop_ids = None
+                if os.path.exists(vec_path):
+                    # the index stores (id, cluster, v); surface the id
+                    # under the batch's column name, keep the stored
+                    # cluster so the operator skips state re-assignment.
+                    # State rows whose id is IN this batch are excluded:
+                    # a batch replayed after a crash between the vector
+                    # append and the hash-index append would otherwise
+                    # match its own stored vectors (sim 1.0) and drop
+                    # every doc as a duplicate of itself — the replay
+                    # must stay a no-op through that window too.
+                    state_vecs = (
+                        spark.read.parquet(vec_path)
+                        .select(F.col("id").alias("doc_id"), "cluster", "v")
+                        .join(bvec.select("doc_id"), "doc_id", "left_anti")
+                    )
+                    # eager checkpoint, not a bare persist: the drop
+                    # relations nest the full bipartite/assignment trees,
+                    # and carrying that lineage into accepted + the five
+                    # index appends compounds the PLAN (explain-string
+                    # heap blowup), not just the compute — truncation at
+                    # the stage boundary keeps every downstream plan flat
+                    # (same discipline as connected_components' rounds)
+                    vs_state = _stable(
+                        semdedup.semantic_dedup_drops_bipartite(
+                            bvec, state_vecs, "doc_id", "v", cents, eps=semantic_eps
+                        )
+                    )
+                    sem_drop_ids = (
+                        vs_state.filter(~F.col("capped_cluster"))
+                        .select(F.col("id").alias("doc_id"))
+                        .distinct()
+                    )
+                    n_semantic_capped += (
+                        vs_state.filter(F.col("capped_cluster"))
+                        .select("id")
+                        .distinct()
+                        .count()
+                    )
+                    bvec_in = bvec.join(sem_drop_ids, "doc_id", "left_anti")
+                else:
+                    bvec_in = bvec
+                within = _stable(
+                    semdedup.semantic_dedup_drops(
+                        bvec_in, "doc_id", "v", centroids=cents, eps=semantic_eps
+                    )
                 )
-                .select("id", F.col("assigned_label").cast("long").alias("cluster"))
-                .join(bvec.select(F.col("doc_id").alias("id"), "v"), "id")
-            )
+                within_ids = within.filter(~F.col("capped_cluster")).select(
+                    F.col("id").alias("doc_id")
+                )
+                n_semantic_capped += (
+                    within.filter(F.col("capped_cluster")).select("id").distinct().count()
+                )
+                all_sem = (
+                    within_ids
+                    if sem_drop_ids is None
+                    else sem_drop_ids.unionByName(within_ids).distinct()
+                )
+                accepted = accepted.join(all_sem, "doc_id", "left_anti").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                caches.append(accepted)
+                n_after_semantic = accepted.count()
+                # the accepted vectors enter the index WITH their
+                # assignment, so future batches compare without
+                # re-assigning state
+                acc_vecs = (
+                    nearest_centroid_assign(
+                        bvec.join(accepted.select("doc_id"), "doc_id", "left_semi"),
+                        cents,
+                        "doc_id",
+                        "v",
+                    )
+                    .select("id", F.col("assigned_label").cast("long").alias("cluster"))
+                    .join(bvec.select(F.col("doc_id").alias("id"), "v"), "id")
+                )
         n_accepted = n_after_semantic if n_after_semantic is not None else n_after_byte
+
+        # Materialize EVERY index-append relation (eager checkpoint,
+        # lineage truncated) BEFORE the first index write: append_dedup's
+        # path write triggers Spark's refresh-by-path, which invalidates
+        # any cached plan READING that path — and fresh/sh/bvec all read
+        # the hash index. Without truncation, each append after the hash
+        # write would lazily recompute its input against the
+        # just-updated index and silently write NOTHING for this batch
+        # (the shingle/band/vector rows would be lost while
+        # accepted_docs kept the docs).
+        accepted = _stable(accepted)
+        acc_sh = _stable(
+            sh.join(accepted.select(F.col("doc_id").alias("id")), "id", "left_semi")
+        )
+        if acc_vecs is not None:
+            acc_vecs = _stable(acc_vecs)
 
         # idempotent index + corpus maintenance (doc_id-keyed appends)
         sinks.append_dedup(
             spark, docs_path, accepted.drop("content_hash"), ["doc_id"]
         )
+        sinks.append_dedup(
+            spark, hash_path, accepted.select("doc_id", "content_hash"), ["doc_id"]
+        )
+        sinks.append_dedup(spark, shingle_path, acc_sh, ["id"])
+        acc_bands = neardup.signature_band_table(acc_sh, num_perm, bands).select(
+            "id", F.posexplode_outer("bands").alias("band_idx", "band_sig")
+        )
+        sinks.append_dedup(spark, band_path, acc_bands, ["id", "band_idx"])
         if acc_vecs is not None:
+            # the vector index appends LAST: combined with the batch-id
+            # exclusion above, a crash anywhere between these appends
+            # leaves a state a replayed batch handles as a no-op (the
+            # byte-level indexes are complete before any vector lands)
             sinks.append_dedup(
                 spark,
                 os.path.join(state_dir, "index_vectors"),
                 acc_vecs,
                 ["id"],
             )
-        sinks.append_dedup(
-            spark, hash_path, accepted.select("doc_id", "content_hash"), ["doc_id"]
-        )
-        acc_sh = sh.join(
-            accepted.select(F.col("doc_id").alias("id")), "id", "left_semi"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        caches.append(acc_sh)
-        sinks.append_dedup(spark, shingle_path, acc_sh, ["id"])
-        acc_bands = neardup.signature_band_table(acc_sh, num_perm, bands).select(
-            "id", F.posexplode_outer("bands").alias("band_idx", "band_sig")
-        )
-        sinks.append_dedup(spark, band_path, acc_bands, ["id", "band_idx"])
     finally:
         for c in caches:
             c.unpersist()
@@ -765,4 +822,11 @@ def run_incremental_curation(
     }
     if n_after_semantic is not None:
         stats["n_after_semantic"] = n_after_semantic
+        # batch members of over-cap clusters are ACCEPTED without a
+        # semantic check (reported, not silently skipped): at 0 this is
+        # free; when it grows, the cluster needs a re-index (delete
+        # index_centroids + index_vectors and replay — centroids are
+        # frozen per corpus lifetime by design, so a hot cluster cannot
+        # be split without retraining)
+        stats["n_semantic_capped"] = n_semantic_capped
     return stats

@@ -562,3 +562,13 @@ def test_ngram_jaccard_hashed_and_string_paths_agree(spark, sf_dir):
         ).collect()
     }
     assert hashed == strings
+
+
+def test_pq_topk_raises_past_chunk_ceiling(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_chunks"):
+        similarity.pq_topk(e, e, k=2, m=4, codes_k=8, max_queries=5, max_chunks=2)

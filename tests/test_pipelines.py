@@ -311,3 +311,14 @@ def test_incremental_curation_dedups_across_batches(spark, tmp_path):
     assert s3["n_corpus_total"] == 3
     docs = spark.read.parquet(str(tmp_path / "state" / "accepted_docs"))
     assert sorted(r.doc_id for r in docs.collect()) == [1, 2, 12]
+    # EVERY index must carry batch 2's accepted doc (12), not just the
+    # corpus: the index appends after the hash write used to recompute
+    # against the just-updated hash index (refresh-by-path cache
+    # invalidation) and silently wrote nothing for the batch — a fresh
+    # near-dup of doc 12 in a later batch would then sail through
+    for index in ("index_hashes", "index_shingles", "index_bands"):
+        ids = {
+            r.id if "id" in r.__fields__ else r.doc_id
+            for r in spark.read.parquet(str(tmp_path / "state" / index)).collect()
+        }
+        assert {1, 2, 12} <= ids, index

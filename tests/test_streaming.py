@@ -238,6 +238,11 @@ def test_stream_incremental_curation_replay_is_noop(spark, tmp_path):
         pa.table({"doc_id": [10, 11], "text": [base, near]}),
         str(src / "b2.parquet"),
     )
+    # the file source orders micro-batches by modification time; fast
+    # test runs give both files the same mtime, so pin distinct ones to
+    # make b1 deterministically the first batch
+    os.utime(str(src / "b1.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(str(src / "b2.parquet"), (1_700_000_100, 1_700_000_100))
 
     stream = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
     stats = ops.stream_incremental_curation(
@@ -290,6 +295,9 @@ def test_stream_incremental_curation_semantic_passthrough(spark, tmp_path):
         ),
         str(src / "b2.parquet"),
     )
+    # pin distinct mtimes: micro-batch order must be b1 then b2
+    os.utime(str(src / "b1.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(str(src / "b2.parquet"), (1_700_000_100, 1_700_000_100))
     stream = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
     stats = ops.stream_incremental_curation(
         stream, state, str(tmp_path / "ckpt"), semantic_eps=0.99, semantic_k=2
