@@ -122,7 +122,15 @@ def merge_upsert(
 
 def append_dedup(spark: SparkSession, target_path: str, batch: DataFrame, keys: list[str]) -> int:
     """Idempotent append: only rows whose key is absent from the sink are
-    written, so a retried batch is a no-op. Returns rows appended."""
+    written, so a retried batch is a no-op. Returns rows appended.
+
+    Caller contract for MULTI-INDEX maintenance: this write triggers
+    Spark's refresh-by-path, invalidating any cached plan whose lineage
+    READS ``target_path`` — a later append whose input derives from this
+    path would lazily recompute against the just-updated sink and write
+    nothing. Eagerly checkpoint (``components._stable``) every
+    to-append relation BEFORE the first write of the group;
+    ``run_incremental_curation`` is the reference call site."""
     fresh = batch.dropDuplicates(keys)
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path).select(*keys)
