@@ -149,3 +149,89 @@ def pack_stats(packed: DataFrame, token_col: str, pack_col: str, budget: int) ->
             4,
         ).alias("utilization"),
     )
+
+
+def assign_token_shards(
+    df: DataFrame,
+    order_by: list[str],
+    token_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous, order-preserving output sharding by token budget:
+    shard k starts at the first row whose EXCLUSIVE running token sum
+    (in ``order_by`` order) reaches ``k * budget``. The complement of
+    :func:`pack_sequences` — packing maximizes bin fill and ignores
+    order; this keeps the corpus order intact (curriculum schedules,
+    resumable readers) and balances tokens-per-output-file, which
+    ``maxRecordsPerFile`` cannot do for variable-length documents.
+
+    Distributed prefix sum, same two-pass discipline as
+    ``sampling.assign_contiguous_ids``: range-partition on the order
+    key, per-partition token sums to the driver (one scalar PER
+    PARTITION — bounded by partition count, never data), broadcast the
+    cumulative offsets back, partition-local running-sum window. No
+    single-partition ``Window.orderBy()`` collapse anywhere; the only
+    all-to-all movement is the range shuffle itself. The ranged relation
+    is persisted so the sum pass and the shard pass see the same
+    physical partitioning (cache lifecycle belongs to the caller, same
+    contract as ``assign_contiguous_ids``).
+
+    ``order_by`` must be a total order; null or negative token counts
+    are rejected loudly (a silent 0 would shift every later shard).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    guarded = df.withColumn(
+        token_col,
+        F.when(
+            F.col(token_col).isNull() | (F.col(token_col) < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"assign_token_shards: null/negative {token_col} at "),
+                    F.concat_ws(",", *[F.col(c).cast("string") for c in order_by]),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(token_col).cast("long")),
+    )
+    ranged = (
+        guarded.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else guarded.repartitionByRange(*order_by)
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sums = sorted(
+        (r["_pid"], r["s"])
+        for r in part.groupBy("_pid").agg(F.sum(token_col).alias("s")).collect()
+    )
+    offsets = []
+    acc = 0
+    for pid, s in sums:
+        offsets.append((pid, acc))
+        acc += int(s or 0)
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _toff long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        part.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(
+            shard_col,
+            F.floor(
+                (F.coalesce(F.sum(token_col).over(w), F.lit(0)) + F.col("_toff"))
+                / F.lit(budget)
+            ).cast("long"),
+        )
+        .drop("_pid", "_toff")
+    )

@@ -730,3 +730,58 @@ def nearest_centroid_assign(
         .filter(F.col("rnk") == 1)
         .select("id", "assigned_label", "sim", F.col("n_candidates").cast("long").alias("n_candidates"))
     )
+
+
+def semantic_decontam_flags(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic tier of
+    the decontam ladder (n-gram collision → fuzzy MinHash-LSH →
+    embedding cosine). Catches paraphrased contamination that shares no
+    surface n-grams with the benchmark: for every corpus vector, the
+    nearest benchmark item by cosine and a flag once that similarity
+    reaches ``threshold``.
+
+    Output: (id, nn_bench_id, nn_sim, contaminated) — one row per
+    corpus vector, so the caller can either threshold-drop (anti-join on
+    ``contaminated = 1``) or audit the near-miss band below the cut.
+
+    Scale shape (the decontamination asymmetry, same contract as the
+    fuzzy bipartite tier in ``neardup.decontamination_fuzzy_pairs``):
+    the BENCHMARK side is small by nature — an eval suite is thousands
+    of rows, not a corpus — and broadcasts; the corpus is scanned once
+    and NEVER shuffled at pair grain. The per-corpus-row argmax is a
+    ``groupBy(id).agg(max(struct(...)))`` — partial aggregation
+    collapses the |corpus|×|bench| pair stream to one row per corpus
+    vector map-side, so the lone shuffle carries |corpus| rows.
+    Similarity is rounded to 6 dp BEFORE the argmax and ties break on
+    the lower bench id (``max`` of (sim, -bench_id)), keeping the winner
+    off last-ulp float noise like ``nearest_centroid_assign``.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    b = bench.select(
+        F.col(bench_id_col).alias("bid"), as_double_array(F.col(vec_col)).alias("bv")
+    ).withColumn("bn", _norm(F.col("bv")))
+    paired = c.crossJoin(F.broadcast(b)).select(
+        "id",
+        "bid",
+        F.round(_dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6).alias(
+            "sim"
+        ),
+    )
+    best = paired.groupBy("id").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("bid")).alias("negid"))).alias("m")
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        (-F.col("m.negid")).cast("long").alias("nn_bench_id"),
+        F.col("m.sim").alias("nn_sim"),
+        (F.col("m.sim") >= F.lit(threshold)).cast("long").alias("contaminated"),
+    )

@@ -111,3 +111,31 @@ def fingerprint_prefix64(col: Column) -> Column:
     """First 16 hex chars of the md5 — a 64-bit fingerprint as text
     (kept as hex so engines with different int64 signedness agree)."""
     return F.substring(fingerprint_md5(col), 1, 16)
+
+
+def unicode_nfc(col: Column) -> Column:
+    """Unicode NFC normalization — the corpus-hygiene step that folds
+    decomposed sequences (e + U+0301) into their composed form (U+00E9)
+    so that visually-identical text hashes identically downstream
+    (exact dedup, fingerprints, shingles all assume one byte form per
+    string).
+
+    The one deliberate exception to this module's no-Python rule: Spark
+    has no built-in NFC/NFKC expression, so this is an Arrow-batched
+    pandas UDF over ``pandas.Series.str.normalize`` (vectorized ICU-free
+    stdlib path, never per-row Python). Map-only — composes into any
+    scan stage with no shuffle; nulls propagate."""
+    # pandas imported here (not module-top) to keep the module importable
+    # without a Python-worker dependency; the type hints must therefore be
+    # plain strings resolvable without the local import — pandas_udf under
+    # ``from __future__ import annotations`` resolves hints against module
+    # globals, so the hint is attached post-hoc as a real object.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s):
+        return s.str.normalize("NFC")
+
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_nfc_fn, "string")
+    return _nfc(col)

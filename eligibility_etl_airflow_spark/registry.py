@@ -137,6 +137,18 @@ _DEFERRED = (
     # hot-key profile: count-agg + bounded top-k machinery graded via
     # topk_frequency / global_topk_orders
     "skew_profile_events",
+    # round-5 training-prep additions (plans/training_prep.py): the
+    # machinery each rides is graded in-window (pandas-UDF text path via
+    # pii_redaction, bipartite cosine via similarity_topk_bruteforce /
+    # decontamination ladder, component labeling via the CC pairs shape,
+    # window cumsum via running_total_window, from_json+posexplode via
+    # fhir_extract_bundle / struct_expand); all five keep local DuckDB
+    # parity via tests/test_oracle_parity.py
+    "unicode_nfc_normalize",
+    "semantic_decontam_flags",
+    "cluster_representatives",
+    "balanced_token_shards",
+    "chat_turns_extract",
 )
 
 
@@ -154,6 +166,7 @@ def load_all() -> None:
         streaming_batch,
         extras,
         analytics,
+        training_prep,
     )
 
     def rank(name: str) -> int:

@@ -1,0 +1,169 @@
+"""Unit/invariant tests for the round-5 training-prep operators:
+unicode NFC, token-balanced sharding, semantic decontamination, and
+quality-aware cluster representatives. (Oracle parity for the five
+registered queries runs via tests/test_oracle_parity.py.)"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pytest
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.catalog import Catalog
+from eligibility_etl_airflow_spark.operators import components, packing, similarity, text
+
+
+# ---------------------------------------------------------------- unicode_nfc
+
+
+def test_unicode_nfc_composes_and_passes_nulls(spark):
+    decomposed = "élève naïve"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, "plain ascii"), (3, None)], "id int, s string"
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", text.unicode_nfc(F.col("s")).alias("n")).collect()}
+    assert out[1] == unicodedata.normalize("NFC", decomposed)
+    assert out[1] != decomposed and len(out[1]) < len(decomposed)
+    assert out[2] == "plain ascii"
+    assert out[3] is None
+
+
+# ------------------------------------------------------- assign_token_shards
+
+
+def _shards(spark, rows, budget, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    return {
+        r["doc_id"]: r["shard_id"]
+        for r in packing.assign_token_shards(
+            df, ["doc_id"], "n_tokens", budget, **kw
+        ).collect()
+    }
+
+
+def test_token_shards_match_exclusive_prefix_sum(spark):
+    rows = [(i, (i * 37) % 90 + 10) for i in range(200)]
+    got = _shards(spark, rows, budget=500)
+    cum = 0
+    for doc_id, tok in rows:  # rows already in doc_id order
+        assert got[doc_id] == cum // 500, f"doc {doc_id}"
+        cum += tok
+
+
+def test_token_shards_layout_independent(spark):
+    rows = [(i, (i * 13) % 70 + 5) for i in range(150)]
+    base = _shards(spark, rows, budget=300)
+    # different physical layout: explicit partition count + shuffled input order
+    df = spark.createDataFrame(list(reversed(rows)), "doc_id long, n_tokens long").repartition(7)
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in packing.assign_token_shards(
+            df, ["doc_id"], "n_tokens", 300, num_partitions=3
+        ).collect()
+    }
+    assert got == base
+
+
+def test_token_shards_contiguous_and_order_preserving(spark):
+    rows = [(i, 40) for i in range(100)]
+    got = _shards(spark, rows, budget=100)
+    ordered = [got[i] for i in range(100)]
+    assert ordered == sorted(ordered)  # non-decreasing in corpus order
+    assert ordered[0] == 0
+    # floor(40*i/100) advances after every 2 or 3 docs — every closed
+    # shard holds 2 or 3 docs (80 or 120 tokens around the 100 budget)
+    from collections import Counter
+
+    sizes = Counter(ordered)
+    assert all(n in (2, 3) for s, n in sizes.items() if s < max(sizes))
+
+
+def test_token_shards_null_and_negative_raise(spark):
+    df = spark.createDataFrame([(1, 10), (2, None)], "doc_id long, n_tokens long")
+    with pytest.raises(Exception, match="assign_token_shards"):
+        packing.assign_token_shards(df, ["doc_id"], "n_tokens", 100).collect()
+    df2 = spark.createDataFrame([(1, 10), (2, -5)], "doc_id long, n_tokens long")
+    with pytest.raises(Exception, match="assign_token_shards"):
+        packing.assign_token_shards(df2, ["doc_id"], "n_tokens", 100).collect()
+    with pytest.raises(ValueError, match="budget"):
+        packing.assign_token_shards(df, ["doc_id"], "n_tokens", 0)
+
+
+# -------------------------------------------------- semantic_decontam_flags
+
+
+def test_semantic_decontam_planted_duplicate_flagged(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    bench_vecs = rng.normal(size=(5, 16)).astype("float32")
+    corpus_vecs = rng.normal(size=(40, 16)).astype("float32")
+    corpus_vecs[7] = bench_vecs[2]  # verbatim contamination
+    corpus_vecs[13] = bench_vecs[4] * 3.25  # same direction, scaled
+
+    bench = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(bench_vecs)],
+        "bench_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(corpus_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_decontam_flags(
+            corpus, bench, id_col="vec_id", threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 40
+    assert out[7]["contaminated"] == 1 and out[7]["nn_bench_id"] == 2
+    assert out[7]["nn_sim"] == 1.0
+    assert out[13]["contaminated"] == 1 and out[13]["nn_bench_id"] == 4
+    # argmax matches a numpy brute force everywhere (after the same 6-dp round)
+    import numpy.linalg as la
+
+    b64 = bench_vecs.astype("float64")
+    c64 = corpus_vecs.astype("float64")
+    sims = (c64 @ b64.T) / (
+        la.norm(c64, axis=1)[:, None] * la.norm(b64, axis=1)[None, :]
+    )
+    sims = np.round(sims, 6)
+    for i in range(40):
+        best = sims[i].max()
+        expect_id = int(np.flatnonzero(sims[i] == best)[0])  # min id on ties
+        assert out[i]["nn_bench_id"] == expect_id
+        assert abs(out[i]["nn_sim"] - best) < 2e-6
+
+
+def test_semantic_decontam_plan_broadcasts_bench(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    bench = spark.createDataFrame(
+        [(int(i), rng.normal(size=8).tolist()) for i in range(3)],
+        "bench_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(int(i), rng.normal(size=8).tolist()) for i in range(9)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = similarity.semantic_decontam_flags(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # bench side broadcast, no shuffle of pairs
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------- quality-aware representatives
+
+
+def test_dedup_by_components_quality_keeper(spark):
+    # cluster {1,2,3} via pairs; quality picks doc 2 (not min id 1)
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = components.dedup_by_components(
+        docs, "doc_id", pairs, order_by=[F.col("quality").desc()]
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [2, 4]  # 2 beats 3 on the id tie-break; 4 is a singleton
