@@ -107,8 +107,11 @@ def run_corpus_curation_pipeline(
     langs: tuple[str, ...] = ("en", "de", "es", "fr"),
     jaccard_threshold: float = 0.8,
     neardup_removal: str = "component",
+    neardup_keeper: str = "min_id",
     repetition_filter: bool = False,
     decontam_bench: DataFrame | None = None,
+    semantic_decontam_bench: DataFrame | None = None,
+    semantic_decontam_threshold: float = 0.95,
     fluency_cut: float | None = None,
     semantic_eps: float | None = None,
     embeddings: DataFrame | None = None,
@@ -139,6 +142,19 @@ def run_corpus_curation_pipeline(
     cannot see (operators/semdedup.py; centroids broadcast, per-cluster
     work capped, never corpus all-pairs). Docs without an embedding row
     survive by construction (the drop side is an anti-join).
+    ``semantic_decontam_bench`` (a (bench_id, embedding) relation — the
+    eval suite's embeddings) adds the EMBEDDING tier of decontamination
+    after the n-gram tier: docs whose embedding is
+    ``semantic_decontam_threshold``-cosine-close to ANY benchmark item
+    drop — the paraphrased-contamination net
+    (operators/similarity.py:semantic_decontam_flags; bench broadcast,
+    corpus never shuffled at pair grain). Docs without an embedding row
+    survive by construction (the drop side is an anti-join).
+    ``neardup_keeper="quality"`` changes WHICH doc each near-dup
+    component keeps: the argmax quality-score member (min doc_id
+    tie-break) instead of the min id — the cluster_representatives
+    policy composed into the funnel (one extra map-only quality column
+    + a window over the graph nodes only, never the corpus).
     ``quality_model`` (a ``train_quality_classifier`` output dict) adds
     the LEARNED quality gate after the heuristic hygiene stages: docs
     scoring below ``quality_model_min`` drop. Pass a model trained on
@@ -219,6 +235,34 @@ def run_corpus_curation_pipeline(
             )
             hygiene_caches.append(hygienic)
             n_after_decontam = hygienic.count()
+        n_after_semantic_decontam = None
+        if semantic_decontam_bench is not None:
+            from eligibility_etl_airflow_spark.operators import similarity
+
+            # corpus side: the survivors' embeddings (doc without an
+            # embedding row → no flag row → survives the anti-join)
+            corpus_emb = (
+                embeddings
+                if embeddings is not None
+                else Catalog(spark, sf_dir).embeddings.select(
+                    F.col("vec_id").alias("doc_id"), "embedding"
+                )
+            ).join(hygienic.select("doc_id"), "doc_id", "left_semi")
+            flagged = (
+                similarity.semantic_decontam_flags(
+                    corpus_emb,
+                    semantic_decontam_bench,
+                    id_col="doc_id",
+                    threshold=semantic_decontam_threshold,
+                )
+                .filter(F.col("contaminated") == 1)
+                .select("doc_id")
+            )
+            hygienic = hygienic.join(flagged, "doc_id", "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            hygiene_caches.append(hygienic)
+            n_after_semantic_decontam = hygienic.count()
         n_after_fluency = None
         if fluency_cut is not None:
             if not (0.0 < fluency_cut < 1.0):
@@ -290,6 +334,10 @@ def run_corpus_curation_pipeline(
         pairs = neardup.minhash_lsh_pairs(
             exact_kept, "doc_id", "text", jaccard_threshold=jaccard_threshold
         )
+        if neardup_keeper not in ("min_id", "quality"):
+            raise ValueError(
+                f"neardup_keeper must be 'min_id' or 'quality', got {neardup_keeper!r}"
+            )
         if neardup_removal == "component":
             # one keeper per transitive near-dup group (LSH pairs are
             # unblocked, so this takes the iterative components tier)
@@ -298,10 +346,39 @@ def run_corpus_curation_pipeline(
             labeled = components.connected_components(
                 pairs, cluster_col="cluster_id"
             )
-            losers = labeled.filter(F.col("id") != F.col("cluster_id")).select(
-                F.col("id").alias("doc_id")
-            )
+            if neardup_keeper == "quality":
+                # keep the BEST-quality member of each component (min
+                # doc_id tie-break) — the cluster_representatives policy.
+                # Only graph nodes reach the window; the corpus never
+                # shuffles on cluster_id.
+                from pyspark.sql.window import Window
+
+                scored = labeled.join(
+                    exact_kept.select(
+                        F.col("doc_id").alias("id"),
+                        text.quality_score(F.col("text")).alias("__q"),
+                    ),
+                    "id",
+                )
+                w = Window.partitionBy("cluster_id").orderBy(
+                    F.col("__q").desc(), F.col("id").asc()
+                )
+                losers = (
+                    scored.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") > 1)
+                    .select(F.col("id").alias("doc_id"))
+                )
+            else:
+                losers = labeled.filter(F.col("id") != F.col("cluster_id")).select(
+                    F.col("id").alias("doc_id")
+                )
         elif neardup_removal == "pair":
+            if neardup_keeper == "quality":
+                raise ValueError(
+                    "neardup_keeper='quality' requires neardup_removal="
+                    "'component' — the per-pair anti-join keeps minima by "
+                    "construction and would silently ignore quality"
+                )
             # drop the higher doc_id of each verified pair
             losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
         else:
@@ -359,6 +436,8 @@ def run_corpus_curation_pipeline(
         stats["n_after_repetition"] = n_after_repetition
     if n_after_decontam is not None:
         stats["n_after_decontam"] = n_after_decontam
+    if n_after_semantic_decontam is not None:
+        stats["n_after_semantic_decontam"] = n_after_semantic_decontam
     if n_after_fluency is not None:
         stats["n_after_fluency"] = n_after_fluency
     if n_after_learned_quality is not None:

@@ -322,3 +322,99 @@ def test_incremental_curation_dedups_across_batches(spark, tmp_path):
             for r in spark.read.parquet(str(tmp_path / "state" / index)).collect()
         }
         assert {1, 2, 12} <= ids, index
+
+
+def test_corpus_curation_quality_keeper(spark, sf_dir, tmp_path):
+    """neardup_keeper='quality' keeps exactly one doc per near-dup
+    component (same survivor count as min-id) — the kept member is the
+    argmax-quality one, so the total curated quality can only rise."""
+    from eligibility_etl_airflow_spark import pipelines as pl
+    from eligibility_etl_airflow_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    base = pl.run_corpus_curation_pipeline(
+        spark, sf_dir, str(tmp_path / "minid"), neardup_removal="component"
+    )
+    qual = pl.run_corpus_curation_pipeline(
+        spark,
+        sf_dir,
+        str(tmp_path / "qual"),
+        neardup_removal="component",
+        neardup_keeper="quality",
+    )
+    assert qual["n_curated"] == base["n_curated"]  # one keeper per component
+
+    def total_quality(path):
+        return (
+            spark.read.parquet(path)
+            .agg(F.sum(text_ops.quality_score(F.col("text"))).alias("s"))
+            .collect()[0]["s"]
+        )
+
+    assert total_quality(str(tmp_path / "qual" / "curated_docs")) >= total_quality(
+        str(tmp_path / "minid" / "curated_docs")
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="neardup_keeper"):
+        pl.run_corpus_curation_pipeline(
+            spark, sf_dir, str(tmp_path / "bad"), neardup_keeper="nope"
+        )
+    with _pytest.raises(ValueError, match="quality"):
+        pl.run_corpus_curation_pipeline(
+            spark,
+            sf_dir,
+            str(tmp_path / "bad2"),
+            neardup_removal="pair",
+            neardup_keeper="quality",
+        )
+
+
+def test_corpus_curation_semantic_decontam_stage(spark, sf_dir, tmp_path):
+    """Embedding-tier decontamination: planting two SURVIVING docs'
+    own embeddings as the benchmark removes exactly those docs."""
+    from eligibility_etl_airflow_spark import pipelines as pl
+    from eligibility_etl_airflow_spark.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    base = pl.run_corpus_curation_pipeline(spark, sf_dir, str(tmp_path / "base"))
+    survivors = [
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "base" / "curated_docs"))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    ]
+    emb = Catalog(spark, sf_dir).embeddings
+    bench = emb.filter(F.col("vec_id").isin(survivors)).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    planted = [r.bench_id for r in bench.select("bench_id").collect()]
+    assert planted, "chosen survivors need embedding rows"
+    stats = pl.run_corpus_curation_pipeline(
+        spark,
+        sf_dir,
+        str(tmp_path / "sem"),
+        semantic_decontam_bench=bench,
+        semantic_decontam_threshold=0.999999,
+    )
+    assert stats["n_after_semantic_decontam"] <= stats["n_after_quality_lang"]
+    curated_ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "sem" / "curated_docs"))
+        .select("doc_id")
+        .collect()
+    }
+    assert not (curated_ids & set(planted))
+    # stage only removed what it flagged: every base survivor except the
+    # planted docs is still curated (removing a near-dup keeper can only
+    # PROMOTE another component member, never evict an unrelated doc)
+    base_ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "base" / "curated_docs"))
+        .select("doc_id")
+        .collect()
+    }
+    assert base_ids - set(planted) <= curated_ids
