@@ -216,3 +216,37 @@ def weighted_sample_deterministic(
         .limit(k)
         .drop("__wkey")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float,
+    total_rows: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based mixture resampling — the multilingual/
+    multi-domain "alpha sampling" rule (mBERT/XLM-R, NLLB): target
+    shares ∝ count_s^alpha, so alpha = 1 keeps natural proportions and
+    alpha → 0 flattens toward uniform, upweighting scarce strata
+    without duplicating rows. Derives the share table from one bounded
+    stratum-count aggregate (strata-many scalars to the driver) and
+    delegates the draw to :func:`resample_to_mix` — which re-counts the
+    strata; two tiny aggregates is the price of composing the
+    already-tested feasibility/clamping logic rather than forking it.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] is not None
+    }
+    if not counts:
+        raise ValueError(f"no non-null strata in {stratum_col!r}")
+    raised = {s: float(n) ** alpha for s, n in counts.items()}
+    z = sum(raised.values())
+    shares = {s: v / z for s, v in raised.items()}
+    return resample_to_mix(df, stratum_col, shares, total_rows, seed)

@@ -1,0 +1,118 @@
+"""Data selection for LLM training — DSIR-style importance resampling
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling") with count-based unigram features.
+
+The published recipe: estimate feature distributions for the raw corpus
+and a small high-quality target, weight every raw document by
+``p_target(doc) / p_corpus(doc)``, and sample the training set ∝ weight —
+cheap distributional alignment without a neural scorer. Here the feature
+model is the add-one-smoothed unigram distribution (the same count model
+as operators/lm.py; the paper's hashed-ngram variant swaps the token for
+a hashed bigram — the plan shape is identical), and the resample is the
+Gumbel-top-k trick made deterministic with hash-seeded uniforms (the
+``weighted_sample_deterministic`` discipline): selection is a pure
+function of (seed, id, corpus counts), identical on any cluster layout
+and reproducible in the DuckDB oracle.
+
+Plan shape at 100 TB: two vocabulary aggregates (map-side combine does
+the heavy lifting; the reduced relations are vocab-sized), two token
+joins (vocabulary relations are Catalyst/AQE-broadcastable — NOT
+force-broadcast, the bigram-model lesson), one per-doc sum aggregate,
+and a TakeOrderedAndProject top-k (per-partition heaps + a k-row merge,
+never a global sort). Nothing data-proportional reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.operators import lm
+
+
+def importance_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, n_tokens, log_weight): per-document DSIR log importance
+    weight ``Σ_tok [ln p_target(tok) − ln p_corpus(tok)]`` under
+    add-one-smoothed unigram models of each corpus. Out-of-vocabulary
+    tokens take the smoothed floor on whichever side lacks them
+    (absence is evidence). Positive log_weight = looks more like the
+    target than like the raw corpus."""
+    toks = lm._token_stream(corpus, id_col, text_col)
+    src = lm.unigram_model(corpus, id_col, text_col).withColumnRenamed(
+        "tok_count", "src_count"
+    )
+    tgt = lm.unigram_model(target, id_col, text_col).withColumnRenamed(
+        "tok_count", "tgt_count"
+    )
+    src_tot = src.agg(
+        F.sum("src_count").alias("src_total"), F.count(F.lit(1)).alias("src_vocab")
+    )
+    tgt_tot = tgt.agg(
+        F.sum("tgt_count").alias("tgt_total"), F.count(F.lit(1)).alias("tgt_vocab")
+    )
+    scored = (
+        toks.join(src, "tok", "left")
+        .join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(src_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .withColumn(
+            "log_ratio",
+            F.log(
+                (F.coalesce(F.col("tgt_count"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tgt_total") + F.col("tgt_vocab") + F.lit(1.0))
+            )
+            - F.log(
+                (F.coalesce(F.col("src_count"), F.lit(0)) + F.lit(1.0))
+                / (F.col("src_total") + F.col("src_vocab") + F.lit(1.0))
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("log_ratio").alias("log_weight"),
+    )
+
+
+def gumbel_topk_select(
+    weights: DataFrame,
+    id_col: str,
+    logw_col: str,
+    k: int,
+    seed: str = "dsir1",
+    key_col: str = "sel_key",
+) -> DataFrame:
+    """Draw ``k`` rows WITHOUT replacement with probability ∝
+    ``exp(logw_col)`` — the Gumbel-top-k identity — deterministically:
+    the Gumbel noise ``g = −ln(−ln u)`` uses ``u`` derived from
+    ``md5(seed | id)`` instead of a RNG (the
+    ``weighted_sample_deterministic`` discipline: rerun-stable and
+    engine-portable; the md5-prefix integer parses identically in Spark
+    ``conv`` and DuckDB's hex cast). The +1 shift and the 2³²+1
+    denominator pin u strictly inside (0, 1), keeping both logs off
+    their singularities.
+
+    The selection key is rounded to 6 dp BEFORE the top-k (ties break
+    on the id) so membership never rides on last-ulp float noise.
+    ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    gumbel = -F.log(-F.log(u))
+    keyed = weights.withColumn(key_col, F.round(F.col(logw_col) + gumbel, 6))
+    return keyed.orderBy(F.desc(key_col), F.asc(id_col)).limit(k)

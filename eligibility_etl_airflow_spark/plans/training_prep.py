@@ -319,3 +319,85 @@ def chat_turns_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.token_count_ws(F.col("msg.content")).alias("n_tokens"),
         "model",
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling — distributional data selection
+# --------------------------------------------------------------------------
+
+DSIR_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+  FROM documents
+), clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+src AS (SELECT tok, count(*) AS src_count FROM clean GROUP BY 1),
+ttoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+  FROM documents WHERE lang = 'en'
+), tclean AS (SELECT doc_id, tok FROM ttoks WHERE tok <> ''),
+tgt AS (SELECT tok, count(*) AS tgt_count FROM tclean GROUP BY 1),
+stot AS (SELECT sum(src_count) AS src_total, count(*) AS src_vocab FROM src),
+ttot AS (SELECT sum(tgt_count) AS tgt_total, count(*) AS tgt_vocab FROM tgt),
+scored AS (
+  SELECT clean.doc_id,
+         ln((coalesce(tgt.tgt_count, 0) + 1.0)
+            / (ttot.tgt_total + ttot.tgt_vocab + 1.0))
+       - ln((coalesce(src.src_count, 0) + 1.0)
+            / (stot.src_total + stot.src_vocab + 1.0)) AS lr
+  FROM clean LEFT JOIN src USING (tok) LEFT JOIN tgt USING (tok)
+  CROSS JOIN stot CROSS JOIN ttot
+),
+w AS (SELECT doc_id, count(*) AS n_tokens, sum(lr) AS lw FROM scored GROUP BY 1),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         round(lw, 6) AS log_weight,
+         round(lw + -ln(-ln(
+           (CAST(('0x' || substring(md5('dsir1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) + 1) / 4294967297.0)), 6) AS sel_key
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       log_weight,
+       sel_key
+FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 100
+"""
+
+
+@query("dsir_selection", oracle=DSIR_ORACLE)
+def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/selection.py): weight every
+    doc by its unigram log likelihood ratio against a target
+    distribution (here the corpus' English slice — production passes a
+    curated reference corpus), then draw 100 docs ∝ exp(weight) via the
+    deterministic hash-seeded Gumbel-top-k. Two vocabulary aggregates +
+    one per-doc sum + TakeOrderedAndProject — no global sort, nothing
+    data-proportional at the driver."""
+    from eligibility_etl_airflow_spark.operators import selection
+
+    d = Catalog(spark, sf_dir).documents
+    target = d.filter(F.col("lang") == "en")
+    w = selection.importance_log_weights(d, target, "doc_id", "text")
+    sel = selection.gumbel_topk_select(w, "id", "log_weight", k=100, seed="dsir1")
+    return sel.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_tokens",
+        F.round("log_weight", 6).alias("log_weight"),
+        "sel_key",
+    )
+
+
+@query("temperature_mix_resample")
+def temperature_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 0.5) mixture resampling over the language
+    strata (operators/sampling.py:temperature_mix) — the multilingual
+    alpha-sampling rule: scarce languages upweighted toward uniform
+    without row duplication. Rows-only like domain_mix_resample
+    (membership is Spark-seed-specific); the share-derivation and
+    proportion invariants are unit-tested."""
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    d = Catalog(spark, sf_dir).documents
+    return sampling.temperature_mix(d, "lang", alpha=0.5, seed=7).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

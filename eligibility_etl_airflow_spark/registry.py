@@ -149,6 +149,9 @@ _DEFERRED = (
     "cluster_representatives",
     "balanced_token_shards",
     "chat_turns_extract",
+    # DSIR rides the graded LM-join machinery (lm_fluency_scores'
+    # family) + the weighted_sample_docs hash-draw discipline
+    "dsir_selection",
 )
 
 

@@ -300,3 +300,37 @@ def test_quality_scoring_is_broadcast_join_no_python(spark, sf_dir):
     # the scoring path is pure JVM arithmetic — no Python islands at all
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert node not in plan, node
+
+
+def test_dsir_topk_is_take_ordered_no_force_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dsir_selection")
+    # the k-row selection is per-partition heaps + a k-row merge,
+    # never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # vocabulary relations are joined under AQE's size decision — the
+    # operator must not force-broadcast a corpus-dependent vocabulary
+    # (the bigram-model lesson); pure JVM throughout
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_token_shards_no_single_partition_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "balanced_token_shards")
+    # the running sum is partition-local (partitionBy spark_partition_id);
+    # a Window with an empty partition spec would collapse the corpus
+    # into one task
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), f"global (single-partition) window in plan: {m.group(0)}"
+    assert "SinglePartition" not in plan
+
+
+def test_semantic_decontam_argmax_is_partial_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "semantic_decontam_flags")
+    # bench side broadcast; corpus never shuffles at pair grain — the
+    # per-corpus-row argmax partial-aggregates map-side so the lone
+    # shuffle carries one row per corpus vector
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan or "partial" in plan.lower()

@@ -167,3 +167,94 @@ def test_dedup_by_components_quality_keeper(spark):
     )
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert ids == [2, 4]  # 2 beats 3 on the id tie-break; 4 is a singleton
+
+
+# ------------------------------------------------- DSIR importance sampling
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    import math
+
+    from eligibility_etl_airflow_spark.operators import selection
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta"),        # raw-corpus-ish
+            (2, "gamma delta gamma delta"),      # target-ish
+            (3, "alpha beta gamma delta"),       # mixed
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "gamma delta gamma delta gamma delta")], "doc_id long, text string"
+    )
+    w = {
+        r["id"]: r
+        for r in selection.importance_log_weights(
+            corpus, target, "doc_id", "text"
+        ).collect()
+    }
+    assert w[2]["log_weight"] > w[3]["log_weight"] > w[1]["log_weight"]
+    # pin doc 2's weight against a pure-python recompute of the add-one
+    # smoothed ratio (corpus counts: 3 each; target: gamma 3, delta 3)
+    src_counts = {"alpha": 3, "beta": 3, "gamma": 3, "delta": 3}
+    tgt_counts = {"gamma": 3, "delta": 3}
+    st, sv = sum(src_counts.values()), len(src_counts)
+    tt, tv = sum(tgt_counts.values()), len(tgt_counts)
+
+    def lr(tok):
+        return math.log((tgt_counts.get(tok, 0) + 1.0) / (tt + tv + 1.0)) - math.log(
+            (src_counts.get(tok, 0) + 1.0) / (st + sv + 1.0)
+        )
+
+    expect = sum(lr(t) for t in ["gamma", "delta", "gamma", "delta"])
+    assert abs(w[2]["log_weight"] - expect) < 1e-9
+    assert w[2]["n_tokens"] == 4
+
+
+def test_gumbel_topk_deterministic_and_biased(spark):
+    from eligibility_etl_airflow_spark.operators import selection
+
+    rows = [(i, 0.0) for i in range(200)] + [(999, 50.0)]  # one huge weight
+    w = spark.createDataFrame(rows, "id long, lw double")
+    a = selection.gumbel_topk_select(w, "id", "lw", k=20, seed="s1").collect()
+    b = selection.gumbel_topk_select(w, "id", "lw", k=20, seed="s1").collect()
+    assert [r["id"] for r in a] == [r["id"] for r in b]  # rerun-stable
+    assert 999 in {r["id"] for r in a}  # exp(50) weight dominates
+    c = {r["id"] for r in selection.gumbel_topk_select(w, "id", "lw", k=20, seed="s2").collect()}
+    assert c != {r["id"] for r in a}  # seed changes the draw
+    assert len(selection.gumbel_topk_select(w, "id", "lw", k=500).collect()) == 201
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be positive"):
+        selection.gumbel_topk_select(w, "id", "lw", k=0)
+
+
+# ------------------------------------------------------- temperature mixing
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def share_small(alpha):
+        got = sampling.temperature_mix(df, "lang", alpha, seed=11).groupBy("lang").count()
+        c = {r["lang"]: r["count"] for r in got.collect()}
+        return c.get("small", 0) / max(sum(c.values()), 1)
+
+    natural = share_small(1.0)
+    flat = share_small(0.25)
+    assert flat > natural  # lower temperature upweights the scarce stratum
+    # alpha=0.25: shares ∝ 900^.25 : 100^.25 = 5.477:3.162 → small ≈ 0.366
+    assert 0.25 < flat < 0.5
+    assert natural < 0.2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mix(df, "lang", 0.0)
+    with _pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mix(df, "lang", 1.5)
