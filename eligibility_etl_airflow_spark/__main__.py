@@ -58,6 +58,14 @@ def main(argv: list[str] | None = None) -> int:
         "group (component) or drop each pair's higher id (pair)",
     )
     pp.add_argument(
+        "--neardup-keeper",
+        choices=["min_id", "quality"],
+        default="min_id",
+        help="corpus-curation only: which doc each near-dup component "
+        "keeps — the min id, or the argmax-quality member (component "
+        "removal only)",
+    )
+    pp.add_argument(
         "--repetition-filter",
         action="store_true",
         help="corpus-curation only: drop docs failing the Gopher-family "
@@ -75,6 +83,19 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="corpus-curation only: drop this fraction (0-1) of surviving "
         "docs with the highest unigram-LM mean NLL (CCNet perplexity cut)",
+    )
+    pp.add_argument(
+        "--semantic-decontam-bench",
+        default=None,
+        help="corpus-curation only: parquet path of benchmark embeddings "
+        "(bench_id, embedding); docs whose embedding is "
+        "--semantic-decontam-threshold cosine-close to any bench item drop",
+    )
+    pp.add_argument(
+        "--semantic-decontam-threshold",
+        type=float,
+        default=0.95,
+        help="corpus-curation only: cosine cut for --semantic-decontam-bench",
     )
     pp.add_argument(
         "--semantic-eps",
@@ -174,9 +195,15 @@ def main(argv: list[str] | None = None) -> int:
         kwargs = {}
         if args.name == "corpus-curation":
             kwargs["neardup_removal"] = args.neardup_removal
+            kwargs["neardup_keeper"] = args.neardup_keeper
             kwargs["repetition_filter"] = args.repetition_filter
             if args.decontam_bench:
                 kwargs["decontam_bench"] = spark.read.parquet(args.decontam_bench)
+            if args.semantic_decontam_bench:
+                kwargs["semantic_decontam_bench"] = spark.read.parquet(
+                    args.semantic_decontam_bench
+                )
+                kwargs["semantic_decontam_threshold"] = args.semantic_decontam_threshold
             if args.fluency_cut is not None:
                 kwargs["fluency_cut"] = args.fluency_cut
             if args.semantic_eps is not None:

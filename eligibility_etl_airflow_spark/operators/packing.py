@@ -167,26 +167,24 @@ def assign_token_shards(
     resumable readers) and balances tokens-per-output-file, which
     ``maxRecordsPerFile`` cannot do for variable-length documents.
 
-    Distributed prefix sum, same two-pass discipline as
-    ``sampling.assign_contiguous_ids``: range-partition on the order
-    key, per-partition token sums to the driver (one scalar PER
-    PARTITION — bounded by partition count, never data), broadcast the
-    cumulative offsets back, partition-local running-sum window. No
-    single-partition ``Window.orderBy()`` collapse anywhere; the only
-    all-to-all movement is the range shuffle itself. The ranged relation
-    is persisted so the sum pass and the shard pass see the same
-    physical partitioning (cache lifecycle belongs to the caller, same
-    contract as ``assign_contiguous_ids``).
+    Distributed prefix sum on the shared two-pass scaffolding
+    (``sampling.ranged_partition_offsets`` — range-partition, one token
+    sum per partition to the driver, broadcast cumulative offsets,
+    partition-local running-sum window). No single-partition
+    ``Window.orderBy()`` collapse anywhere; the only all-to-all
+    movement is the range shuffle itself. Cache lifecycle belongs to
+    the caller, same contract as ``assign_contiguous_ids``.
 
     ``order_by`` must be a total order; null or negative token counts
     are rejected loudly (a silent 0 would shift every later shard).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    if not order_by:
-        raise ValueError("order_by must name at least one column")
-    from pyspark import StorageLevel
     from pyspark.sql.window import Window
+
+    from eligibility_etl_airflow_spark.operators.sampling import (
+        ranged_partition_offsets,
+    )
 
     guarded = df.withColumn(
         token_col,
@@ -200,25 +198,9 @@ def assign_token_shards(
             ).cast("long"),
         ).otherwise(F.col(token_col).cast("long")),
     )
-    ranged = (
-        guarded.repartitionByRange(num_partitions, *order_by)
-        if num_partitions
-        else guarded.repartitionByRange(*order_by)
+    part, offsets_df = ranged_partition_offsets(
+        guarded, order_by, F.sum(token_col), num_partitions
     )
-    part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sums = sorted(
-        (r["_pid"], r["s"])
-        for r in part.groupBy("_pid").agg(F.sum(token_col).alias("s")).collect()
-    )
-    offsets = []
-    acc = 0
-    for pid, s in sums:
-        offsets.append((pid, acc))
-        acc += int(s or 0)
-    spark = df.sparkSession
-    offsets_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _toff long")
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_by)
@@ -229,9 +211,9 @@ def assign_token_shards(
         .withColumn(
             shard_col,
             F.floor(
-                (F.coalesce(F.sum(token_col).over(w), F.lit(0)) + F.col("_toff"))
+                (F.coalesce(F.sum(token_col).over(w), F.lit(0)) + F.col("_offset"))
                 / F.lit(budget)
             ).cast("long"),
         )
-        .drop("_pid", "_toff")
+        .drop("_pid", "_offset")
     )

@@ -105,6 +105,57 @@ def assign_split(
     )
 
 
+def ranged_partition_offsets(
+    df: DataFrame,
+    order_by: list[str],
+    scalar_agg,
+    num_partitions: int | None = None,
+):
+    """Shared scaffolding of the distributed prefix-sum family
+    (:func:`assign_contiguous_ids` here, ``packing.assign_token_shards``):
+    range-partition ``df`` on the order key, reduce ONE scalar per
+    partition (``scalar_agg``: an aggregate Column — row count, token
+    sum, …) to the driver, and return ``(part, offsets_df)`` where
+    ``part`` carries a ``_pid`` column and ``offsets_df`` is the
+    broadcast-sized ``(_pid, _offset)`` exclusive cumulative offsets.
+
+    The invariants both callers rely on live here ONCE: ``part`` is
+    persisted so the scalar pass and the caller's window pass see the
+    SAME physical partitioning (spark_partition_id is a physical
+    property — recomputing the range shuffle between actions would
+    re-sample its boundaries); the driver transfer is bounded by the
+    partition count, never the data; an empty input yields the
+    ``(0, 0)`` placeholder row; the offsets ship as a broadcast-join
+    relation, not a plan-sized ``create_map`` literal. Cache lifecycle
+    belongs to the caller (same contract as the near-dup pair
+    generators)."""
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    from pyspark import StorageLevel
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    scalars = sorted(
+        (r["_pid"], r["v"])
+        for r in part.groupBy("_pid").agg(scalar_agg.alias("v")).collect()
+    )
+    offsets = []
+    acc = 0
+    for pid, v in scalars:
+        offsets.append((pid, acc))
+        acc += int(v or 0)
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset long"
+    )
+    return part, offsets_df
+
+
 def assign_contiguous_ids(
     df: DataFrame,
     order_by: list[str],
@@ -133,34 +184,10 @@ def assign_contiguous_ids(
     the caller (unpersist via ``spark.catalog.clearCache()`` or let LRU
     evict), same contract as the near-dup pair generators.
     """
-    if not order_by:
-        raise ValueError("order_by must name at least one column")
-    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_by)
-        if num_partitions
-        else df.repartitionByRange(*order_by)
-    )
-    part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    counts = sorted(
-        (r["_pid"], r["n"])
-        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
-    offsets = []
-    acc = 0
-    for pid, n in counts:
-        offsets.append((pid, acc))
-        acc += n
-    # broadcast join, not a create_map literal: with thousands of
-    # partitions an inlined map is a plan-sized expression; the offsets
-    # relation is partition-count rows and broadcasts for free
-    spark = df.sparkSession
-    offsets_df = spark.createDataFrame(
-        offsets or [(0, 0)], "_pid int, _offset long"
+    part, offsets_df = ranged_partition_offsets(
+        df, order_by, F.count(F.lit(1)), num_partitions
     )
     w = Window.partitionBy("_pid").orderBy(*order_by)
     return (
@@ -171,6 +198,27 @@ def assign_contiguous_ids(
         )
         .drop("_pid", "_offset")
     )
+
+
+def hash_uniform(seed: str, id_col: str):
+    """u ∈ (0, 1) STRICTLY, a pure function of (seed, id): the first 8
+    md5 hex chars as an integer, +1, over 2³²+1. Engine-portable — the
+    hex prefix parses identically in Spark ``conv`` and DuckDB's
+    ``CAST('0x'||… AS BIGINT)`` — and rerun-stable on any layout.
+    The single source of the seed/separator/denominator discipline,
+    shared by the A-ES draw below and the Gumbel-top-k
+    (operators/selection.py): both singularity guards (u > 0 for
+    ``pow(u, 1/w)``/``ln u``, u < 1 for ``ln(−ln u)``) live here."""
+    hexint = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (hexint + F.lit(1)) / F.lit(float(16**8 + 1))
 
 
 def weighted_sample_deterministic(
@@ -198,16 +246,7 @@ def weighted_sample_deterministic(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    hexint = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (hexint + F.lit(1)) / F.lit(float(16**8 + 1))
+    u = hash_uniform(seed, id_col)
     key = F.pow(u, F.lit(1.0) / F.col(weight_col))
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))

@@ -89,30 +89,20 @@ def gumbel_topk_select(
     """Draw ``k`` rows WITHOUT replacement with probability ∝
     ``exp(logw_col)`` — the Gumbel-top-k identity — deterministically:
     the Gumbel noise ``g = −ln(−ln u)`` uses ``u`` derived from
-    ``md5(seed | id)`` instead of a RNG (the
-    ``weighted_sample_deterministic`` discipline: rerun-stable and
-    engine-portable; the md5-prefix integer parses identically in Spark
-    ``conv`` and DuckDB's hex cast). The +1 shift and the 2³²+1
-    denominator pin u strictly inside (0, 1), keeping both logs off
-    their singularities.
+    ``sampling.hash_uniform(seed, id)`` instead of a RNG — the shared
+    uniform-derivation helper (rerun-stable, engine-portable, u pinned
+    strictly inside (0, 1) so both logs stay off their singularities);
+    A-ES top-k by ``u^(1/w)`` and Gumbel-top-k with ``w = exp(log_w)``
+    are order-equivalent, so the two operators deliberately share one
+    key discipline.
 
     The selection key is rounded to 6 dp BEFORE the top-k (ties break
     on the id) so membership never rides on last-ulp float noise.
     ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(4294967297.0)
-    gumbel = -F.log(-F.log(u))
+    from eligibility_etl_airflow_spark.operators.sampling import hash_uniform
+
+    gumbel = -F.log(-F.log(hash_uniform(seed, id_col)))
     keyed = weights.withColumn(key_col, F.round(F.col(logw_col) + gumbel, 6))
     return keyed.orderBy(F.desc(key_col), F.asc(id_col)).limit(k)

@@ -188,6 +188,23 @@ def run_corpus_curation_pipeline(
     from eligibility_etl_airflow_spark.catalog import Catalog
     from eligibility_etl_airflow_spark.operators import neardup, text
 
+    # fail-fast: pure parameter validation must run before ANY Spark job
+    # (the funnel below launches many materializing counts)
+    if neardup_removal not in ("component", "pair"):
+        raise ValueError(
+            f"neardup_removal must be 'component' or 'pair', got {neardup_removal!r}"
+        )
+    if neardup_keeper not in ("min_id", "quality"):
+        raise ValueError(
+            f"neardup_keeper must be 'min_id' or 'quality', got {neardup_keeper!r}"
+        )
+    if neardup_removal == "pair" and neardup_keeper == "quality":
+        raise ValueError(
+            "neardup_keeper='quality' requires neardup_removal='component' — "
+            "the per-pair anti-join keeps minima by construction and would "
+            "silently ignore quality"
+        )
+
     docs = Catalog(spark, sf_dir).documents
     n_total = docs.count()
 
@@ -334,10 +351,6 @@ def run_corpus_curation_pipeline(
         pairs = neardup.minhash_lsh_pairs(
             exact_kept, "doc_id", "text", jaccard_threshold=jaccard_threshold
         )
-        if neardup_keeper not in ("min_id", "quality"):
-            raise ValueError(
-                f"neardup_keeper must be 'min_id' or 'quality', got {neardup_keeper!r}"
-            )
         if neardup_removal == "component":
             # one keeper per transitive near-dup group (LSH pairs are
             # unblocked, so this takes the iterative components tier)
@@ -372,19 +385,9 @@ def run_corpus_curation_pipeline(
                 losers = labeled.filter(F.col("id") != F.col("cluster_id")).select(
                     F.col("id").alias("doc_id")
                 )
-        elif neardup_removal == "pair":
-            if neardup_keeper == "quality":
-                raise ValueError(
-                    "neardup_keeper='quality' requires neardup_removal="
-                    "'component' — the per-pair anti-join keeps minima by "
-                    "construction and would silently ignore quality"
-                )
+        else:  # "pair" — validated at entry
             # drop the higher doc_id of each verified pair
             losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        else:
-            raise ValueError(
-                f"neardup_removal must be 'component' or 'pair', got {neardup_removal!r}"
-            )
         curated = exact_kept.join(losers, "doc_id", "left_anti")
 
         n_after_semantic = None

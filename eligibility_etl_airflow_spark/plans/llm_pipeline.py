@@ -580,6 +580,37 @@ FROM reach GROUP BY id
 """
 
 
+def blocked_component_labels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared construction for the component-clustering queries
+    (``dedup_connected_components`` here, ``cluster_representatives`` in
+    plans/training_prep.py — and ``CC_ORACLE`` is correspondingly the
+    shared oracle CTE): documents with the lang+length blocking key,
+    and every doc labeled with its 3-gram-Jaccard-≥0.6 component's min
+    doc_id (singletons label themselves). One definition so the Spark
+    side and the composed oracles cannot drift apart.
+
+    Returns ``(docs_with_block, labels)`` where labels is
+    (doc_id long, cluster_id long)."""
+    from eligibility_etl_airflow_spark.operators import components
+
+    d = Catalog(spark, sf_dir).documents.withColumn(
+        "block",
+        F.concat_ws("#", F.col("lang"), (F.col("n_chars") / 100).cast("long").cast("string")),
+    )
+    prs = neardup.ngram_jaccard_pairs(d, "doc_id", "text", "block", shingle_k=3).filter(
+        F.col("jaccard") >= 0.6
+    )
+    labels = components.attach_components(
+        d.select(F.col("doc_id").cast("long").alias("doc_id")),
+        "doc_id",
+        prs,
+        block_col="block",
+    ).select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+    return d, labels
+
+
 @query("dedup_connected_components", oracle=CC_ORACLE)
 def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: exact 3-gram Jaccard pairs
@@ -595,21 +626,8 @@ def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence-tested against this one. The DuckDB oracle computes the
     same closure with a recursive CTE (pruned to strictly-decreasing
     labels so only the component minimum floods the graph)."""
-    from eligibility_etl_airflow_spark.operators import components
-
-    d = Catalog(spark, sf_dir).documents.withColumn(
-        "block",
-        F.concat_ws("#", F.col("lang"), (F.col("n_chars") / 100).cast("long").cast("string")),
-    )
-    prs = neardup.ngram_jaccard_pairs(d, "doc_id", "text", "block", shingle_k=3).filter(
-        F.col("jaccard") >= 0.6
-    )
-    return components.attach_components(
-        d.select(F.col("doc_id").cast("long").alias("doc_id")),
-        "doc_id",
-        prs,
-        block_col="block",
-    ).select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+    _, labels = blocked_component_labels(spark, sf_dir)
+    return labels
 
 
 # --------------------------------------------------------------------------

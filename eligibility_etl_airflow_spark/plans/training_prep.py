@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark.catalog import Catalog
-from eligibility_etl_airflow_spark.operators import components, neardup, packing, similarity, text
+from eligibility_etl_airflow_spark.operators import packing, similarity, text
 from eligibility_etl_airflow_spark.plans.llm_pipeline import CC_ORACLE, QUALITY_ORACLE
 from eligibility_etl_airflow_spark.registry import query
 
@@ -157,21 +157,11 @@ def cluster_representatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (components.dedup_by_components' order_by generalized to a rollup).
     One extra broadcast join (quality is a map-only column) and one
     partial-agg shuffle on cluster_id beyond the closure itself."""
-    d = Catalog(spark, sf_dir).documents.withColumn(
-        "block",
-        F.concat_ws(
-            "#", F.col("lang"), (F.col("n_chars") / 100).cast("long").cast("string")
-        ),
+    from eligibility_etl_airflow_spark.plans.llm_pipeline import (
+        blocked_component_labels,
     )
-    prs = neardup.ngram_jaccard_pairs(d, "doc_id", "text", "block", shingle_k=3).filter(
-        F.col("jaccard") >= 0.6
-    )
-    labeled = components.attach_components(
-        d.select(F.col("doc_id").cast("long").alias("doc_id")),
-        "doc_id",
-        prs,
-        block_col="block",
-    )
+
+    d, labeled = blocked_component_labels(spark, sf_dir)
     q = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         text.quality_score(F.col("text")).alias("quality"),

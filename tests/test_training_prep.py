@@ -10,7 +10,6 @@ import unicodedata
 import pytest
 from pyspark.sql import functions as F
 
-from eligibility_etl_airflow_spark.catalog import Catalog
 from eligibility_etl_airflow_spark.operators import components, packing, similarity, text
 
 
