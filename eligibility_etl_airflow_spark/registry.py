@@ -152,6 +152,10 @@ _DEFERRED = (
     # DSIR rides the graded LM-join machinery (lm_fluency_scores'
     # family) + the weighted_sample_docs hash-draw discipline
     "dsir_selection",
+    # priority merge is the graded keep_last_dedup/exact-hash window
+    # machinery; novelty is tfidf_top_terms' doc-frequency machinery
+    "merge_corpora_priority",
+    "ngram_novelty_scores",
 )
 
 

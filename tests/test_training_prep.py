@@ -1,7 +1,8 @@
 """Unit/invariant tests for the round-5 training-prep operators:
-unicode NFC, token-balanced sharding, semantic decontamination, and
-quality-aware cluster representatives. (Oracle parity for the five
-registered queries runs via tests/test_oracle_parity.py.)"""
+unicode NFC, token-balanced sharding, semantic decontamination,
+quality-aware cluster representatives, DSIR selection, temperature
+mixing, cross-corpus priority merge, and n-gram novelty. (Oracle parity
+for the registered queries runs via tests/test_oracle_parity.py.)"""
 
 from __future__ import annotations
 
@@ -257,3 +258,84 @@ def test_temperature_mix_flattens_toward_uniform(spark):
         sampling.temperature_mix(df, "lang", 0.0)
     with _pytest.raises(ValueError, match="alpha"):
         sampling.temperature_mix(df, "lang", 1.5)
+
+
+# ------------------------------------------------- cross-corpus merge
+
+
+def test_merge_corpora_priority_planted_collisions(spark):
+    from eligibility_etl_airflow_spark.operators import dedup
+
+    crawl = spark.createDataFrame(
+        [(1, "shared document body"), (2, "crawl only body")],
+        "doc_id long, text string",
+    )
+    curated = spark.createDataFrame(
+        [(10, "shared document body"), (11, "curated only body")],
+        "doc_id long, text string",
+    )
+    merged = dedup.merge_corpora_priority(
+        [("curated", 2, curated), ("crawl", 0, crawl)], "doc_id", "text"
+    )
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    # the shared text resolves to the CURATED copy despite the crawl's lower id
+    assert set(rows) == {10, 2, 11}
+    assert rows[10]["corpus"] == "curated" and rows[10]["n_copies"] == 2
+    assert rows[2]["n_copies"] == 1 and rows[11]["n_copies"] == 1
+    # whitespace/case variants hash together (normalized fingerprint)
+    variant = spark.createDataFrame([(20, "  SHARED   document body ")], "doc_id long, text string")
+    merged2 = dedup.merge_corpora_priority(
+        [("curated", 2, curated), ("variant", 1, variant)], "doc_id", "text"
+    )
+    kept = {r["doc_id"] for r in merged2.collect()}
+    assert 20 not in kept and 10 in kept
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpora"):
+        dedup.merge_corpora_priority([], "doc_id", "text")
+
+
+def test_merge_corpora_priority_tie_breaks_on_id(spark):
+    from eligibility_etl_airflow_spark.operators import dedup
+
+    a = spark.createDataFrame([(5, "same body")], "doc_id long, text string")
+    b = spark.createDataFrame([(3, "same body")], "doc_id long, text string")
+    merged = dedup.merge_corpora_priority(
+        [("a", 1, a), ("b", 1, b)], "doc_id", "text"
+    ).collect()
+    assert len(merged) == 1 and merged[0]["doc_id"] == 3  # equal priority → min id
+
+
+# ------------------------------------------------------- n-gram novelty
+
+
+def test_ngram_novelty_planted_extremes(spark, sf_dir):
+    # two byte-identical docs over one alphabet, one doc over a disjoint
+    # alphabet: the twins share EVERY shingle (novelty 0), the loner
+    # shares none (novelty 1)
+    from eligibility_etl_airflow_spark import registry
+
+    registry.load_all()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["aabbccddee aabbcc", "aabbccddee aabbcc", "zzyyxxwwvv zzyyxx"],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": pa.array([17] * 3, pa.int64()),
+            }
+        )
+        pq.write_table(t, os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in registry.QUERIES["ngram_novelty_scores"](spark, td).collect()
+        }
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert out[1]["n_unique"] == 0 and out[3]["n_unique"] == out[3]["n_grams"]
