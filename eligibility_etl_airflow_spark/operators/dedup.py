@@ -151,19 +151,46 @@ def merge_corpora_priority(
     One union (no shuffle) + one hash-partitioned window on the content
     hash — the ``keep_first`` shape with the count attached to the same
     exchange; at 100 TB this costs exactly what exact dedup costs.
+
+    Loud contracts: null ``text_col`` raises at execution (md5(null) is
+    null, and the null-hash window group would silently merge DISTINCT
+    unreadable documents into one "survivor" — a merge must never
+    delete what it could not compare; filter or impute first), and
+    input columns colliding with the provenance names raise at plan
+    time (``withColumn`` would silently overwrite caller data).
     """
     if not corpora:
         raise ValueError("corpora must not be empty: pass (name, priority, df)")
     from eligibility_etl_airflow_spark.operators import text as text_ops
 
+    provenance = ("corpus", "priority", "content_hash", "n_copies")
+    for name, _, df in corpora:
+        clash = [c for c in provenance if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"corpus {name!r} already has provenance column(s) {clash} — "
+                "rename them before merging (the operator would silently "
+                "overwrite them)"
+            )
     labeled = None
     for name, priority, df in corpora:
         part = df.withColumn("corpus", F.lit(name)).withColumn(
             "priority", F.lit(int(priority))
         )
         labeled = part if labeled is None else labeled.unionByName(part)
+    guarded_text = F.when(
+        F.col(text_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"merge_corpora_priority: null {text_col} in corpus "),
+                F.col("corpus"),
+                F.lit(" at "),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.col(text_col))
     hashed = labeled.withColumn(
-        "content_hash", text_ops.fingerprint_md5(F.col(text_col))
+        "content_hash", text_ops.fingerprint_md5(guarded_text)
     )
     by_hash = Window.partitionBy("content_hash")
     ordered = by_hash.orderBy(F.col("priority").desc(), F.col(id_col).asc())

@@ -401,7 +401,7 @@ def temperature_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 MERGE_PRIORITY_ORACLE = r"""
 WITH lab AS (
   SELECT doc_id, text,
-         CAST(regexp_extract(source, '[0-9]+') AS INT) % 3 AS pr
+         COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+') AS INT), 0) % 3 AS pr
   FROM documents
 ),
 h AS (
@@ -434,8 +434,17 @@ def merge_corpora_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned window — exact-dedup cost."""
     from eligibility_etl_airflow_spark.operators import dedup
 
+    # digit-less sources tier to 0 in BOTH engines (coalesce over
+    # try_cast, mirroring the oracle's TRY_CAST — a bare cast would
+    # silently NULL the tier here but ERROR in DuckDB, an asymmetric
+    # failure with a silent-drop arm)
     d = Catalog(spark, sf_dir).documents.withColumn(
-        "pr", F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 3
+        "pr",
+        F.coalesce(
+            F.regexp_extract(F.col("source"), "[0-9]+", 0).try_cast("int"),
+            F.lit(0),
+        )
+        % 3,
     )
     corpora = [
         (f"tier{p}", p, d.filter(F.col("pr") == p).select("doc_id", "text"))
@@ -494,11 +503,8 @@ def ngram_novelty_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     sh = (
-        neardup._with_normalized_text(d, "doc_id", "text")
-        .select(
-            "id",
-            F.explode(neardup.string_shingles_of_norm(F.col("_norm"), 5)).alias("g"),
-        )
+        neardup.string_shingle_table(d, "doc_id", "text", shingle_k=5)
+        .select("id", F.explode("shingles").alias("g"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))

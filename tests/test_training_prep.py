@@ -339,3 +339,21 @@ def test_ngram_novelty_planted_extremes(spark, sf_dir):
     assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
     assert out[3]["novelty"] == 1.0
     assert out[1]["n_unique"] == 0 and out[3]["n_unique"] == out[3]["n_grams"]
+
+
+def test_merge_corpora_priority_loud_contracts(spark):
+    from eligibility_etl_airflow_spark.operators import dedup
+
+    ok = spark.createDataFrame([(1, "body")], "doc_id long, text string")
+    with_null = spark.createDataFrame(
+        [(2, "x"), (3, None)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="merge_corpora_priority"):
+        dedup.merge_corpora_priority(
+            [("a", 1, ok), ("b", 0, with_null)], "doc_id", "text"
+        ).collect()
+    clashing = spark.createDataFrame(
+        [(4, "y", 9)], "doc_id long, text string, priority int"
+    )
+    with pytest.raises(ValueError, match="provenance"):
+        dedup.merge_corpora_priority([("a", 1, clashing)], "doc_id", "text")
