@@ -110,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
         default=16,
         help="corpus-curation only: k-means cluster count for --semantic-eps",
     )
+    pp.add_argument(
+        "--audit-path",
+        default=None,
+        help="corpus-curation only: write the funnel audit trail "
+        "(doc_id, dropped_at stage) to this parquet path",
+    )
 
     ip = sub.add_parser(
         "incremental-curation",
@@ -209,6 +215,8 @@ def main(argv: list[str] | None = None) -> int:
             if args.semantic_eps is not None:
                 kwargs["semantic_eps"] = args.semantic_eps
                 kwargs["semantic_k"] = args.semantic_k
+            if args.audit_path:
+                kwargs["audit_path"] = args.audit_path
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir, **kwargs), default=str))
         return 0
 

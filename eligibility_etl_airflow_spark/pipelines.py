@@ -118,6 +118,7 @@ def run_corpus_curation_pipeline(
     semantic_k: int = 16,
     quality_model: dict | None = None,
     quality_model_min: float = 0.5,
+    audit_path: str | None = None,
 ) -> dict:
     """The LLM-training-data lifecycle the beyond-reference operators
     exist for, composed end to end: quality filter → language mix →
@@ -155,6 +156,13 @@ def run_corpus_curation_pipeline(
     tie-break) instead of the min id — the cluster_representatives
     policy composed into the funnel (one extra map-only quality column
     + a window over the graph nodes only, never the corpus).
+    ``audit_path`` writes the funnel's AUDIT TRAIL: one (doc_id,
+    dropped_at) row per dropped document, naming the stage that removed
+    it — the provenance answer to "why is doc X not in my training
+    set". Built from anti-joins of consecutive stage snapshots (all
+    persisted, so each is a cached-probe join); drops are attributed to
+    the FIRST stage that removed the doc, and the audit rows plus the
+    curated ids partition the source exactly (test-pinned).
     ``quality_model`` (a ``train_quality_classifier`` output dict) adds
     the LEARNED quality gate after the heuristic hygiene stages: docs
     scoring below ``quality_model_min`` drop. Pass a model trained on
@@ -207,6 +215,9 @@ def run_corpus_curation_pipeline(
 
     docs = Catalog(spark, sf_dir).documents
     n_total = docs.count()
+    # audit trail: (stage_name, surviving relation) snapshots; consecutive
+    # anti-joins reconstruct which stage dropped each doc (opt-in)
+    snapshots: list = [("source", docs)]
 
     filtered = docs.filter(
         (text.quality_score(F.col("text")) >= min_quality)
@@ -217,6 +228,7 @@ def run_corpus_curation_pipeline(
     hygienic = filtered
     try:
         n_filtered = filtered.count()  # materializes the one documents scan
+        snapshots.append(("quality_lang", filtered))
 
         # optional corpus hygiene, both reading the cache (no re-scan):
         # repetition filter drops looping/stuffed docs; decontamination
@@ -239,6 +251,7 @@ def run_corpus_curation_pipeline(
             )
             hygiene_caches.append(hygienic)
             n_after_repetition = hygienic.count()
+            snapshots.append(("repetition", hygienic))
         if decontam_bench is not None:
             from eligibility_etl_airflow_spark.operators import decontam
 
@@ -252,6 +265,7 @@ def run_corpus_curation_pipeline(
             )
             hygiene_caches.append(hygienic)
             n_after_decontam = hygienic.count()
+            snapshots.append(("decontam_ngram", hygienic))
         n_after_semantic_decontam = None
         if semantic_decontam_bench is not None:
             from eligibility_etl_airflow_spark.operators import similarity
@@ -280,6 +294,7 @@ def run_corpus_curation_pipeline(
             )
             hygiene_caches.append(hygienic)
             n_after_semantic_decontam = hygienic.count()
+            snapshots.append(("decontam_semantic", hygienic))
         n_after_fluency = None
         if fluency_cut is not None:
             if not (0.0 < fluency_cut < 1.0):
@@ -314,6 +329,7 @@ def run_corpus_curation_pipeline(
             )
             hygiene_caches.append(hygienic)
             n_after_fluency = hygienic.count()
+            snapshots.append(("fluency_cut", hygienic))
 
         n_after_learned_quality = None
         if quality_model is not None:
@@ -333,6 +349,7 @@ def run_corpus_curation_pipeline(
             )
             hygiene_caches.append(hygienic)
             n_after_learned_quality = hygienic.count()
+            snapshots.append(("learned_quality", hygienic))
 
         # exact dedup: keep min doc_id per content hash
         keeper = (
@@ -347,6 +364,7 @@ def run_corpus_curation_pipeline(
             StorageLevel.MEMORY_AND_DISK
         )
         n_exact = exact_kept.count()
+        snapshots.append(("exact_dedup", exact_kept))
 
         pairs = neardup.minhash_lsh_pairs(
             exact_kept, "doc_id", "text", jaccard_threshold=jaccard_threshold
@@ -389,6 +407,7 @@ def run_corpus_curation_pipeline(
             # drop the higher doc_id of each verified pair
             losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
         curated = exact_kept.join(losers, "doc_id", "left_anti")
+        snapshots.append(("neardup_removal", curated))
 
         n_after_semantic = None
         if semantic_eps is not None:
@@ -419,10 +438,25 @@ def run_corpus_curation_pipeline(
             )
             hygiene_caches.append(curated)
             n_after_semantic = curated.count()
+            snapshots.append(("semantic_dedup", curated))
 
         out_path = os.path.join(out_dir, "curated_docs")
         sinks.write_clustered(curated, out_path, ["doc_id"])
         n_curated = spark.read.parquet(out_path).count()
+        if audit_path is not None:
+            # which stage dropped each doc: anti-join consecutive stage
+            # snapshots (all persisted, so each is one cached-probe join)
+            # and union the labeled drops — the curation funnel's audit
+            # trail, (doc_id, dropped_at), one row per dropped doc
+            dropped = None
+            for (_, prev_df), (name, cur_df) in zip(snapshots, snapshots[1:]):
+                d_ids = (
+                    prev_df.select("doc_id")
+                    .join(cur_df.select("doc_id"), "doc_id", "left_anti")
+                    .withColumn("dropped_at", F.lit(name))
+                )
+                dropped = d_ids if dropped is None else dropped.unionByName(d_ids)
+            sinks.write_parquet(dropped, audit_path)
     finally:
         filtered.unpersist()
         for cached in hygiene_caches:

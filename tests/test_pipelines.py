@@ -418,3 +418,40 @@ def test_corpus_curation_semantic_decontam_stage(spark, sf_dir, tmp_path):
         .collect()
     }
     assert base_ids - set(planted) <= curated_ids
+
+
+def test_corpus_curation_audit_trail_partitions_the_source(spark, sf_dir, tmp_path):
+    """audit_path: every source doc is either curated or appears exactly
+    once in the audit trail, attributed to the first stage that dropped
+    it; per-stage drop counts reconcile with the funnel stats."""
+    from eligibility_etl_airflow_spark import pipelines as pl
+
+    audit = str(tmp_path / "audit")
+    stats = pl.run_corpus_curation_pipeline(
+        spark,
+        sf_dir,
+        str(tmp_path),
+        repetition_filter=True,
+        fluency_cut=0.1,
+        audit_path=audit,
+    )
+    adf = spark.read.parquet(audit)
+    audit_rows = adf.collect()
+    audit_ids = [r.doc_id for r in audit_rows]
+    assert len(audit_ids) == len(set(audit_ids))  # one attribution per doc
+    curated_ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "curated_docs"))
+        .select("doc_id")
+        .collect()
+    }
+    assert not (set(audit_ids) & curated_ids)
+    assert len(audit_ids) + len(curated_ids) == stats["n_total"]
+    by_stage = {}
+    for r in audit_rows:
+        by_stage[r.dropped_at] = by_stage.get(r.dropped_at, 0) + 1
+    assert by_stage.get("quality_lang", 0) == stats["n_total"] - stats["n_after_quality_lang"]
+    assert by_stage.get("repetition", 0) == stats["n_after_quality_lang"] - stats["n_after_repetition"]
+    assert by_stage.get("fluency_cut", 0) == stats["n_after_repetition"] - stats["n_after_fluency"]
+    assert by_stage.get("exact_dedup", 0) == stats["n_after_fluency"] - stats["n_after_exact_dedup"]
+    assert by_stage.get("neardup_removal", 0) == stats["n_after_exact_dedup"] - stats["n_curated"]
