@@ -289,3 +289,71 @@ def temperature_mix(
     z = sum(raised.values())
     shares = {s: v / z for s, v in raised.items()}
     return resample_to_mix(df, stratum_col, shares, total_rows, seed)
+
+
+def plan_data_budget(
+    df: DataFrame,
+    stratum_col: str,
+    token_col,
+    target_mix: dict[str, float],
+    total_token_budget: int,
+) -> DataFrame:
+    """Per-stratum token budgeting for a training mixture — the
+    pretraining planning table: given the corpus' AVAILABLE tokens per
+    stratum and a target mix over a total token budget, how many tokens
+    each stratum must contribute and how many EPOCHS (repeats) of that
+    stratum this implies. Repeating data beyond a few epochs degrades
+    models, so ``epochs_needed`` is the feasibility alarm the mix
+    designer reads before committing a run.
+
+    ``token_col`` is a column name or Column expression (e.g.
+    ``text.token_count_bpe(F.col("text"))``). One partial-agg pass over
+    the corpus (doc counts + token sums per stratum — map-side combine
+    does the volume); the mix is a literal mix-sized relation joined
+    broadcast-left so strata ABSENT from the corpus still emit a row
+    with zero availability and null epochs (absence must alarm, not
+    vanish). Output per mix stratum: n_docs, tokens_available,
+    target_share, tokens_requested, epochs_needed (round 6),
+    fits_in_one_epoch.
+    """
+    shares = {k: float(v) for k, v in target_mix.items() if v > 0}
+    ssum = sum(shares.values())
+    if not shares or abs(ssum - 1.0) > 1e-6:
+        raise ValueError(f"target_mix shares must sum to 1, got {ssum}")
+    if total_token_budget <= 0:
+        raise ValueError(f"total_token_budget must be positive, got {total_token_budget}")
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    stats = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(tok).cast("long").alias("tokens_available"),
+    )
+    spark = df.sparkSession
+    mix_df = spark.createDataFrame(
+        sorted(shares.items()), "stratum string, target_share double"
+    )
+    requested = F.round(F.lit(float(total_token_budget)) * F.col("target_share")).cast(
+        "long"
+    )
+    return (
+        mix_df.join(stats, "stratum", "left")
+        .select(
+            "stratum",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.col("tokens_available"), F.lit(0))
+            .cast("long")
+            .alias("tokens_available"),
+            F.col("target_share"),
+            requested.alias("tokens_requested"),
+        )
+        .withColumn(
+            "epochs_needed",
+            F.when(
+                F.col("tokens_available") > 0,
+                F.round(F.col("tokens_requested") / F.col("tokens_available"), 6),
+            ),
+        )
+        .withColumn(
+            "fits_in_one_epoch",
+            (F.col("tokens_available") >= F.col("tokens_requested")).cast("long"),
+        )
+    )

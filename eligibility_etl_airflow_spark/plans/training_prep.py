@@ -538,3 +538,56 @@ def ngram_novelty_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-budget planning — epochs/feasibility table for a target mixture
+# --------------------------------------------------------------------------
+
+DATA_BUDGET_ORACLE = r"""
+WITH stats AS (
+  SELECT lang AS stratum,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+             AS tokens_available
+  FROM documents GROUP BY 1
+),
+mix AS (
+  SELECT * FROM (VALUES
+    ('de', 0.2), ('en', 0.4), ('es', 0.2), ('fr', 0.1), ('zh', 0.1)
+  ) AS t(stratum, target_share)
+)
+SELECT mix.stratum,
+       COALESCE(stats.n_docs, 0) AS n_docs,
+       COALESCE(stats.tokens_available, 0) AS tokens_available,
+       mix.target_share,
+       CAST(round(2000000.0 * mix.target_share) AS BIGINT) AS tokens_requested,
+       CASE WHEN COALESCE(stats.tokens_available, 0) > 0
+            THEN round(CAST(round(2000000.0 * mix.target_share) AS BIGINT)
+                       * 1.0 / stats.tokens_available, 6) END AS epochs_needed,
+       CAST(CASE WHEN COALESCE(stats.tokens_available, 0)
+                      >= CAST(round(2000000.0 * mix.target_share) AS BIGINT)
+                 THEN 1 ELSE 0 END AS BIGINT) AS fits_in_one_epoch
+FROM mix LEFT JOIN stats USING (stratum)
+"""
+
+
+@query("data_budget_plan", oracle=DATA_BUDGET_ORACLE)
+def data_budget_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-budget planning (operators/sampling.py:
+    plan_data_budget): per language, the tokens available vs the tokens
+    a 2M-token training mix requests, and the implied epoch count —
+    the feasibility table a mix designer reads before committing a run
+    (epochs >> 1 means repeating data). One partial-agg corpus pass +
+    a mix-sized literal join; strata absent from the corpus still emit
+    an alarm row."""
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    d = Catalog(spark, sf_dir).documents
+    return sampling.plan_data_budget(
+        d,
+        "lang",
+        text.token_count_bpe(F.col("text")),
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
+        total_token_budget=2_000_000,
+    )

@@ -156,6 +156,9 @@ _DEFERRED = (
     # machinery; novelty is tfidf_top_terms' doc-frequency machinery
     "merge_corpora_priority",
     "ngram_novelty_scores",
+    # budget planning is one grouped agg + a literal join (machinery
+    # graded via kpi_scalar_aggs / the broadcast star joins)
+    "data_budget_plan",
 )
 
 

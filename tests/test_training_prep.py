@@ -357,3 +357,33 @@ def test_merge_corpora_priority_loud_contracts(spark):
     )
     with pytest.raises(ValueError, match="provenance"):
         dedup.merge_corpora_priority([("a", 1, clashing)], "doc_id", "text")
+
+
+# ------------------------------------------------------- data-budget plan
+
+
+def test_plan_data_budget_math_and_alarms(spark):
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    rows = [(i, "web", 100) for i in range(10)] + [(100 + i, "code", 50) for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens long")
+    plan = {
+        r["stratum"]: r
+        for r in sampling.plan_data_budget(
+            df, "domain", "n_tokens", {"web": 0.5, "code": 0.25, "books": 0.25}, 400
+        ).collect()
+    }
+    assert set(plan) == {"web", "code", "books"}
+    web, code, books = plan["web"], plan["code"], plan["books"]
+    assert web["tokens_available"] == 1000 and web["tokens_requested"] == 200
+    assert web["epochs_needed"] == 0.2 and web["fits_in_one_epoch"] == 1
+    assert code["tokens_available"] == 100 and code["tokens_requested"] == 100
+    assert code["epochs_needed"] == 1.0 and code["fits_in_one_epoch"] == 1
+    # absent stratum: zero availability, null epochs, alarm row present
+    assert books["n_docs"] == 0 and books["tokens_available"] == 0
+    assert books["epochs_needed"] is None and books["fits_in_one_epoch"] == 0
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.plan_data_budget(df, "domain", "n_tokens", {"web": 0.5}, 400)
+    with pytest.raises(ValueError, match="budget"):
+        sampling.plan_data_budget(df, "domain", "n_tokens", {"web": 1.0}, 0)
