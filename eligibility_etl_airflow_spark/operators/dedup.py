@@ -139,8 +139,10 @@ def merge_corpora_priority(
     """Merge N corpora into one, resolving content collisions by SOURCE
     PRIORITY — the standard multi-snapshot / curated-over-crawl merge
     rule (when the same document exists in a curated corpus and a web
-    crawl, keep the curated copy; ties break on the lower id so the
-    merge is fully deterministic).
+    crawl, keep the curated copy; ties break on the lower id, then the
+    corpus name — independent corpora routinely share 1-based id
+    spaces, so a (priority, id) tie is a real case, and without the
+    final key the ``corpus`` provenance column would flap between runs).
 
     ``corpora`` is ``[(corpus_name, priority, df), ...]`` (higher
     priority wins); every df must share the ``id_col``/``text_col``
@@ -193,7 +195,9 @@ def merge_corpora_priority(
         "content_hash", text_ops.fingerprint_md5(guarded_text)
     )
     by_hash = Window.partitionBy("content_hash")
-    ordered = by_hash.orderBy(F.col("priority").desc(), F.col(id_col).asc())
+    ordered = by_hash.orderBy(
+        F.col("priority").desc(), F.col(id_col).asc(), F.col("corpus").asc()
+    )
     return (
         hashed.withColumn("n_copies", F.count(F.lit(1)).over(by_hash))
         .withColumn(_RN, F.row_number().over(ordered))

@@ -151,19 +151,6 @@ def shingle_table(
     )
 
 
-def string_shingle_table(
-    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 5
-) -> DataFrame:
-    """(id, shingles) staging relation with STRING shingles — the
-    collision-free twin of :func:`shingle_table` and the public surface
-    for consumers whose counts must not ride on 64-bit hashes (e.g. the
-    doc-frequency novelty rollup in plans/training_prep.py). Same
-    staged-normalization discipline (the regex runs once per row)."""
-    return _with_normalized_text(df, id_col, text_col).select(
-        "id", string_shingles_of_norm(F.col("_norm"), shingle_k).alias("shingles")
-    )
-
-
 def signatures_from_shingles(shingle_tab: DataFrame, num_perm: int = 64) -> DataFrame:
     """(id, shingles) → (id, sig): MinHash signature (array<long>, length
     ``num_perm``), as a SHUFFLE-FREE Arrow-batched map.

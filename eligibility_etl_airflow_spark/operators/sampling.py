@@ -312,11 +312,15 @@ def plan_data_budget(
     does the volume); the mix is a literal mix-sized relation joined
     broadcast-left so strata ABSENT from the corpus still emit a row
     with zero availability and null epochs (absence must alarm, not
-    vanish). Output per mix stratum: n_docs, tokens_available,
-    target_share, tokens_requested, epochs_needed (round 6),
-    fits_in_one_epoch.
+    vanish — zero-share strata likewise stay in the table with a zero
+    request rather than disappearing; negative shares raise). Output
+    per mix stratum: n_docs, tokens_available, target_share,
+    tokens_requested, epochs_needed (round 6), fits_in_one_epoch.
     """
-    shares = {k: float(v) for k, v in target_mix.items() if v > 0}
+    negative = {k: v for k, v in target_mix.items() if float(v) < 0}
+    if negative:
+        raise ValueError(f"target_mix shares must be >= 0, got {negative}")
+    shares = {k: float(v) for k, v in target_mix.items()}
     ssum = sum(shares.values())
     if not shares or abs(ssum - 1.0) > 1e-6:
         raise ValueError(f"target_mix shares must sum to 1, got {ssum}")

@@ -159,8 +159,10 @@ def run_corpus_curation_pipeline(
     ``audit_path`` writes the funnel's AUDIT TRAIL: one (doc_id,
     dropped_at) row per dropped document, naming the stage that removed
     it — the provenance answer to "why is doc X not in my training
-    set". Built from anti-joins of consecutive stage snapshots (all
-    persisted, so each is a cached-probe join); drops are attributed to
+    set". Built from anti-joins of consecutive stage snapshots (every
+    intermediate snapshot is persisted, so each anti-join probes a
+    cache; the source end costs one doc_id-pruned re-scan); drops are
+    attributed to
     the FIRST stage that removed the doc, and the audit rows plus the
     curated ids partition the source exactly (test-pinned).
     ``quality_model`` (a ``train_quality_classifier`` output dict) adds
@@ -406,18 +408,19 @@ def run_corpus_curation_pipeline(
         else:  # "pair" — validated at entry
             # drop the higher doc_id of each verified pair
             losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        curated = exact_kept.join(losers, "doc_id", "left_anti")
+        # persisted: the survivor set feeds the clustered write, the
+        # audit anti-join, and (when enabled) the semantic stage's
+        # embedding semi-join + k-means E/M rounds — without it the
+        # LSH/components loser lineage re-executes per consumer job
+        curated = exact_kept.join(losers, "doc_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        hygiene_caches.append(curated)
         snapshots.append(("neardup_removal", curated))
 
         n_after_semantic = None
         if semantic_eps is not None:
             from eligibility_etl_airflow_spark.operators import semdedup
-
-            # persisted: the survivor set feeds the embedding semi-join,
-            # the k-means E/M rounds, AND the final anti-join + write —
-            # without it the LSH/components lineage re-executes per job
-            curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
-            hygiene_caches.append(curated)
             emb = (
                 embeddings
                 if embeddings is not None
@@ -445,9 +448,12 @@ def run_corpus_curation_pipeline(
         n_curated = spark.read.parquet(out_path).count()
         if audit_path is not None:
             # which stage dropped each doc: anti-join consecutive stage
-            # snapshots (all persisted, so each is one cached-probe join)
-            # and union the labeled drops — the curation funnel's audit
-            # trail, (doc_id, dropped_at), one row per dropped doc
+            # snapshots and union the labeled drops — the curation
+            # funnel's audit trail, (doc_id, dropped_at), one row per
+            # dropped doc. Every intermediate snapshot is persisted, so
+            # each anti-join is a cached-probe join; the "source" end
+            # re-reads the documents parquet once, column-pruned to
+            # doc_id (the one honest extra scan the audit costs)
             dropped = None
             for (_, prev_df), (name, cur_df) in zip(snapshots, snapshots[1:]):
                 d_ids = (

@@ -431,7 +431,12 @@ def merge_corpora_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     split into three tiers by source number (the test vehicle for
     curated > books > crawl), merged back with highest-priority-wins
     per content hash, min doc_id tie-break. One union + one
-    hash-partitioned window — exact-dedup cost."""
+    hash-partitioned window — exact-dedup cost. The tiered relation is
+    persisted so the three filter branches probe one cached scan
+    instead of re-reading the parquet (and re-running the tier regex)
+    per corpus."""
+    from pyspark import StorageLevel
+
     from eligibility_etl_airflow_spark.operators import dedup
 
     # digit-less sources tier to 0 in BOTH engines (coalesce over
@@ -445,7 +450,7 @@ def merge_corpora_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         )
         % 3,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     corpora = [
         (f"tier{p}", p, d.filter(F.col("pr") == p).select("doc_id", "text"))
         for p in (2, 1, 0)

@@ -307,6 +307,21 @@ def test_merge_corpora_priority_tie_breaks_on_id(spark):
     assert len(merged) == 1 and merged[0]["doc_id"] == 3  # equal priority → min id
 
 
+def test_merge_corpora_priority_full_tie_breaks_on_corpus(spark):
+    # independent corpora routinely share 1-based id spaces: on a full
+    # (priority, id) tie the corpus name is the last deterministic key,
+    # so the provenance column cannot flap between runs
+    from eligibility_etl_airflow_spark.operators import dedup
+
+    a = spark.createDataFrame([(1, "same body")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "same body")], "doc_id long, text string")
+    merged = dedup.merge_corpora_priority(
+        [("zeta", 1, a), ("alpha", 1, b)], "doc_id", "text"
+    ).collect()
+    assert len(merged) == 1
+    assert merged[0]["corpus"] == "alpha" and merged[0]["n_copies"] == 2
+
+
 # ------------------------------------------------------- n-gram novelty
 
 
@@ -387,3 +402,22 @@ def test_plan_data_budget_math_and_alarms(spark):
         sampling.plan_data_budget(df, "domain", "n_tokens", {"web": 0.5}, 400)
     with pytest.raises(ValueError, match="budget"):
         sampling.plan_data_budget(df, "domain", "n_tokens", {"web": 1.0}, 0)
+    # a negative share must raise, not be silently dropped into a mix
+    # that happens to re-sum to 1
+    with pytest.raises(ValueError, match=">= 0"):
+        sampling.plan_data_budget(
+            df, "domain", "n_tokens", {"web": 0.5, "code": 0.5, "books": -0.1}, 400
+        )
+    # a zero-share stratum stays IN the plan (zero request), it does
+    # not vanish — omission is the failure mode the table exists to
+    # prevent
+    zplan = {
+        r["stratum"]: r
+        for r in sampling.plan_data_budget(
+            df, "domain", "n_tokens", {"web": 1.0, "code": 0.0}, 400
+        ).collect()
+    }
+    assert set(zplan) == {"web", "code"}
+    assert zplan["code"]["tokens_requested"] == 0
+    assert zplan["code"]["fits_in_one_epoch"] == 1
+    assert zplan["code"]["epochs_needed"] == 0.0
