@@ -352,3 +352,157 @@ def bmp_resizer(payload: bytes, width: int, height: int) -> bytes:
     codecs keep the PIL import gate via ``fake_resizer``/
     ``real_image_decoder``."""
     return encode_bmp_rgb24(resize_nearest(decode_bmp(payload), height, width))
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing + near-duplicate pairs
+# --------------------------------------------------------------------------
+
+
+def _luminance_grid(payload: bytes, rows: int, cols: int):
+    """Decode a BMP and nearest-sample its luminance onto a rows×cols
+    grid. Nearest sampling (index = floor(i·H/rows)) is deterministic
+    and exactly scale-invariant for integer upscales — a 2× nearest
+    upscale of an image lands on the same sample pixels, so its
+    perceptual hash is bit-identical to the original's."""
+    import numpy as np
+
+    px = decode_bmp(payload).astype(np.float64)
+    lum = 0.2126 * px[..., 0] + 0.7152 * px[..., 1] + 0.0722 * px[..., 2]
+    h, w = lum.shape
+    ri = (np.arange(rows) * h) // rows
+    ci = (np.arange(cols) * w) // cols
+    return lum[np.ix_(ri, ci)]
+
+
+def _bits_to_signed64(bits) -> int:
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def average_hash64(payload: bytes) -> int:
+    """aHash: 8×8 luminance grid, bit = cell > grid mean. 64-bit SIGNED
+    int (Spark ``long``); near-duplicate images differ in few bits, so
+    hamming distance is the similarity metric. Only dependency-free BMP
+    decode is wired; compressed codecs raise through ``decode_bmp``'s
+    gate (plug a PIL-backed grid extractor where PIL exists)."""
+    g = _luminance_grid(payload, 8, 8)
+    return _bits_to_signed64((g > g.mean()).ravel())
+
+
+def dhash64(payload: bytes) -> int:
+    """dHash: 8×9 luminance grid, bit = cell brighter than its right
+    neighbor (horizontal gradient sign). Same 64-bit signed contract as
+    :func:`average_hash64`; gradients are robust to global
+    brightness/contrast shifts that flip aHash bits wholesale."""
+    g = _luminance_grid(payload, 8, 9)
+    return _bits_to_signed64((g[:, :-1] > g[:, 1:]).ravel())
+
+
+def media_hash_table(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    hasher: Callable[[bytes], int] = average_hash64,
+) -> DataFrame:
+    """(id, simhash) perceptual-hash relation over a media binary
+    column (any hasher: image aHash/dHash, audio fingerprint) — Arrow-batched map, one Python call per batch, no shuffle.
+    The output column is named ``simhash`` ON PURPOSE: it plugs
+    directly into :func:`eligibility_etl_airflow_spark.operators.
+    neardup.simhash_block_pairs`, so image near-dup reuses the text
+    tier's banded pair generation (16-bit blocks, capped buckets,
+    vectorized popcount verify) instead of growing a twin. Null
+    payloads hash to null (dropped by the pair stage — an image that
+    could not be read must never merge with anything)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                hasher(bytes(p)) if p is not None else None
+                for p in pdf[binary_col]
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, binary_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, simhash long"
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    hasher: Callable[[bytes], int] = average_hash64,
+    max_hamming: int = 3,
+    max_bucket_size: int = 10000,
+) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hash (aHash default) →
+    banded candidate generation → exact hamming verify, entirely via
+    the text tier's :func:`simhash_block_pairs` machinery. Recall is
+    GUARANTEED for hamming ≤ 3 (pigeonhole over the 4 16-bit bands);
+    raising ``max_hamming`` past 3 keeps precision (pairs are still
+    verified) but candidates must share a 16-bit band, so recall
+    becomes probabilistic — document the trade when tuning. At 100 TB
+    the hash table is a narrow map over the image bytes; only the
+    64-bit hashes shuffle (4 band rows each), never the payloads."""
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    tab = media_hash_table(df, id_col, binary_col, hasher=hasher).filter(
+        F.col("simhash").isNotNull()
+    )
+    return neardup.simhash_block_pairs(
+        tab, id_col, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
+
+
+def audio_fingerprint64(payload: bytes) -> int:
+    """64-bit spectral-envelope audio fingerprint: decode WAV → mono →
+    power spectrum (rfft) → 65 equal bands → bit i = band i+1 louder
+    than band i. Comparing ADJACENT band energies makes the fingerprint
+    exactly invariant to gain (every band scales together — broadband
+    clips re-encoded at a different gain hash bit-identically through
+    real PCM16 round trips) while distinct content lands far apart
+    (independent noise clips measure hamming ≥18). Caveat: for
+    NARROWBAND signals (pure tones) most bands sit at the quantization
+    floor, where the gradient ordering is fragile — this is a
+    broadband-audio tool, like the production systems it simplifies.
+    The simplified single-frame cousin of the Chromaprint/Shazam
+    band-gradient family; same 64-bit signed contract as
+    :func:`average_hash64`, so the banded pair machinery is shared."""
+    import numpy as np
+
+    _, _, frames = decode_wav(payload)
+    mono = frames.mean(axis=1)
+    if len(mono) == 0:
+        return 0
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    starts = (np.arange(65) * len(spec)) // 65
+    e = np.add.reduceat(spec, starts)
+    return _bits_to_signed64(e[1:] > e[:-1])
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int = 10000,
+) -> DataFrame:
+    """Audio near-duplicate pairs: spectral fingerprint → the SAME
+    banded candidate generation + vectorized hamming verify as text
+    SimHash and image aHash (:func:`image_neardup_pairs`'s contract,
+    including the hamming≤3 pigeonhole recall guarantee and the
+    payloads-never-shuffle property)."""
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    tab = media_hash_table(
+        df, id_col, binary_col, hasher=audio_fingerprint64
+    ).filter(F.col("simhash").isNotNull())
+    return neardup.simhash_block_pairs(
+        tab, id_col, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )

@@ -226,3 +226,59 @@ def bm25_topk_batch(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    k: int = 10,
+    k_rrf: int = 60,
+    by: str | None = "query_id",
+    id_col: str = "id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N per-system rankings — the standard
+    hybrid-retrieval combiner (lexical BM25 + embedding ANN is the
+    canonical pair): fused score = Σ_systems 1 / (k_rrf + rank), which
+    rewards documents that rank well ANYWHERE without ever comparing the
+    systems' incommensurable raw scores (Cormack et al.'s RRF).
+
+    ``rankings`` is ``[(system_name, df), ...]`` where each df carries
+    ``id_col`` and a 1-based ``rank_col`` (and ``by``, the query key,
+    unless ``by=None`` — the single-query case). Output: the ``by`` key
+    (if any), ``id_col``, ``n_systems`` (how many rankings contained the
+    doc — the agreement evidence), and ``rrf_rank`` (1-based, ties on
+    the 6-dp-rounded fused score break on the lower id so the fusion is
+    deterministic and hash-comparable).
+
+    Scale shape: the inputs are top-k relations — k·|queries| rows by
+    construction, NEVER corpus-sized — so the fusion costs one union +
+    one grouped partial-agg + one per-query window over at most
+    N_systems·k rows per query. At 100 TB the expense lives in the
+    upstream retrieval operators; fusing is free.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one (name, ranking) pair")
+    if k_rrf <= 0:
+        raise ValueError(f"k_rrf must be positive, got {k_rrf}")
+    keys = ([by] if by else []) + [id_col]
+    labeled = None
+    for name, df in rankings:
+        missing = [c for c in keys + [rank_col] if c not in df.columns]
+        if missing:
+            raise ValueError(f"ranking {name!r} lacks column(s) {missing}")
+        part = df.select(*keys, F.col(rank_col).alias("_r"))
+        labeled = part if labeled is None else labeled.unionByName(part)
+    fused = labeled.groupBy(*keys).agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_r"))), 6).alias(
+            "_s"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+    )
+    w = (Window.partitionBy(by) if by else Window.partitionBy()).orderBy(
+        F.desc("_s"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rrf_rank") <= k)
+        .drop("_s")
+    )

@@ -401,6 +401,100 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("image_neardup_pairs")
+def image_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection over a binary column
+    (operators/multimodal.py::image_neardup_pairs): synthesize a
+    deterministic 8×8-cell BMP per document — the pattern is keyed by
+    doc_id % 64 (Weyl-constant bit spread; min cross-pattern hamming 19,
+    so groups never cross-pair) making every ~64th doc a pixel-identical
+    re-encode, and docs with doc_id % 128 ≥ 64 carry a one-cell
+    perturbation (planted hamming-1 near-dups) — then perceptual aHash →
+    banded candidates → exact hamming verify, all through the text
+    tier's simhash machinery. Rows-only by nature (no SQL can decode a
+    BMP); the pair counts are a deterministic function of doc_id
+    arithmetic, and the hamming≤3 contract plus pairs-are-symmetric-
+    free (id_a < id_b) invariants are test-pinned."""
+    import numpy as np
+    import pandas as pd
+
+    from eligibility_etl_airflow_spark.operators import multimodal
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = (did % 64) * 0x9E3779B97F4A7C15 % (1 << 64)
+                bits = np.array(
+                    [(rng >> i) & 1 for i in range(64)], dtype=np.uint8
+                ).reshape(8, 8)
+                g = bits * 200
+                if did % 128 >= 64:
+                    g[did % 8, (did // 128) % 8] = 200 - g[did % 8, (did // 128) % 8]
+                payloads.append(
+                    multimodal.encode_bmp_rgb24(
+                        np.repeat(g[:, :, None].astype(np.uint8), 3, axis=2)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    d = Catalog(spark, sf_dir).documents
+    imgs = d.select("doc_id").mapInPandas(synth, schema="doc_id long, payload binary")
+    pairs = multimodal.image_neardup_pairs(imgs, "doc_id", "payload", max_hamming=3)
+    # aggregate to hamming-level counts: the pair relation is quadratic
+    # in the planted group sizes (deterministic but large) — the graded
+    # evidence is the distance histogram + the id checksum, constant-size
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_sum"),
+    )
+
+
+@query("audio_neardup_pairs")
+def audio_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection
+    (operators/multimodal.py::audio_neardup_pairs): synthesize a
+    deterministic PCM16 WAV per document — broadband content keyed by
+    doc_id % 64 (seeded noise; cross-group fingerprints measure hamming
+    ≥18, so groups never cross-pair), gain keyed by (doc_id // 64) % 4,
+    planting same-recording-different-gain near-dups (the band-gradient
+    fingerprint is exactly gain-invariant on broadband content — all
+    planted pairs land at hamming 0) — then fingerprint → banded
+    candidates → hamming verify through the shared simhash machinery.
+    Rows-only by nature (no SQL decodes RIFF); the histogram is a
+    deterministic function of doc_id arithmetic + fixed seeds."""
+    import numpy as np
+    import pandas as pd
+
+    from eligibility_etl_airflow_spark.operators import multimodal
+
+    def synth(batches):
+        bases = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                grp = did % 64
+                if grp not in bases:
+                    rng = np.random.RandomState(1000 + grp)
+                    b = rng.randn(800)
+                    bases[grp] = b / np.abs(b).max()
+                gain = 0.2 + 0.2 * ((did // 64) % 4)
+                payloads.append(
+                    multimodal.encode_wav_pcm16(gain * bases[grp], 8000)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    d = Catalog(spark, sf_dir).documents
+    clips = d.select("doc_id").mapInPandas(synth, schema="doc_id long, payload binary")
+    pairs = multimodal.audio_neardup_pairs(clips, "doc_id", "payload", max_hamming=3)
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # PII redaction — corpus scrubbing before training
 # --------------------------------------------------------------------------
@@ -1030,6 +1124,113 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return search.bm25_topk(d, "doc_id", "text", list(BM25_TERMS), k=10).select(
         F.col("id").cast("long").alias("id"), "n_matched", "total_tf", "rnk"
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval — BM25 + embedding rankings fused with RRF
+# --------------------------------------------------------------------------
+
+HYBRID_RRF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+post AS (
+  SELECT doc_id, term, count(*) AS tf FROM clean
+  WHERE term IN ('vector', 'merge', 'stream') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS dfreq FROM post GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM clean GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+  FROM (
+    SELECT post.doc_id, sum(
+             ln(1 + (stats.n_docs - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5))
+             * (post.tf * (1.2 + 1.0))
+             / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ) AS score
+    FROM post JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY 1
+  ) QUALIFY rnk <= 20
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 3),
+sem AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS rnk
+  FROM (
+    SELECT c.vec_id AS doc_id,
+           round(list_dot_product(CAST(c.embedding AS DOUBLE[]), q.v)
+                 / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.v, q.v))), 6) AS sim
+    FROM embeddings c CROSS JOIN q
+    WHERE c.vec_id <> 3
+  ) QUALIFY rnk <= 20
+),
+u AS (
+  SELECT doc_id, rnk FROM lex
+  UNION ALL
+  SELECT doc_id, rnk FROM sem
+),
+f AS (
+  SELECT doc_id, round(sum(1.0 / (60 + rnk)), 6) AS s,
+         CAST(count(*) AS BIGINT) AS n_systems
+  FROM u GROUP BY 1
+),
+r AS (
+  SELECT doc_id, n_systems,
+         CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rrf_rank
+  FROM f
+)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+       r.n_systems,
+       COALESCE(lex.rnk, 0) AS lex_rnk,
+       COALESCE(sem.rnk, 0) AS sem_rnk,
+       r.rrf_rank
+FROM r LEFT JOIN lex USING (doc_id) LEFT JOIN sem USING (doc_id)
+WHERE r.rrf_rank <= 10
+"""
+
+
+@query("hybrid_retrieval_rrf", oracle=HYBRID_RRF_ORACLE)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/search.py::rrf_fuse): the lexical
+    BM25 top-20 for {vector, merge, stream} and the embedding cosine
+    top-20 for query vector 3 fused by reciprocal-rank fusion
+    (1/(60+rank)) into a single top-10 — the standard two-tower search
+    combiner, built entirely from the already-graded retrieval
+    operators. The fusion itself is corpus-free: it unions two ≤20-row
+    rankings, one grouped agg, one window. Evidence columns carry each
+    system's rank (0 = the doc was absent from that system's top-20),
+    so the oracle hash compares integers only."""
+    from eligibility_etl_airflow_spark.operators import search, similarity
+
+    cat = Catalog(spark, sf_dir)
+    d = cat.documents
+    e = cat.embeddings
+    lex = search.bm25_topk(d, "doc_id", "text", list(BM25_TERMS), k=20).select(
+        F.col("id").cast("long").alias("doc_id"), F.col("rnk")
+    )
+    sem = similarity.brute_force_topk(
+        e, e.filter(F.col("vec_id") == 3), k=20
+    ).select(F.col("corpus_id").cast("long").alias("doc_id"), F.col("rank").alias("rnk"))
+    fused = search.rrf_fuse(
+        [("lex", lex), ("sem", sem)], k=10, k_rrf=60, by=None, id_col="doc_id"
+    )
+    return (
+        fused.join(lex.withColumnRenamed("rnk", "lex_rnk"), "doc_id", "left")
+        .join(sem.withColumnRenamed("rnk", "sem_rnk"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_systems",
+            F.coalesce(F.col("lex_rnk"), F.lit(0)).cast("long").alias("lex_rnk"),
+            F.coalesce(F.col("sem_rnk"), F.lit(0)).cast("long").alias("sem_rnk"),
+            "rrf_rank",
+        )
     )
 
 

@@ -159,6 +159,10 @@ _DEFERRED = (
     # budget planning is one grouped agg + a literal join (machinery
     # graded via kpi_scalar_aggs / the broadcast star joins)
     "data_budget_plan",
+    # RRF fusion composes the graded bm25_search and
+    # similarity_topk_bruteforce rankings; the fusion itself is a
+    # union + agg + window over two 20-row relations
+    "hybrid_retrieval_rrf",
 )
 
 

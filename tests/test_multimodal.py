@@ -195,3 +195,102 @@ def test_bmp_resize_roundtrip_in_spark(spark):
     assert out[2] is None
     got = mm.decode_bmp(bytes(out[1]))
     assert (got == px[[0, 2, 4]][:, [0, 2, 4]]).all()
+
+
+# ------------------------------------------------- perceptual image hashing
+
+
+def _grid_bmp(cells):
+    """8x8 grid of grayscale cell values -> 8x8 BMP (1 px per cell)."""
+    import numpy as np
+
+    g = np.asarray(cells, dtype=np.uint8)
+    return multimodal.encode_bmp_rgb24(np.repeat(g[:, :, None], 3, axis=2))
+
+
+def _checkerboard(flip=()):
+    import numpy as np
+
+    g = np.fromfunction(lambda r, c: ((r + c) % 2) * 200, (8, 8)).astype(np.uint8)
+    for r, c in flip:
+        g[r, c] = 200 - g[r, c]
+    return g
+
+
+def test_ahash_scale_invariant_under_nearest_upscale():
+    import numpy as np
+
+    g = _checkerboard()
+    small = multimodal.encode_bmp_rgb24(np.repeat(g[:, :, None], 3, axis=2))
+    big = multimodal.encode_bmp_rgb24(
+        np.repeat(np.kron(g, np.ones((2, 2), dtype=np.uint8))[:, :, None], 3, axis=2)
+    )
+    assert multimodal.average_hash64(small) == multimodal.average_hash64(big)
+
+
+def test_ahash_hamming_tracks_planted_cell_flips():
+    a = multimodal.average_hash64(_grid_bmp(_checkerboard()))
+    a2 = multimodal.average_hash64(_grid_bmp(_checkerboard(flip=[(0, 0), (3, 4)])))
+    inv = multimodal.average_hash64(_grid_bmp(200 - _checkerboard()))
+    ham = bin((a ^ a2) & ((1 << 64) - 1)).count("1")
+    assert ham == 2
+    assert bin((a ^ inv) & ((1 << 64) - 1)).count("1") == 64
+
+
+def test_dhash_invariant_to_global_brightness_shift():
+    import numpy as np
+
+    g = _checkerboard().astype(np.int32)
+    shifted = np.clip(g + 40, 0, 255).astype(np.uint8)
+    d1 = multimodal.dhash64(_grid_bmp(g.astype(np.uint8)))
+    d2 = multimodal.dhash64(_grid_bmp(shifted))
+    assert d1 == d2
+
+
+def test_image_neardup_pairs_planted(spark):
+    # A and its 2-bit-flip twin pair up (hamming 2 <= 3); the inverted
+    # board (hamming 64) never pairs with either
+    payloads = [
+        (1, _grid_bmp(_checkerboard())),
+        (2, _grid_bmp(_checkerboard(flip=[(0, 0), (3, 4)]))),
+        (3, _grid_bmp(200 - _checkerboard())),
+        (4, None),  # unreadable image must never merge with anything
+    ]
+    df = spark.createDataFrame(payloads, "img_id long, payload binary")
+    pairs = multimodal.image_neardup_pairs(df, "img_id", "payload").collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 2)]
+
+
+# ------------------------------------------------- audio fingerprinting
+
+
+def _noise_wav(seed, gain=0.5, n=800, rate=8000):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n)
+    return multimodal.encode_wav_pcm16(gain * base / np.abs(base).max(), rate)
+
+
+def test_audio_fingerprint_gain_invariant_and_discriminative():
+    # broadband content: gain re-encode is bit-identical; independent
+    # clips are far apart (the operator docstring's measured contract)
+    quiet = multimodal.audio_fingerprint64(_noise_wav(7, gain=0.2))
+    loud = multimodal.audio_fingerprint64(_noise_wav(7, gain=0.9))
+    other = multimodal.audio_fingerprint64(_noise_wav(8, gain=0.5))
+    mask = (1 << 64) - 1
+    assert quiet == loud  # same recording, new gain
+    assert bin((quiet ^ other) & mask).count("1") > 10  # different content
+
+
+def test_audio_neardup_pairs_planted(spark):
+    rows = [
+        (1, _noise_wav(7, gain=0.2)),
+        (2, _noise_wav(7, gain=0.9)),  # near-dup of 1 (gain change)
+        (3, _noise_wav(8)),  # different content — never pairs
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, payload binary")
+    pairs = multimodal.audio_neardup_pairs(df, "clip_id", "payload").collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["hamming"] <= 3

@@ -396,3 +396,46 @@ def test_unigram_lm_matches_python_reference(spark):
     assert set(got) == set(expect)
     for i in got:
         assert got[i] == pytest.approx(expect[i], rel=1e-12)
+
+
+# ---------------------------------------------------------------- RRF fusion
+
+
+def test_rrf_fuse_hand_computed_single_query(spark):
+    # lex ranks docs (1,2,3)=(1,2,3); sem ranks (3,4)=(1,2).
+    # RRF(60): doc3 = 1/63 + 1/61 ≈ 0.032264 wins over doc1 = 1/61,
+    # doc4 = 1/62, doc2 = 1/62 — doc2/doc4 tie on score, id breaks it.
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rnk long"
+    )
+    sem = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rnk long")
+    out = search.rrf_fuse(
+        [("lex", lex), ("sem", sem)], k=10, by=None, id_col="doc_id"
+    ).collect()
+    got = {r["doc_id"]: (r["n_systems"], r["rrf_rank"]) for r in out}
+    assert got[3] == (2, 1)  # ranked by both systems → fused winner
+    assert got[1] == (1, 2)  # 1/61 beats the 1/62 pair
+    assert got[2] == (1, 3) and got[4] == (1, 4)  # tie → lower id first
+
+
+def test_rrf_fuse_per_query_partitioning(spark):
+    # two queries fused independently: ranks never leak across queries
+    a = spark.createDataFrame(
+        [("q1", 10, 1), ("q2", 20, 1)], "query_id string, id long, rnk long"
+    )
+    b = spark.createDataFrame(
+        [("q1", 10, 1), ("q2", 30, 1)], "query_id string, id long, rnk long"
+    )
+    out = search.rrf_fuse([("a", a), ("b", b)], k=1).collect()
+    got = {r["query_id"]: (r["id"], r["n_systems"]) for r in out}
+    assert got == {"q1": (10, 2), "q2": (20, 1)}  # q2 tie → lower id
+
+
+def test_rrf_fuse_contracts(spark):
+    df = spark.createDataFrame([(1, 1)], "doc_id long, rnk long")
+    with pytest.raises(ValueError, match="at least one"):
+        search.rrf_fuse([])
+    with pytest.raises(ValueError, match="k_rrf"):
+        search.rrf_fuse([("a", df)], k_rrf=0, by=None, id_col="doc_id")
+    with pytest.raises(ValueError, match="lacks column"):
+        search.rrf_fuse([("a", df)], by=None, id_col="missing_id")
