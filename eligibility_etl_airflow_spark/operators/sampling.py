@@ -105,6 +105,35 @@ def assign_split(
     )
 
 
+def assign_split_by_group(
+    df: DataFrame,
+    group_col: str,
+    test_frac: float = 0.1,
+    seed: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test split at GROUP granularity: membership is a pure
+    function of (seed, group key), so an entire group — a near-dup
+    cluster, a domain, an author — lands on ONE side of the split.
+
+    This is the split :func:`assign_split` cannot give you when rows
+    are correlated: hashing doc ids puts two near-duplicate documents
+    on opposite sides with probability 2·f·(1−f), and a test document
+    whose near-twin was trained on is leakage the doc-level split
+    cannot see. Pass ``group_col`` = the component label from
+    ``operators/components.attach_components`` (or any correlation key)
+    and the straddle probability is zero by construction.
+
+    Same md5-prefix mechanics and DuckDB-exact portability as
+    ``assign_split``; null groups go to train for the same reason null
+    ids do (an unkeyed row cannot be leakage-checked, so it must never
+    be in the eval set). Map-only — the cost was paid upstream by
+    whatever produced the group labels."""
+    return assign_split(
+        df, group_col, test_frac=test_frac, seed=seed, split_col=split_col
+    )
+
+
 def ranged_partition_offsets(
     df: DataFrame,
     order_by: list[str],

@@ -596,3 +596,37 @@ def data_budget_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
         total_token_budget=2_000_000,
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe split — whole near-dup clusters on one side of train/test
+# --------------------------------------------------------------------------
+
+LEAKAGE_SAFE_SPLIT_ORACLE = f"""
+WITH labels AS ({CC_ORACLE})
+SELECT doc_id, cluster_id,
+       CASE WHEN substring(md5('split-v1' || '|' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                 < '19999999'
+            THEN 'test' ELSE 'train' END AS split
+FROM labels
+"""
+
+
+@query("leakage_safe_split", oracle=LEAKAGE_SAFE_SPLIT_ORACLE)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-granular train/test split (operators/sampling.py::
+    assign_split_by_group over operators/components labels): near-dup
+    components from the blocked 3-gram-Jaccard graph, then split
+    membership hashed from the CLUSTER id — two near-duplicate
+    documents can never land on opposite sides, the leakage mode a
+    doc-id split admits with probability 2f(1-f) per duplicated pair.
+    The split itself is map-only; the oracle recomputes the full
+    closure (recursive CTE) plus the md5 threshold, so the composition
+    is graded end to end."""
+    from eligibility_etl_airflow_spark.operators import sampling
+    from eligibility_etl_airflow_spark.plans.llm_pipeline import (
+        blocked_component_labels,
+    )
+
+    _, labels = blocked_component_labels(spark, sf_dir)
+    return sampling.assign_split_by_group(labels, "cluster_id", test_frac=0.1)

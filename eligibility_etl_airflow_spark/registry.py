@@ -163,6 +163,9 @@ _DEFERRED = (
     # similarity_topk_bruteforce rankings; the fusion itself is a
     # union + agg + window over two 20-row relations
     "hybrid_retrieval_rrf",
+    # cluster-granular split rides the graded components closure
+    # (dedup_connected_components) + train_test_split_hash's md5 draw
+    "leakage_safe_split",
 )
 
 

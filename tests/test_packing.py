@@ -209,3 +209,33 @@ def test_weighted_sample_proportional_deterministic(spark):
     assert [r.k for r in got] == [1]
     with pytest.raises(ValueError, match="k must"):
         sampling.weighted_sample_deterministic(small, "k", "w", k=0)
+
+
+def test_assign_split_by_group_never_straddles(spark):
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    # 200 docs in 40 clusters of 5; the doc-level split WILL straddle
+    # some cluster (probabilistically certain at this size for 30%
+    # test), the group-level split NEVER can
+    rows = [(i, i // 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    by_doc = sampling.assign_split(df, "doc_id", test_frac=0.3)
+    by_grp = sampling.assign_split_by_group(df, "cluster_id", test_frac=0.3)
+
+    def straddled(out):
+        from pyspark.sql import functions as F
+
+        return (
+            out.groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+
+    assert straddled(by_doc) > 0  # the leakage mode being closed
+    assert straddled(by_grp) == 0  # closed by construction
+
+    # null group key -> train (unkeyed rows must never reach eval)
+    n = spark.createDataFrame([(1, None)], "doc_id long, cluster_id long")
+    out = sampling.assign_split_by_group(n, "cluster_id", test_frac=0.99).collect()
+    assert out[0]["split"] == "train"
