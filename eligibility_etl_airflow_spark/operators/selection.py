@@ -106,3 +106,79 @@ def gumbel_topk_select(
     gumbel = -F.log(-F.log(hash_uniform(seed, id_col)))
     keyed = weights.withColumn(key_col, F.round(F.col(logw_col) + gumbel, 6))
     return keyed.orderBy(F.desc(key_col), F.asc(id_col)).limit(k)
+
+
+def rank_normalize_blend(
+    df: DataFrame,
+    id_col: str,
+    signals: dict,
+    weights: dict | None = None,
+    out_col: str = "blend",
+) -> DataFrame:
+    """Ensemble quality scoring by RANK fusion: each signal (a Column
+    expression, higher = better) is converted to its corpus percentile
+    — percent_rank with min-rank ties, i.e. (#rows strictly below) /
+    (n−1) — and the blend is the weighted mean of the percentiles.
+    Rank-normalizing first is what makes heterogeneous signals (a 0-1
+    heuristic score, a token count, a negated NLL) commensurable; raw
+    z-scores or min-max are dominated by outliers and scale choices.
+
+    Plan shape (the scale story): percent_rank via a GLOBAL window
+    would single-reduce the corpus, so each signal instead pays
+    (a) one grouped count per DISTINCT VALUE (map-side combine — for
+    quantized signals like token counts or rounded scores this relation
+    is far smaller than the corpus), (b) a running-sum window over that
+    distinct-value relation only, and (c) one join back on the value.
+    The corpus shuffles once per signal on the value key; nothing
+    data-proportional reaches the driver but the row count (one
+    scalar). Ties share the min rank, matching SQL percent_rank
+    exactly, so a DuckDB twin can grade the fusion.
+
+    ``signals`` maps name → Column; ``weights`` maps name → float
+    (default: equal). Output: ``id_col``, ``pr_<name>`` per signal
+    (rounded 6 dp), and ``out_col`` = round(Σ w·pr / Σ w, 6) computed
+    from the ROUNDED percentiles so both engines agree bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    if not signals:
+        raise ValueError("rank_normalize_blend requires at least one signal")
+    w = dict(weights) if weights is not None else {k: 1.0 for k in signals}
+    if set(w) != set(signals):
+        raise ValueError(
+            f"weights keys {sorted(w)} must match signal keys {sorted(signals)}"
+        )
+    if any(v < 0 for v in w.values()) or sum(w.values()) <= 0:
+        raise ValueError(f"weights must be >= 0 with a positive sum, got {w}")
+
+    from pyspark import StorageLevel
+
+    # persisted: the staged signal relation feeds one value-aggregate
+    # and one join-back PER SIGNAL — without the cache every consumer
+    # re-runs the (typically regex-heavy) signal expressions over the
+    # corpus; the count() below materializes it
+    cur = df.select(
+        F.col(id_col), *[c.alias(name) for name, c in signals.items()]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = cur.count()  # one scalar to the driver — the rank denominator
+    denom = float(max(n - 1, 1))
+    for name in signals:
+        vals = cur.groupBy(name).agg(F.count(F.lit(1)).alias("_c"))
+        win = Window.orderBy(name).rowsBetween(Window.unboundedPreceding, -1)
+        ranks = vals.select(
+            name,
+            F.round(
+                F.coalesce(F.sum("_c").over(win), F.lit(0)) / F.lit(denom), 6
+            ).alias(f"pr_{name}"),
+        )
+        cur = cur.join(ranks, name)
+    total = sum(w.values())
+    blend = None
+    for name in signals:
+        term = F.col(f"pr_{name}") * F.lit(w[name] / total)
+        blend = term if blend is None else blend + term
+    return cur.select(
+        id_col,
+        *[F.col(f"pr_{name}") for name in signals],
+        F.round(blend, 6).alias(out_col),
+    )

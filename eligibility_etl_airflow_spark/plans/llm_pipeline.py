@@ -96,6 +96,55 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_BLEND_ORACLE = f"""
+WITH q AS ({QUALITY_ORACLE})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(percent_rank() OVER (ORDER BY quality), 6) AS pr_quality,
+       round(percent_rank() OVER (ORDER BY n_tokens_bpe), 6) AS pr_length_bpe,
+       round(percent_rank() OVER (
+           ORDER BY n_stopwords * 1.0 / greatest(n_tokens, 1)), 6)
+           AS pr_stop_density,
+       round(round(percent_rank() OVER (ORDER BY quality), 6) * (1.0/3.0)
+           + round(percent_rank() OVER (ORDER BY n_tokens_bpe), 6) * (1.0/3.0)
+           + round(percent_rank() OVER (
+                 ORDER BY n_stopwords * 1.0 / greatest(n_tokens, 1)), 6)
+             * (1.0/3.0), 6) AS blend
+FROM q
+"""
+
+
+@query("quality_rank_blend", oracle=QUALITY_BLEND_ORACLE)
+def quality_rank_blend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality scoring (operators/selection.py::
+    rank_normalize_blend): the heuristic quality score, BPE length, and
+    stopword density each rank-normalized to its corpus percentile
+    (min-rank ties — SQL percent_rank semantics, computed scalably as
+    distinct-value counts + a running sum over the value relation, no
+    corpus-sized global window), blended as the equal-weight mean. The
+    oracle recomputes every percentile AND the fusion arithmetic with
+    the same rounding, so parity grades tie handling end to end."""
+    from eligibility_etl_airflow_spark.operators import selection
+
+    d = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    t = F.col("text")
+    signals = {
+        "quality": text.quality_score(t),
+        "length_bpe": text.token_count_bpe(t).cast("long"),
+        "stop_density": text.stopword_count(t)
+        / F.greatest(text.token_count_ws(t), F.lit(1)),
+    }
+    out = selection.rank_normalize_blend(d, "doc_id", signals)
+    return out.select(
+        "doc_id",
+        F.col("pr_quality"),
+        F.col("pr_length_bpe").alias("pr_length_bpe"),
+        F.col("pr_stop_density"),
+        "blend",
+    )
+
+
 # --------------------------------------------------------------------------
 # Language ID (marker-word heuristic)
 # --------------------------------------------------------------------------

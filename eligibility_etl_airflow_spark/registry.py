@@ -166,6 +166,10 @@ _DEFERRED = (
     # cluster-granular split rides the graded components closure
     # (dedup_connected_components) + train_test_split_hash's md5 draw
     "leakage_safe_split",
+    # rank fusion composes the graded quality signals
+    # (text_quality_scores) with percent_rank machinery graded via
+    # rank_family_windows
+    "quality_rank_blend",
 )
 
 

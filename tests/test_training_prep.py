@@ -421,3 +421,57 @@ def test_plan_data_budget_math_and_alarms(spark):
     assert zplan["code"]["tokens_requested"] == 0
     assert zplan["code"]["fits_in_one_epoch"] == 1
     assert zplan["code"]["epochs_needed"] == 0.0
+
+
+# ------------------------------------------------------- rank-blend fusion
+
+
+def test_rank_normalize_blend_hand_computed_with_ties(spark):
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import selection
+
+    # values 10,20,20,40 -> cnt_less 0,1,1,3 over denom 3:
+    # percentiles 0, 1/3, 1/3, 1 (min-rank ties, SQL percent_rank)
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 40)], "id long, v long"
+    )
+    out = {
+        r["id"]: r
+        for r in selection.rank_normalize_blend(
+            df, "id", {"v": F.col("v")}
+        ).collect()
+    }
+    assert out[1]["pr_v"] == 0.0 and out[4]["pr_v"] == 1.0
+    assert out[2]["pr_v"] == out[3]["pr_v"] == 0.333333
+    # single signal: blend == its percentile
+    assert all(out[i]["blend"] == out[i]["pr_v"] for i in out)
+
+
+def test_rank_normalize_blend_weights_and_contracts(spark):
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import selection
+
+    df = spark.createDataFrame(
+        [(1, 1, 4), (2, 2, 3), (3, 3, 2), (4, 4, 1)], "id long, a long, b long"
+    )
+    sigs = {"a": F.col("a"), "b": F.col("b")}
+    # a and b are perfectly anti-ranked: equal weights blend to a
+    # constant 0.5 for every row
+    eq = selection.rank_normalize_blend(df, "id", sigs).collect()
+    assert all(r["blend"] == 0.5 for r in eq)
+    # weight fully on a -> blend == pr_a
+    wa = selection.rank_normalize_blend(
+        df, "id", sigs, weights={"a": 1.0, "b": 0.0}
+    ).collect()
+    assert all(r["blend"] == r["pr_a"] for r in wa)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one"):
+        selection.rank_normalize_blend(df, "id", {})
+    with _pt.raises(ValueError, match="must match"):
+        selection.rank_normalize_blend(df, "id", sigs, weights={"a": 1.0})
+    with _pt.raises(ValueError, match="positive sum"):
+        selection.rank_normalize_blend(df, "id", sigs, weights={"a": 0.0, "b": 0.0})
