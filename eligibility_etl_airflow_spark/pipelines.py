@@ -537,6 +537,7 @@ def run_training_prep_pipeline(
     overlap: int = 8,
     budget: int = 512,
     test_frac: float = 0.1,
+    cluster_labels: DataFrame | None = None,
 ) -> dict:
     """From curated documents to packed training examples: chunk →
     document-level train/test split → per-split sequence packing →
@@ -550,6 +551,15 @@ def run_training_prep_pipeline(
     no pack mixes sides. Output is one parquet tree partitioned by
     ``split``, rows = (doc_id, chunk_idx, chunk_uid, n_chunk_tokens,
     pack_id, oversize, chunk_text).
+
+    ``cluster_labels`` (optional, (doc_id, cluster_id) — e.g. from
+    operators/components.attach_components over a near-dup pair graph)
+    raises the split granularity from document to CLUSTER: membership
+    hashes the cluster id (``assign_split_by_group``), so two
+    near-duplicate documents can never land on opposite sides — the
+    leakage mode a doc-id split admits whenever the corpus still
+    contains near-dups. Docs missing from the labels get a null cluster
+    and fall to train (an unlabeled doc cannot be leakage-checked).
 
     Scale shape: every stage is an already-argued operator (chunking is
     a scan-stage map; the split is map-only; packing is one shuffle into
@@ -567,12 +577,19 @@ def run_training_prep_pipeline(
         "chunk_uid",
         F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")),
     )
-    # the split hashes the DOCUMENT id, so applying it directly to the
-    # chunk rows IS the document-level split (membership = f(seed,
-    # doc_id)) — no join back to a docs-side assignment needed
-    chunks = sampling.assign_split(chunks, "doc_id", test_frac=test_frac).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the split hashes the DOCUMENT id (or the cluster id when labels
+    # are supplied), so applying it directly to the chunk rows IS the
+    # document/cluster-level split (membership = f(seed, key)) — no
+    # join back to a docs-side assignment needed
+    if cluster_labels is not None:
+        chunks = sampling.assign_split_by_group(
+            chunks.join(cluster_labels, "doc_id", "left"),
+            "cluster_id",
+            test_frac=test_frac,
+        )
+    else:
+        chunks = sampling.assign_split(chunks, "doc_id", test_frac=test_frac)
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         packed_parts = []
         for side in ("train", "test"):

@@ -455,3 +455,38 @@ def test_corpus_curation_audit_trail_partitions_the_source(spark, sf_dir, tmp_pa
     assert by_stage.get("fluency_cut", 0) == stats["n_after_repetition"] - stats["n_after_fluency"]
     assert by_stage.get("exact_dedup", 0) == stats["n_after_fluency"] - stats["n_after_exact_dedup"]
     assert by_stage.get("neardup_removal", 0) == stats["n_after_exact_dedup"] - stats["n_curated"]
+
+
+def test_training_prep_pipeline_cluster_split(spark, sf_dir, tmp_path):
+    """cluster_labels raises split granularity: whole near-dup clusters
+    land on one side of train/test, and every member of a cluster gets
+    the same split as its label's hash decides."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    # synthetic clusters of 4 consecutive doc ids — stand-in for a
+    # components labeling; the pipeline must keep each whole cluster
+    # on one side
+    labels = docs.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 4).alias("cluster_id")
+    )
+    stats = pipelines.run_training_prep_pipeline(
+        spark,
+        sf_dir,
+        str(tmp_path),
+        chunk_tokens=32,
+        overlap=4,
+        budget=128,
+        cluster_labels=labels,
+    )
+    assert stats["n_chunks_train"] > 0 and stats["n_chunks_test"] > 0
+    out = spark.read.parquet(str(tmp_path / "packed_chunks"))
+    straddle = (
+        out.select("cluster_id", "split").distinct()
+        .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).count()
+    )
+    assert straddle == 0
