@@ -630,3 +630,33 @@ def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, labels = blocked_component_labels(spark, sf_dir)
     return sampling.assign_split_by_group(labels, "cluster_id", test_frac=0.1)
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-epoch shuffle — reproducible training data order
+# --------------------------------------------------------------------------
+
+EPOCH_SHUFFLE_ORACLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (
+           ORDER BY md5('epoch-v1' || '|' || '2' || '|' || CAST(doc_id AS VARCHAR)),
+                    doc_id) - 1 AS BIGINT) AS position
+FROM documents
+"""
+
+
+@query("epoch_shuffle_order", oracle=EPOCH_SHUFFLE_ORACLE)
+def epoch_shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training-data permutation (operators/sampling.py::
+    epoch_shuffle_order): position = rank of md5(seed | epoch | id) —
+    a different, REPRODUCIBLE global shuffle per epoch, independent of
+    partitioning and engine (resume-from-step depends on exactly this).
+    Rank via the distributed prefix-sum family (range partition + one
+    scalar per partition + broadcast offsets), not a global window."""
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    d = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    out = sampling.epoch_shuffle_order(d, "doc_id", epoch=2)
+    return out.select("doc_id", F.col("position").cast("long").alias("position"))

@@ -170,6 +170,9 @@ _DEFERRED = (
     # (text_quality_scores) with percent_rank machinery graded via
     # rank_family_windows
     "quality_rank_blend",
+    # epoch shuffle rides the graded contiguous_row_ids prefix-sum
+    # machinery + the md5 draw discipline
+    "epoch_shuffle_order",
 )
 
 

@@ -239,3 +239,32 @@ def test_assign_split_by_group_never_straddles(spark):
     n = spark.createDataFrame([(1, None)], "doc_id long, cluster_id long")
     out = sampling.assign_split_by_group(n, "cluster_id", test_frac=0.99).collect()
     assert out[0]["split"] == "train"
+
+
+def test_epoch_shuffle_order_reproducible_and_epoch_varying(spark):
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    e0 = {r["doc_id"]: r["position"] for r in sampling.epoch_shuffle_order(df, "doc_id", 0).collect()}
+    e1 = {r["doc_id"]: r["position"] for r in sampling.epoch_shuffle_order(df, "doc_id", 1).collect()}
+    # each epoch is a complete permutation
+    assert sorted(e0.values()) == list(range(300))
+    assert sorted(e1.values()) == list(range(300))
+    assert e0 != e1  # epochs shuffle differently
+    # layout independence: shuffled input, different partitioning
+    df2 = spark.createDataFrame([(i,) for i in reversed(range(300))], "doc_id long").repartition(7)
+    e0b = {r["doc_id"]: r["position"] for r in sampling.epoch_shuffle_order(df2, "doc_id", 0).collect()}
+    assert e0b == e0
+
+
+def test_epoch_shuffle_order_contracts(spark):
+    import pytest as _pt
+
+    from eligibility_etl_airflow_spark.operators import sampling
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with _pt.raises(Exception, match="epoch_shuffle_order"):
+        sampling.epoch_shuffle_order(df, "doc_id", 0).collect()
+    ok = spark.createDataFrame([(1,)], "doc_id long")
+    with _pt.raises(ValueError, match="epoch"):
+        sampling.epoch_shuffle_order(ok, "doc_id", -1)
