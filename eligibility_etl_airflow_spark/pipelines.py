@@ -969,3 +969,102 @@ def run_incremental_curation(
         # be split without retraining)
         stats["n_semantic_capped"] = n_semantic_capped
     return stats
+
+
+def run_media_curation_pipeline(
+    spark: SparkSession,
+    media: DataFrame,
+    out_dir: str,
+    id_col: str = "media_id",
+    binary_col: str = "payload",
+    kind: str = "image",
+    max_hamming: int = 3,
+) -> dict:
+    """Curate a binary media corpus the way the text funnel curates
+    documents: metadata/validation → unreadable quarantine → exact
+    byte dedup → perceptual near-dup dedup → clustered write.
+
+    Stages (each count materialized from a persisted relation, same
+    recount discipline as the text funnel):
+
+    1. **metadata + validation** — format sniff, byte size, content
+       md5 (operators/multimodal.binary_metadata: no decode). Null
+       payloads and payloads whose magic bytes match no known format
+       are QUARANTINED, not dropped silently: unreadable media must
+       never merge with anything, and the quarantine relation is the
+       operator's audit answer.
+    2. **exact dedup** — min-id keeper per content md5 (the byte-level
+       tier; re-encodes at new gain/scale survive this and are the
+       next tier's job).
+    3. **perceptual near-dup** — aHash (``kind="image"``) or spectral
+       fingerprint (``kind="audio"``) pairs via the shared simhash
+       banding, transitive min-id keeper via connected components over
+       the pair graph (the text funnel's "component" removal policy).
+    4. **clustered write** partitioned for downstream scans.
+
+    At 100 TB the payloads never shuffle: metadata and hashing are
+    narrow maps; only md5 strings and 64-bit hashes hit exchanges; the
+    quarantine/eliminated relations are id-only. Returns the funnel
+    counts dict."""
+    from eligibility_etl_airflow_spark.operators import components, multimodal
+
+    if kind not in ("image", "audio"):
+        raise ValueError(f"kind must be 'image' or 'audio', got {kind!r}")
+    from pyspark import StorageLevel
+
+    hasher = (
+        multimodal.average_hash64 if kind == "image" else multimodal.audio_fingerprint64
+    )
+
+    with_meta = media.withColumn(
+        "meta", multimodal.binary_metadata(F.col(binary_col))
+    ).select(
+        id_col,
+        binary_col,
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+    n_total = media.count()
+    readable = with_meta.filter(
+        F.col(binary_col).isNotNull() & (F.col("format") != "unknown")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    caches = [readable]
+    try:
+        n_readable = readable.count()
+        if n_readable < n_total:
+            quarantine = with_meta.filter(
+                F.col(binary_col).isNull() | (F.col("format") == "unknown")
+            ).select(id_col, "format")
+            sinks.write_parquet(quarantine, os.path.join(out_dir, "quarantine"))
+
+        keeper = readable.groupBy("content_md5").agg(
+            F.min(id_col).alias(id_col)
+        )
+        exact_kept = readable.join(
+            keeper.select(id_col), id_col, "left_semi"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(exact_kept)
+        n_exact = exact_kept.count()
+
+        pairs = multimodal.image_neardup_pairs(
+            exact_kept, id_col, binary_col, hasher=hasher, max_hamming=max_hamming
+        )
+        labeled = components.attach_components(
+            exact_kept.select(id_col), id_col, pairs
+        )
+        losers = labeled.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+        curated = exact_kept.join(losers, id_col, "left_anti").drop(binary_col)
+        out_path = os.path.join(out_dir, "curated_media")
+        sinks.write_clustered(curated, out_path, [id_col])
+        n_curated = spark.read.parquet(out_path).count()
+    finally:
+        for c in caches:
+            c.unpersist()
+    return {
+        "n_total": n_total,
+        "n_readable": n_readable,
+        "n_quarantined": n_total - n_readable,
+        "n_after_exact": n_exact,
+        "n_curated": n_curated,
+    }

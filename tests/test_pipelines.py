@@ -490,3 +490,47 @@ def test_training_prep_pipeline_cluster_split(spark, sf_dir, tmp_path):
         .filter(F.col("n") > 1).count()
     )
     assert straddle == 0
+
+
+def test_media_curation_pipeline_funnel(spark, tmp_path):
+    """Binary-corpus funnel: unreadable payloads quarantine, byte dups
+    collapse to the min id, perceptual near-dups collapse transitively,
+    distinct content survives."""
+    import numpy as np
+
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.operators import multimodal
+
+    def grid(flip=()):
+        g = np.fromfunction(lambda r, c: ((r + c) % 2) * 200, (8, 8)).astype(np.uint8)
+        for r, c in flip:
+            g[r, c] = 200 - g[r, c]
+        return multimodal.encode_bmp_rgb24(np.repeat(g[:, :, None], 3, axis=2))
+
+    rows = [
+        (1, grid()),                      # keeper of the near-dup cluster
+        (2, grid()),                      # exact byte dup of 1 -> exact tier
+        (3, grid(flip=[(0, 0)])),         # near-dup of 1 (hamming 1)
+        (4, grid(flip=[(0, 0), (3, 4)])), # near-dup of 1 and 3 (transitive)
+        (5, multimodal.encode_bmp_rgb24(
+            np.zeros((8, 8, 3), dtype=np.uint8) + 7)),  # distinct content
+        (6, None),                        # unreadable -> quarantine
+        (7, b"\x00\x01garbage"),          # unknown magic -> quarantine
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    stats = pipelines.run_media_curation_pipeline(
+        spark, media, str(tmp_path), kind="image"
+    )
+    assert stats == {
+        "n_total": 7,
+        "n_readable": 5,
+        "n_quarantined": 2,
+        "n_after_exact": 4,   # 2 collapsed into 1
+        "n_curated": 2,       # {1,3,4} -> 1; 5 survives
+    }
+    curated = spark.read.parquet(str(tmp_path / "curated_media"))
+    assert sorted(r["media_id"] for r in curated.collect()) == [1, 5]
+    q = spark.read.parquet(str(tmp_path / "quarantine"))
+    assert sorted(r["media_id"] for r in q.collect()) == [6, 7]
+    # payloads never reach the curated output (metadata-only relation)
+    assert "payload" not in curated.columns
