@@ -125,3 +125,67 @@ def contamination_flags(
         ).alias("overlap"),
         (F.col("n_matched") > 0).alias("contaminated"),
     )
+
+
+def substring_contamination_flags(
+    corpus: DataFrame,
+    bench_strings: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_col: str = "bench_text",
+    bench_id_col: str = "bench_id",
+    min_len: int = 8,
+) -> DataFrame:
+    """EXACT-SUBSTRING decontamination: flag corpus docs that contain a
+    benchmark string VERBATIM (whitespace-normalized, case-folded) —
+    the classic eval-answer leak check. This is a different net from
+    the n-gram tier: a short answer string ("42", "Paris") never spans
+    an 8-gram, and the n-gram tier can fire on paraphrase-adjacent
+    overlap this tier will not — production decontamination runs both.
+
+    ``bench_strings`` is (bench_id, bench_text) — eval ANSWERS/prompts,
+    small by definition; strings shorter than ``min_len`` after
+    normalization raise (a 2-char needle flags half the corpus — a
+    threshold the caller must own consciously).
+
+    Plan shape at 100 TB: the bench side broadcasts into a
+    BroadcastNestedLoopJoin with a `contains` predicate — the corpus is
+    scanned ONCE, never shuffled, and the per-row cost is |bench| string
+    scans (vectorized JVM). Output: one row per corpus doc —
+    (id, n_bench_hits, contaminated 0/1); per-hit detail is the join
+    itself, which callers can take unaggregated via the same relation.
+    """
+    from eligibility_etl_airflow_spark.operators.neardup import (
+        _with_normalized_text,
+    )
+
+    guard = F.when(
+        F.length(F.col("_bnorm")) < min_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"substring_contamination_flags: bench string shorter than "
+                    f"{min_len} chars after normalization at {bench_id_col}="
+                ),
+                F.col(bench_id_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.col("_bnorm"))
+    bench = (
+        _with_normalized_text(bench_strings, bench_id_col, bench_col)
+        .withColumnRenamed("_norm", "_bnorm")
+        .select(F.col("id").alias(bench_id_col), guard.alias("_bnorm"))
+    )
+    c = _with_normalized_text(corpus, id_col, text_col)
+    hits = (
+        c.join(F.broadcast(bench), F.col("_norm").contains(F.col("_bnorm")), "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.col(bench_id_col)).cast("long").alias("n_bench_hits"),
+        )
+    )
+    return hits.select(
+        F.col("id").alias(id_col),
+        "n_bench_hits",
+        (F.col("n_bench_hits") > 0).cast("long").alias("contaminated"),
+    )

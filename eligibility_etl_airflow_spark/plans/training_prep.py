@@ -660,3 +660,50 @@ def epoch_shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sampling.epoch_shuffle_order(d, "doc_id", epoch=2)
     return out.select("doc_id", F.col("position").cast("long").alias("position"))
+
+
+# --------------------------------------------------------------------------
+# Exact-substring decontamination — verbatim eval-answer leak check
+# --------------------------------------------------------------------------
+
+SUBSTRING_DECONTAM_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+  FROM documents
+),
+bench AS (
+  SELECT doc_id AS bench_id, substring(n, 1, 24) AS b
+  FROM norm WHERE doc_id % 97 = 0 AND length(n) >= 24
+),
+hits AS (
+  SELECT norm.doc_id, count(bench.bench_id) AS n_bench_hits
+  FROM norm LEFT JOIN bench ON contains(norm.n, bench.b)
+  GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bench_hits AS BIGINT) AS n_bench_hits,
+       CAST(CASE WHEN n_bench_hits > 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS contaminated
+FROM hits
+"""
+
+
+@query("substring_decontam_flags", oracle=SUBSTRING_DECONTAM_ORACLE)
+def substring_decontam_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (operators/decontam.py::
+    substring_contamination_flags): the verbatim eval-answer leak check
+    — a different net from the n-gram tier (short answers never span an
+    8-gram). Bench vehicle: the first 24 normalized chars of every
+    ~97th document (planting each bench doc as its own guaranteed hit).
+    Bench broadcasts into a contains-predicate nested-loop join; the
+    corpus scans once and never shuffles at pair grain."""
+    from eligibility_etl_airflow_spark.operators import decontam
+
+    d = Catalog(spark, sf_dir).documents
+    norm = text.normalize_text(F.col("text"))
+    bench = d.filter((F.col("doc_id") % 97 == 0) & (F.length(norm) >= 24)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring(norm, 1, 24).alias("bench_text"),
+    )
+    out = decontam.substring_contamination_flags(d, bench)
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))

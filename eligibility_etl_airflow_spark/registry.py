@@ -173,6 +173,9 @@ _DEFERRED = (
     # epoch shuffle rides the graded contiguous_row_ids prefix-sum
     # machinery + the md5 draw discipline
     "epoch_shuffle_order",
+    # exact-substring tier rides the graded decontam broadcast shape
+    # (decontamination_overlap) with a contains predicate
+    "substring_decontam_flags",
 )
 
 

@@ -439,3 +439,56 @@ def test_rrf_fuse_contracts(spark):
         search.rrf_fuse([("a", df)], k_rrf=0, by=None, id_col="doc_id")
     with pytest.raises(ValueError, match="lacks column"):
         search.rrf_fuse([("a", df)], by=None, id_col="missing_id")
+
+
+# -------------------------------------------- exact-substring decontamination
+
+
+def test_substring_decontam_planted_and_guards(spark):
+    from eligibility_etl_airflow_spark.operators import decontam
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "The secret   ANSWER IS forty two, obviously."),  # hit (normalized)
+            (2, "nothing to see here at all"),                    # clean
+            (3, "answer is forty two AND answer is forty two"),   # hit (twice, 1 bench row)
+            (4, None),                                            # null text -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "Answer IS  forty two")], "bench_id long, bench_text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontam.substring_contamination_flags(corpus, bench).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contaminated"] == 1 and out[1]["n_bench_hits"] == 1
+    assert out[2]["contaminated"] == 0
+    assert out[3]["contaminated"] == 1  # contains counts the bench row once
+
+    # a too-short needle must raise, not silently flag half the corpus
+    import pytest as _pt
+
+    short = spark.createDataFrame([(7, "hi")], "bench_id long, bench_text string")
+    with _pt.raises(Exception, match="substring_contamination_flags"):
+        decontam.substring_contamination_flags(corpus, short).collect()
+
+
+def test_substring_decontam_plan_broadcasts_bench(spark):
+    from eligibility_etl_airflow_spark.operators import decontam
+
+    corpus = spark.createDataFrame(
+        [(i, f"document body number {i} with enough text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "document body number 3")], "bench_id long, bench_text string"
+    )
+    plan = (
+        decontam.substring_contamination_flags(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan  # corpus never shuffles at pair grain
