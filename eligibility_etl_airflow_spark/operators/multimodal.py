@@ -385,11 +385,21 @@ def _bits_to_signed64(bits) -> int:
 def average_hash64(payload: bytes) -> int:
     """aHash: 8×8 luminance grid, bit = cell > grid mean. 64-bit SIGNED
     int (Spark ``long``); near-duplicate images differ in few bits, so
-    hamming distance is the similarity metric. Only dependency-free BMP
-    decode is wired; compressed codecs raise through ``decode_bmp``'s
-    gate (plug a PIL-backed grid extractor where PIL exists)."""
+    hamming distance is the similarity metric. FLAT (zero-variance)
+    grids have no mean contrast to encode — under the plain rule every
+    flat image would hash to 0 and an all-black/all-white pair would
+    "near-dup" merge destructively — so constant grids fall back to an
+    absolute mid-gray threshold (black→0, white→all-ones: hamming 64
+    apart; flats on the same side of mid-gray still merge, which IS
+    near-duplicate behavior for two blank frames of similar tone).
+    Only dependency-free BMP decode is wired; compressed codecs raise
+    through ``decode_bmp``'s gate (plug a PIL-backed grid extractor
+    where PIL exists)."""
     g = _luminance_grid(payload, 8, 8)
-    return _bits_to_signed64((g > g.mean()).ravel())
+    m = g.mean()
+    if (g == m).all():  # flat image: no contrast to hash
+        return _bits_to_signed64((g > 127.5).ravel())
+    return _bits_to_signed64((g > m).ravel())
 
 
 def dhash64(payload: bytes) -> int:

@@ -138,6 +138,16 @@ def rank_normalize_blend(
     (default: equal). Output: ``id_col``, ``pr_<name>`` per signal
     (rounded 6 dp), and ``out_col`` = round(Σ w·pr / Σ w, 6) computed
     from the ROUNDED percentiles so both engines agree bit-for-bit.
+
+    A NULL signal value raises at execution: a null has no rank — it
+    would silently vanish from the output (the join-back is an equality
+    join on the value), skew every other row's percentile (the null
+    group still counts in the running sum), and diverge across engines
+    (Spark orders nulls first, DuckDB last). Coalesce or filter
+    upstream, deliberately. Cache lifecycle: the staged signal relation
+    is persisted for its per-signal consumers and left to Spark's LRU /
+    ``spark.catalog.clearCache()`` — the ``minhash_lsh_pairs``
+    contract.
     """
     from pyspark.sql.window import Window
 
@@ -157,8 +167,21 @@ def rank_normalize_blend(
     # and one join-back PER SIGNAL — without the cache every consumer
     # re-runs the (typically regex-heavy) signal expressions over the
     # corpus; the count() below materializes it
+    def _guarded(name: str, c):
+        return F.when(
+            c.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"rank_normalize_blend: null signal {name!r} at "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" has no rank — coalesce or filter upstream"),
+                )
+            ),
+        ).otherwise(c)
+
     cur = df.select(
-        F.col(id_col), *[c.alias(name) for name, c in signals.items()]
+        F.col(id_col),
+        *[_guarded(name, c).alias(name) for name, c in signals.items()],
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n = cur.count()  # one scalar to the driver — the rank denominator
     denom = float(max(n - 1, 1))

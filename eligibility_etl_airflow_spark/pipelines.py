@@ -989,10 +989,13 @@ def run_media_curation_pipeline(
 
     1. **metadata + validation** — format sniff, byte size, content
        md5 (operators/multimodal.binary_metadata: no decode). Null
-       payloads and payloads whose magic bytes match no known format
-       are QUARANTINED, not dropped silently: unreadable media must
-       never merge with anything, and the quarantine relation is the
-       operator's audit answer.
+       payloads and payloads whose magic bytes are not a format THIS
+       KIND can actually decode (bmp for images, riff/WAV for audio —
+       anything else would crash the perceptual-hash stage, not merge)
+       are QUARANTINED, not dropped silently: the quarantine parquet is
+       written unconditionally (empty on a clean corpus, so audits read
+       a relation, never probe for a path) and is the operator's audit
+       answer.
     2. **exact dedup** — min-id keeper per content md5 (the byte-level
        tier; re-encodes at new gain/scale survive this and are the
        next tier's job).
@@ -1012,9 +1015,7 @@ def run_media_curation_pipeline(
         raise ValueError(f"kind must be 'image' or 'audio', got {kind!r}")
     from pyspark import StorageLevel
 
-    hasher = (
-        multimodal.average_hash64 if kind == "image" else multimodal.audio_fingerprint64
-    )
+    decodable = {"image": ("bmp",), "audio": ("riff",)}[kind]
 
     with_meta = media.withColumn(
         "meta", multimodal.binary_metadata(F.col(binary_col))
@@ -1027,16 +1028,15 @@ def run_media_curation_pipeline(
     )
     n_total = media.count()
     readable = with_meta.filter(
-        F.col(binary_col).isNotNull() & (F.col("format") != "unknown")
+        F.col(binary_col).isNotNull() & F.col("format").isin(*decodable)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     caches = [readable]
     try:
         n_readable = readable.count()
-        if n_readable < n_total:
-            quarantine = with_meta.filter(
-                F.col(binary_col).isNull() | (F.col("format") == "unknown")
-            ).select(id_col, "format")
-            sinks.write_parquet(quarantine, os.path.join(out_dir, "quarantine"))
+        quarantine = with_meta.filter(
+            F.col(binary_col).isNull() | ~F.col("format").isin(*decodable)
+        ).select(id_col, "format")
+        sinks.write_parquet(quarantine, os.path.join(out_dir, "quarantine"))
 
         keeper = readable.groupBy("content_md5").agg(
             F.min(id_col).alias(id_col)
@@ -1047,8 +1047,13 @@ def run_media_curation_pipeline(
         caches.append(exact_kept)
         n_exact = exact_kept.count()
 
-        pairs = multimodal.image_neardup_pairs(
-            exact_kept, id_col, binary_col, hasher=hasher, max_hamming=max_hamming
+        neardup_pairs = (
+            multimodal.image_neardup_pairs
+            if kind == "image"
+            else multimodal.audio_neardup_pairs
+        )
+        pairs = neardup_pairs(
+            exact_kept, id_col, binary_col, max_hamming=max_hamming
         )
         labeled = components.attach_components(
             exact_kept.select(id_col), id_col, pairs

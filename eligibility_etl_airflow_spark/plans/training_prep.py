@@ -434,7 +434,8 @@ def merge_corpora_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned window — exact-dedup cost. The tiered relation is
     persisted so the three filter branches probe one cached scan
     instead of re-reading the parquet (and re-running the tier regex)
-    per corpus."""
+    per corpus; lifecycle is left to LRU / the bench's clearCache (the
+    shingle-table contract — registered queries are self-contained)."""
     from pyspark import StorageLevel
 
     from eligibility_etl_airflow_spark.operators import dedup
@@ -672,7 +673,10 @@ WITH norm AS (
   FROM documents
 ),
 bench AS (
-  SELECT doc_id AS bench_id, substring(n, 1, 24) AS b
+  -- trim mirrors the operator, which re-normalizes the needle: a
+  -- 24-char prefix ending in a space becomes a 23-char Spark needle,
+  -- and an untrimmed oracle needle would miss end-of-text matches
+  SELECT doc_id AS bench_id, trim(substring(n, 1, 24)) AS b
   FROM norm WHERE doc_id % 97 = 0 AND length(n) >= 24
 ),
 hits AS (

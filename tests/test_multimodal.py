@@ -294,3 +294,19 @@ def test_audio_neardup_pairs_planted(spark):
     pairs = multimodal.audio_neardup_pairs(df, "clip_id", "payload").collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
     assert pairs[0]["hamming"] <= 3
+
+
+def test_flat_images_do_not_cross_merge():
+    import numpy as np
+
+    # all-black vs all-white: zero-variance grids fall back to the
+    # absolute mid-gray threshold, landing hamming 64 apart — a blank
+    # black frame must never "near-dup" a blank white one
+    black = multimodal.encode_bmp_rgb24(np.zeros((8, 8, 3), dtype=np.uint8))
+    white = multimodal.encode_bmp_rgb24(np.full((8, 8, 3), 255, dtype=np.uint8))
+    hb = multimodal.average_hash64(black)
+    hw = multimodal.average_hash64(white)
+    assert bin((hb ^ hw) & ((1 << 64) - 1)).count("1") == 64
+    # two blank frames of the same tone still merge (that IS a near-dup)
+    white2 = multimodal.encode_bmp_rgb24(np.full((8, 8, 3), 250, dtype=np.uint8))
+    assert multimodal.average_hash64(white2) == hw

@@ -534,3 +534,37 @@ def test_media_curation_pipeline_funnel(spark, tmp_path):
     assert sorted(r["media_id"] for r in q.collect()) == [6, 7]
     # payloads never reach the curated output (metadata-only relation)
     assert "payload" not in curated.columns
+
+
+def test_media_curation_quarantines_wrong_kind_and_writes_empty(spark, tmp_path):
+    """A WAV in an image run is quarantined (it would crash the image
+    hash stage), and a clean corpus still writes an (empty) quarantine
+    relation so audits read a relation, never probe for a path."""
+    import numpy as np
+
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.operators import multimodal
+
+    bmp = multimodal.encode_bmp_rgb24(
+        np.fromfunction(lambda r, c, k: (r * 30 + c * 7) % 256, (8, 8, 3)).astype(
+            np.uint8
+        )
+    )
+    wav = multimodal.encode_wav_pcm16(np.zeros(100) + 0.1, 8000)
+    media = spark.createDataFrame(
+        [(1, bmp), (2, wav)], "media_id long, payload binary"
+    )
+    stats = pipelines.run_media_curation_pipeline(
+        spark, media, str(tmp_path / "img"), kind="image"
+    )
+    assert stats["n_quarantined"] == 1 and stats["n_curated"] == 1
+    q = spark.read.parquet(str(tmp_path / "img" / "quarantine"))
+    assert [r["media_id"] for r in q.collect()] == [2]
+
+    clean = spark.createDataFrame([(1, bmp)], "media_id long, payload binary")
+    stats2 = pipelines.run_media_curation_pipeline(
+        spark, clean, str(tmp_path / "clean"), kind="image"
+    )
+    assert stats2["n_quarantined"] == 0
+    q2 = spark.read.parquet(str(tmp_path / "clean" / "quarantine"))
+    assert q2.count() == 0  # present AND empty

@@ -475,3 +475,13 @@ def test_rank_normalize_blend_weights_and_contracts(spark):
         selection.rank_normalize_blend(df, "id", sigs, weights={"a": 1.0})
     with _pt.raises(ValueError, match="positive sum"):
         selection.rank_normalize_blend(df, "id", sigs, weights={"a": 0.0, "b": 0.0})
+
+
+def test_rank_normalize_blend_null_signal_raises(spark):
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import selection
+
+    df = spark.createDataFrame([(1, 5), (2, None)], "id long, v long")
+    with pytest.raises(Exception, match="rank_normalize_blend"):
+        selection.rank_normalize_blend(df, "id", {"v": F.col("v")}).collect()
