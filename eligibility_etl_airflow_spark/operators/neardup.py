@@ -824,6 +824,70 @@ def minhash_lsh_pairs_bipartite(
     )
 
 
+def _rarity_ordered_docsets(df, id_col, text_col, shingle_k):
+    """Shared staging of the exact set-join family (:func:`set_similarity_join`,
+    :func:`containment_join`): the distinct (id, word-shingle) relation
+    plus per-doc rarity-ordered shingle arrays.
+
+    Returns ``(toks, docsets)`` — ``toks`` = distinct (id, tok),
+    ``docsets`` = (id, toks array ordered rarest-first with lexical
+    tie-break, dlen). Both persisted (each has 2-3 consumers in every
+    caller); cache lifecycle is the caller's, same contract as
+    ``minhash_lsh_pairs``."""
+    from pyspark import StorageLevel
+
+    # Stage the token array as its own projection: `tk` is referenced
+    # many times below, and as a raw split() expression each reference
+    # would re-split the whole document (the O(len²) lambda
+    # re-evaluation trap measured on the winnowing operator). As a
+    # multi-referenced non-trivial alias, CollapseProject keeps it an
+    # attribute — one split per row.
+    staged = _with_normalized_text(df, id_col, text_col).select(
+        "id", F.split(F.col("_norm"), " ").alias("tk")
+    )
+    toks = (
+        staged.select(
+            "id",
+            F.explode_outer(
+                # sequence() counts DOWN when stop < start, so short docs
+                # must produce an explicit empty array, not sequence(1, 0)
+                F.when(
+                    F.size("tk") >= shingle_k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - shingle_k + 1),
+                        lambda i: F.array_join(F.slice("tk", i, shingle_k), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
+    # Global canonical order: rarest token first, lexical tie-break.
+    # One aggregate builds each doc's rarity-ordered shingle array
+    # (array_sort over (freq, tok) structs); the prefix is a slice of
+    # it. This single per-id shuffle replaces the join + row_number
+    # window + separate verification-set aggregate shape (three id- or
+    # sort-keyed exchanges) — the docsets relation then serves BOTH the
+    # prefix explode and the verification joins, so it is persisted.
+    docsets = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("tok_freq", "tok"))).alias("ordered")
+        )
+        .select(
+            "id",
+            F.transform("ordered", lambda x: x["tok"]).alias("toks"),
+            F.size("ordered").alias("dlen"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return toks, docsets
+
+
 def set_similarity_join(
     df: DataFrame,
     id_col: str,
@@ -894,55 +958,7 @@ def set_similarity_join(
         return F.floor((n * F.lit(t_num) + F.lit(999_999)) / F.lit(1_000_000.0)).cast(
             "long"
         )
-    # Stage the token array as its own projection: `tk` is referenced
-    # many times below, and as a raw split() expression each reference
-    # would re-split the whole document (the O(len²) lambda
-    # re-evaluation trap measured on the winnowing operator). As a
-    # multi-referenced non-trivial alias, CollapseProject keeps it an
-    # attribute — one split per row.
-    staged = _with_normalized_text(df, id_col, text_col).select(
-        "id", F.split(F.col("_norm"), " ").alias("tk")
-    )
-    toks = (
-        staged.select(
-            "id",
-            F.explode_outer(
-                # sequence() counts DOWN when stop < start, so short docs
-                # must produce an explicit empty array, not sequence(1, 0)
-                F.when(
-                    F.size("tk") >= shingle_k,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("tk") - shingle_k + 1),
-                        lambda i: F.array_join(F.slice("tk", i, shingle_k), " "),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("tok"),
-        )
-        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
-    # Global canonical order: rarest token first, lexical tie-break.
-    # One aggregate builds each doc's rarity-ordered shingle array
-    # (array_sort over (freq, tok) structs); the prefix is a slice of
-    # it. This single per-id shuffle replaces the join + row_number
-    # window + separate verification-set aggregate shape (three id- or
-    # sort-keyed exchanges) — the docsets relation then serves BOTH the
-    # prefix explode and the verification joins, so it is persisted.
-    docsets = (
-        toks.join(freq, "tok")
-        .groupBy("id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("tok_freq", "tok"))).alias("ordered")
-        )
-        .select(
-            "id",
-            F.transform("ordered", lambda x: x["tok"]).alias("toks"),
-            F.size("ordered").alias("dlen"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    toks, docsets = _rarity_ordered_docsets(df, id_col, text_col, shingle_k)
     prefix = docsets.select(
         "id",
         "dlen",
@@ -989,4 +1005,115 @@ def set_similarity_join(
             >= F.lit(t_num) * F.col("union_size")
         )
         .select("id_a", "id_b", "inter_size", "union_size")
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT shingle-set CONTAINMENT self-join: pairs where the smaller
+    document's shingles are mostly inside the other's —
+    max(|∩|/|A|, |∩|/|B|) = |∩|/min(|A|,|B|) ≥ t (the overlap
+    coefficient). This is the inclusion/quotation detector Jaccard
+    structurally cannot be: a short doc quoted whole inside a long one
+    has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so neither the
+    Jaccard join nor MinHash-LSH (which estimates Jaccard) will ever
+    surface it. Aggregator pages, quote-farms, and boilerplate-wrapped
+    re-posts are exactly this shape.
+
+    Pruning (exact, no misses): order shingles rarest-first (the
+    shared ``_rarity_ordered_docsets`` staging). For the CONTAINED side
+    X the required overlap is α = ⌈t·|X|⌉ — a function of X alone — so
+    if |∩| ≥ α, at least one shared shingle lies in X's first
+    |X| − α + 1 shingles (pigeonhole). Candidates are therefore X's
+    prefix joined against the FULL postings of every other doc: unlike
+    PPJoin's prefix⋈prefix this cannot use a prefix on the container
+    side (its required overlap depends on the PARTNER's size, unknown
+    at index time) — the honest extra cost of the containment
+    semantics, kept in check because the probing prefixes are drawn
+    from the rare end of the frequency order. No length filter exists
+    for containment (any size ratio qualifies — that is the point; a
+    measured partner-length candidate restriction cost more than the
+    verify it pruned — see the in-body note).
+
+    Threshold arithmetic is exact 6-dp integer (the
+    ``set_similarity_join`` discipline). Output: (id_a, id_b,
+    inter_size, len_a, len_b) integers + both directions' containment
+    rounded 6 dp; id_a < id_b. Cache lifecycle as in
+    ``set_similarity_join``.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    t_num = round(threshold * 1_000_000)
+
+    def ceil_frac(n):
+        return F.floor((n * F.lit(t_num) + F.lit(999_999)) / F.lit(1_000_000.0)).cast(
+            "long"
+        )
+
+    toks, docsets = _rarity_ordered_docsets(df, id_col, text_col, shingle_k)
+    prefix = docsets.select(
+        F.col("id").alias("id_x"),
+        F.explode(
+            F.slice(
+                "toks",
+                1,
+                (F.col("dlen") - ceil_frac(F.col("dlen")) + 1).cast("int"),
+            )
+        ).alias("tok"),
+    )
+    # contained-candidate prefix ⋈ FULL postings of potential containers
+    # (the persisted toks relation IS the full inverted index). A
+    # partner-length restriction (only >=-sized docs can contain X) was
+    # measured and REJECTED: attaching the partner's length to the raw
+    # candidate stream costs a join wider than the verify it would
+    # prune — the distinct()'d pair set is already small relative to
+    # the token-match stream.
+    cand = (
+        prefix.join(toks.select(F.col("id").alias("id_y"), "tok"), "tok")
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = docsets.select("id", "toks", "dlen")
+    return (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("toks").alias("t_a"),
+                F.col("dlen").alias("len_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("toks").alias("t_b"),
+                F.col("dlen").alias("len_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter_size", F.size(F.array_intersect("t_a", "t_b")).cast("long"))
+        .filter(
+            F.col("inter_size") * F.lit(1_000_000)
+            >= F.lit(t_num) * F.least("len_a", "len_b")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter_size",
+            F.col("len_a").cast("long").alias("len_a"),
+            F.col("len_b").cast("long").alias("len_b"),
+            F.round(F.col("inter_size") / F.col("len_a"), 6).alias("containment_a"),
+            F.round(F.col("inter_size") / F.col("len_b"), 6).alias("containment_b"),
+        )
     )

@@ -711,3 +711,65 @@ def substring_decontam_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = decontam.substring_contamination_flags(d, bench)
     return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Containment join — inclusion/quotation detection Jaccard cannot see
+# --------------------------------------------------------------------------
+
+CONTAINMENT_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, substring(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 120
+),
+toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS tk
+  FROM corpus
+),
+pos AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 4
+),
+sh AS (SELECT DISTINCT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS sh
+       FROM pos),
+agg AS (SELECT doc_id, list(sh) AS s FROM sh GROUP BY 1)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_size,
+       CAST(len(a.s) AS BIGINT) AS len_a,
+       CAST(len(b.s) AS BIGINT) AS len_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6) AS containment_a,
+       round(len(list_intersect(a.s, b.s)) * 1.0 / len(b.s), 6) AS containment_b
+FROM agg a JOIN agg b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1000000 >= 800000 * least(len(a.s), len(b.s))
+"""
+
+
+@query("containment_pairs", oracle=CONTAINMENT_ORACLE)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion/quotation detection (operators/neardup.py::
+    containment_join): pairs whose overlap coefficient
+    |∩|/min(|A|,|B|) ≥ 0.8 on word-4-shingles. The vehicle plants a
+    120-char excerpt of every ~50th document as a new doc (+1e6 id):
+    the excerpt's containment in its source is ≈1 while its Jaccard is
+    tiny — the aggregator/quote shape no Jaccard tier can surface. The
+    oracle is the brute-force all-pairs join, so parity also proves
+    the contained-prefix ⋈ full-postings pruning loses nothing."""
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    d = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    planted = d.filter(
+        (F.col("doc_id") % 50 == 0) & (F.length("text") >= 120)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return neardup.containment_join(
+        corpus, "doc_id", "text", threshold=0.8, shingle_k=4
+    )

@@ -176,6 +176,9 @@ _DEFERRED = (
     # exact-substring tier rides the graded decontam broadcast shape
     # (decontamination_overlap) with a contains predicate
     "substring_decontam_flags",
+    # containment join rides set_similarity_pairs' prefix-filter
+    # machinery (shared _rarity_ordered_docsets staging)
+    "containment_pairs",
 )
 
 

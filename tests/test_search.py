@@ -492,3 +492,54 @@ def test_substring_decontam_plan_broadcasts_bench(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan  # corpus never shuffles at pair grain
+
+
+# ----------------------------------------------------- containment join
+
+
+def test_containment_finds_inclusion_jaccard_misses(spark):
+    # B is A quoted whole inside 10x more text: containment(B in A+B
+    # composite) ~ 1 but Jaccard ~ 0.1 — the Jaccard join at any useful
+    # threshold never surfaces this pair, the containment join must
+    base = " ".join(f"w{i}" for i in range(12))
+    big = base + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, big), (2, base), (3, "entirely unrelated words only here now")],
+        "doc_id long, text string",
+    )
+    out = neardup.containment_join(docs, "doc_id", "text", threshold=0.8, shingle_k=3)
+    rows = out.collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    r = rows[0]
+    assert r["containment_b"] == 1.0  # B's shingles all inside A
+    assert r["containment_a"] < 0.2   # the Jaccard view of the same pair
+    # and the Jaccard operator indeed misses it at a normal threshold
+    jac = neardup.set_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_k=3)
+    assert jac.count() == 0
+
+
+def test_containment_threshold_and_validation(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="threshold"):
+        neardup.containment_join(docs, "doc_id", "text", threshold=0.0)
+    with _pt.raises(ValueError, match="shingle_k"):
+        neardup.containment_join(docs, "doc_id", "text", shingle_k=0)
+
+
+def test_containment_exact_boundary(spark):
+    # 5 shingles in the small doc, 4 shared: containment exactly 0.8
+    # must SURVIVE at t=0.8 (integer arithmetic, no float-ceil slop)
+    small = "a b c d e f g"           # 2-shingles: ab bc cd de ef fg (6)
+    # big shares exactly ab bc cd de ef (drop fg, add disjoint tail)
+    big = "a b c d e f x y z q r s t u v w"
+    docs = spark.createDataFrame(
+        [(1, big), (2, small)], "doc_id long, text string"
+    )
+    out = neardup.containment_join(docs, "doc_id", "text", threshold=0.8, shingle_k=2)
+    rows = out.collect()
+    assert len(rows) == 1
+    # small doc has 6 2-shingles, 5 shared ('f g' missing, 'e f' present)
+    assert rows[0]["inter_size"] == 5 and rows[0]["len_b"] == 6
+    assert rows[0]["containment_b"] == 0.833333
