@@ -204,3 +204,72 @@ def merge_corpora_priority(
         .filter(F.col(_RN) == 1)
         .drop(_RN)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_df: int = 10,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb paragraph
+    discipline applied at line grain): drop every line whose TRIMMED
+    form appears in ``max_line_df`` or more distinct documents — site
+    chrome, navigation, cookie banners, copyright footers — while
+    document-unique content survives untouched. This is the dedup tier
+    BELOW document near-dup: two documents can be globally distinct yet
+    both padded with the same 40% of template lines, which depresses
+    every doc-level similarity score while still training the model on
+    the template thousands of times.
+
+    Mechanics: posexplode lines → per-line doc-frequency (COUNT
+    DISTINCT doc, partial-aggregated map-side) → join the frequent-line
+    set back (left anti on the trimmed form) → rebuild text in original
+    line order (array_agg sorted by position). Empty/whitespace-only
+    lines never count toward frequency and are preserved in place
+    (they are formatting, not boilerplate). Two shuffles (line key, id
+    key) + one join — at 100 TB the frequent-line relation is tiny
+    (frequency ≥ threshold caps its size at |corpus lines|/threshold)
+    and broadcasts.
+
+    Output: (id, text_clean, n_lines, n_lines_dropped). Docs whose
+    every line was boilerplate emit an empty text_clean — the caller's
+    quality gate drops them; silently deleting the row here would make
+    the operator's output non-joinable against its input."""
+    if max_line_df < 2:
+        raise ValueError(f"max_line_df must be >= 2, got {max_line_df}")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("key", F.trim(F.col("line")))
+    counted = (
+        lines.filter(F.col("key") != "")
+        .groupBy("key")
+        .agg(F.count_distinct("id").alias("line_df"))
+        .filter(F.col("line_df") >= max_line_df)
+        .select("key")
+    )
+    kept = lines.join(
+        counted.withColumn("_drop", F.lit(1)), "key", "left"
+    ).withColumn("_keep", F.col("_drop").isNull() | (F.col("key") == ""))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((~F.col("_keep")).cast("long")).cast("long").alias("n_lines_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+        .select(
+            F.col("id").alias(id_col), "text_clean", "n_lines", "n_lines_dropped"
+        )
+    )

@@ -773,3 +773,67 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.containment_join(
         corpus, "doc_id", "text", threshold=0.8, shingle_k=4
     )
+
+
+# --------------------------------------------------------------------------
+# Line-level boilerplate removal — the dedup tier below document near-dup
+# --------------------------------------------------------------------------
+
+LINE_DEDUP_ORACLE = r"""
+WITH docs2 AS (
+  SELECT doc_id,
+         'NAV HEADER SHARED' || chr(10) || text || chr(10) || 'FOOTER ' || lang AS t
+  FROM documents
+),
+spl AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM docs2),
+lines AS (
+  SELECT doc_id, i, l[i] AS line, trim(l[i]) AS key
+  FROM spl, unnest(range(1, len(l) + 1)) AS u(i)
+),
+freq AS (
+  SELECT key FROM (
+    SELECT key, count(DISTINCT doc_id) AS line_df
+    FROM lines WHERE key <> '' GROUP BY 1
+  ) WHERE line_df >= 10
+),
+kept AS (
+  SELECT doc_id, i, line FROM lines
+  WHERE key = '' OR key NOT IN (SELECT key FROM freq)
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+keptagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY i) AS text_clean
+  FROM kept GROUP BY 1
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       COALESCE(k.text_clean, '') AS text_clean,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - COALESCE(k.n_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM tot t LEFT JOIN keptagg k USING (doc_id)
+"""
+
+
+@query("line_dedup_boilerplate", oracle=LINE_DEDUP_ORACLE)
+def line_dedup_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/dedup.py::line_dedup):
+    the CCNet/RefinedWeb tier BELOW document near-dup — lines whose
+    trimmed form appears in ≥10 distinct docs drop (site chrome), while
+    unique content survives in original order. The vehicle wraps every
+    document in a shared nav header (df = corpus) and a per-language
+    footer (df ≈ corpus/5) — both drop; bodies survive. Explode → line
+    doc-frequency agg → anti-join of frequent lines → ordered rebuild;
+    the frequent-line relation is capped at |lines|/threshold so it
+    broadcasts at any scale."""
+    from eligibility_etl_airflow_spark.operators import dedup
+
+    d = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("NAV HEADER SHARED\n"),
+            F.col("text"),
+            F.lit("\nFOOTER "),
+            F.col("lang"),
+        ).alias("text"),
+    )
+    return dedup.line_dedup(d, "doc_id", "text", max_line_df=10)

@@ -179,6 +179,9 @@ _DEFERRED = (
     # containment join rides set_similarity_pairs' prefix-filter
     # machinery (shared _rarity_ordered_docsets staging)
     "containment_pairs",
+    # line dedup rides the graded explode/agg + ordered-rebuild
+    # machinery (dedup_global_segments' reconstruction shape)
+    "line_dedup_boilerplate",
 )
 
 

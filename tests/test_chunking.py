@@ -131,3 +131,41 @@ def test_operator_agrees_with_pure_model_on_random_docs(spark):
             assert len(have) == len(expect), (doc_id, c, o)
             for idx, win in enumerate(expect):
                 assert have[idx] == " ".join(win), (doc_id, c, o, idx)
+
+
+# ------------------------------------------------------- line-level dedup
+
+
+def test_line_dedup_drops_boilerplate_keeps_unique(spark):
+    from eligibility_etl_airflow_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    header = "SHARED NAV"
+    rows = [(i, f"{header}\nunique body {i}\n\nfooter common") for i in range(12)]
+    rows.append((99, "totally unique document"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(df, "doc_id", "text", max_line_df=10).collect()
+    }
+    # header + footer hit df=12 >= 10 and drop; body + blank line survive
+    assert out[0]["text_clean"] == "unique body 0\n"
+    assert out[0]["n_lines"] == 4 and out[0]["n_lines_dropped"] == 2
+    # the single-line unique doc is untouched
+    assert out[99]["text_clean"] == "totally unique document"
+    assert out[99]["n_lines_dropped"] == 0
+
+
+def test_line_dedup_all_boilerplate_doc_emits_empty(spark):
+    from eligibility_etl_airflow_spark.operators import dedup
+
+    rows = [(i, "SAME LINE") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.line_dedup(df, "doc_id", "text", max_line_df=10).collect()
+    assert len(out) == 10  # rows survive (joinable), text empties
+    assert all(r["text_clean"] == "" and r["n_lines_dropped"] == 1 for r in out)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_line_df"):
+        dedup.line_dedup(df, "doc_id", "text", max_line_df=1)
