@@ -66,6 +66,20 @@ def main(argv: list[str] | None = None) -> int:
         "removal only)",
     )
     pp.add_argument(
+        "--blocklist",
+        default=None,
+        help="corpus-curation only: comma-separated blocklist terms (the "
+        "C4 bad-words stage); docs whose hit fraction exceeds "
+        "--blocklist-max-fraction drop",
+    )
+    pp.add_argument(
+        "--blocklist-max-fraction",
+        type=float,
+        default=0.0,
+        help="corpus-curation only: tolerated blocklist-token fraction "
+        "(0.0 = any hit drops)",
+    )
+    pp.add_argument(
         "--repetition-filter",
         action="store_true",
         help="corpus-curation only: drop docs failing the Gopher-family "
@@ -203,6 +217,11 @@ def main(argv: list[str] | None = None) -> int:
             kwargs["neardup_removal"] = args.neardup_removal
             kwargs["neardup_keeper"] = args.neardup_keeper
             kwargs["repetition_filter"] = args.repetition_filter
+            if args.blocklist:
+                kwargs["blocklist_terms"] = tuple(
+                    t.strip() for t in args.blocklist.split(",") if t.strip()
+                )
+                kwargs["blocklist_max_fraction"] = args.blocklist_max_fraction
             if args.decontam_bench:
                 kwargs["decontam_bench"] = spark.read.parquet(args.decontam_bench)
             if args.semantic_decontam_bench:

@@ -8,6 +8,8 @@ per row; at 100 TB these run at parquet-scan speed.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -139,3 +141,167 @@ def unicode_nfc(col: Column) -> Column:
     _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _nfc = pandas_udf(_nfc_fn, "string")
     return _nfc(col)
+
+
+def blocklist_hits(col: Column, terms: tuple[str, ...]) -> Column:
+    """Whole-word, case-insensitive occurrence count of blocklist terms
+    — the C4 "bad words" discipline (C4 dropped any page containing one;
+    Gopher/RefinedWeb-style pipelines threshold on the fraction). Terms
+    are regex-escaped and folded into ONE alternation compiled once
+    JVM-side, so a thousand-term list is still a single map-only
+    regexp_extract_all per row — no explode, no join, no Python.
+    Whole-word so "dup" never fires on "duplicate" — the \\b anchor is
+    applied per term edge and only where that edge is a word character
+    (a \\b AFTER "c++" can never match, silently killing the term), so
+    punctuation-edged terms still work; edge-aware \\b instead of
+    lookarounds keeps the pattern RE2-compatible (DuckDB oracle)."""
+    if not terms or any(not t for t in terms):
+        raise ValueError("blocklist terms must be non-empty")
+
+    def _word(ch: str) -> bool:
+        return ch.isalnum() or ch == "_"
+
+    parts = []
+    for t in terms:
+        t = t.lower()
+        left = r"\b" if _word(t[0]) else ""
+        right = r"\b" if _word(t[-1]) else ""
+        parts.append(left + re.escape(t) + right)
+    pattern = "(" + "|".join(parts) + ")"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), F.lit(0))).cast(
+        "long"
+    )
+
+
+def blocklist_metrics(
+    df,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    max_fraction: float = 0.0,
+):
+    """Per-document blocklist metrics + keep decision: token count,
+    blocklist hit count, hit fraction, and ``keep`` (fraction <=
+    ``max_fraction``; the default 0.0 is C4's any-hit-drops policy,
+    while e.g. 0.01 tolerates incidental mentions). Pure column
+    arithmetic over one scan — composes into any curation stage at
+    parquet-scan speed; empty/null docs have zero tokens and keep=True
+    (they are the quality gate's problem, not the blocklist's)."""
+    # coalesce: size()/regexp over a NULL doc is NULL, and a null keep
+    # flag would silently drop the row in a filter — null text is "zero
+    # tokens, zero hits" here by contract.
+    n_tok = F.coalesce(token_count_ws(F.col(text_col)), F.lit(0).cast("long"))
+    hits = F.coalesce(
+        blocklist_hits(F.col(text_col), terms), F.lit(0).cast("long")
+    )
+    frac = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.round(hits.cast("double") / n_tok, 6)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        hits.alias("blocklist_hits"),
+        frac.alias("hit_fraction"),
+        (frac <= F.lit(float(max_fraction))).alias("keep"),
+    )
+
+
+def zlib_sizes(col: Column, level: int = 6) -> Column:
+    """``struct<raw_bytes, comp_bytes>`` of the UTF-8 text under zlib —
+    the compression-ratio quality signal: highly repetitive or
+    templated text compresses far below natural prose, and
+    machine-generated gibberish barely compresses at all, so the ratio
+    is a cheap model-free entropy proxy (the Gopher-era
+    "compression filter"). Spark has no built-in deflate expression,
+    so this is an Arrow-batched pandas UDF (same contract as
+    ``unicode_nfc`` — vectorized batches, never per-row Python
+    dispatch); map-only, composes into the scan stage. Nulls propagate
+    as null structs. zlib output is deterministic for a fixed level and
+    library version, so downstream thresholds are reproducible."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sizes_fn(s):
+        import zlib
+
+        raw, comp = [], []
+        for x in s:
+            if x is None:
+                raw.append(None)
+                comp.append(None)
+            else:
+                b = x.encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, level)))
+        return pd.DataFrame({"raw_bytes": raw, "comp_bytes": comp})
+
+    _sizes_fn.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    _sizes = pandas_udf(_sizes_fn, "struct<raw_bytes: long, comp_bytes: long>")
+    return _sizes(col)
+
+
+# HTML entity unescape order: &amp; LAST, or "&amp;lt;" would
+# double-unescape into "<" (the standard decode-order rule)
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(col: Column, collapse_ws: bool = True) -> Column:
+    """Raw-crawl HTML → text: drop <script>/<style>/comment blocks
+    WITH their contents (code and CSS are not prose), then all
+    remaining tags, then unescape the common named entities. The
+    removal patterns are separate per block kind because the oracle
+    engine's RE2 has no backreferences (a single <(script|style)>…</\\1>
+    needs one); (?s) dotall + non-greedy work in both engines. With
+    ``collapse_ws`` the result collapses to single-space tokens and
+    trims — the form the token/quality/shingle operators expect; pass
+    False to keep original whitespace for line-grain ops (line_dedup).
+    Pure built-in regexp/replace chain — map-only, codegen'd, fused
+    into the scan; nulls propagate."""
+    s = F.regexp_replace(col, r"(?s)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?s)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    if collapse_ws:
+        s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return s
+
+
+# (spark_java_class, label) — the operator uses Java \p{IsX} script
+# syntax; the DuckDB oracle states the same sets in RE2 \p{X} syntax.
+SCRIPT_CLASSES = (
+    (r"\p{IsLatin}", "latin"),
+    (r"\p{IsCyrillic}", "cyrillic"),
+    (r"\p{IsHan}", "han"),
+    (r"\p{IsArabic}", "arabic"),
+    (r"0-9", "digit"),
+    (r"\s", "space"),
+)
+
+
+def script_profile(col: Column) -> list[Column]:
+    """Per-script character fractions (latin/cyrillic/han/arabic/digit/
+    space + other), each rounded to 6 dp — the mixed-script signal that
+    catches wrong-language contamination, transliteration spam, and
+    mojibake that marker-word language ID cannot see (a doc can carry
+    perfect English markers and still be 40% Cyrillic). Counting is
+    length-difference after removing the class — no explode, no Python;
+    map-only at scan speed. Empty docs profile as all-zero."""
+    total = F.length(col).cast("double")
+    safe_total = F.greatest(total, F.lit(1.0))
+    cols: list[Column] = []
+    covered = None
+    for cls, label in SCRIPT_CLASSES:
+        n = total - F.length(F.regexp_replace(col, f"[{cls}]", ""))
+        cols.append(F.round(n / safe_total, 6).alias(f"frac_{label}"))
+        covered = n if covered is None else covered + n
+    cols.append(F.round((total - covered) / safe_total, 6).alias("frac_other"))
+    return cols

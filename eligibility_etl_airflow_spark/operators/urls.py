@@ -1,0 +1,156 @@
+"""URL operators for web-crawl training-data pipelines.
+
+A crawl-scale corpus carries one URL per document, and the standard
+curation moves — domain-level mixing, domain blocklists, per-host crawl
+budgets, URL-level dedup — all start from the same two primitives:
+parse the URL into components and canonicalize it (two URLs that differ
+only by tracking params / default port / fragment are the same page).
+
+Everything here is built-in column expressions over ONE shared regex —
+JVM-side, whole-stage codegen, map-only; at 100 TB these run at
+parquet-scan speed, and the canonical form is what the exact-dedup hash
+and the domain groupBy key off. The grammar regex deliberately uses
+only RE2-compatible syntax (no lookarounds, no backrefs) so DuckDB
+oracles can run the IDENTICAL pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host[:port][path][?query][#fragment] — capture groups:
+#   1 scheme   2 host(:port)   3 path   4 query   5 fragment
+URL_REGEX = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+
+DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# query params stripped during canonicalization: the cross-site tracking
+# family — never content-addressing. utm_* matches by prefix; the rest
+# by exact param NAME (a bare prefix match would eat legitimate params
+# like "reference=" or "refresh=")
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_NAMES = ("fbclid", "gclid", "ref")
+
+
+def url_part(col: Column, group: int) -> Column:
+    """One captured component of the URL grammar (see URL_REGEX groups);
+    empty string when the component is absent or the URL is malformed."""
+    return F.regexp_extract(col, URL_REGEX, group)
+
+
+def _host_port(col: Column) -> Column:
+    return F.lower(url_part(col, 2))
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host with any :port suffix removed."""
+    return F.regexp_replace(_host_port(col), r":[0-9]+$", "")
+
+
+def url_port(col: Column) -> Column:
+    """Explicit port, or the scheme default (http 80 / https 443), or
+    empty for unknown schemes with no explicit port."""
+    explicit = F.regexp_extract(_host_port(col), r":([0-9]+)$", 1)
+    scheme = F.lower(url_part(col, 1))
+    default = F.lit("")
+    for sch, port in DEFAULT_PORTS.items():
+        default = F.when(scheme == sch, port).otherwise(default)
+    return F.when(explicit != "", explicit).otherwise(default)
+
+
+def registered_domain(host: Column) -> Column:
+    """Last two dot-labels of the host — the eTLD+1 approximation
+    (a production deployment swaps in the public-suffix list as a
+    broadcast lookup table; the column shape stays identical). Hosts
+    with fewer than two labels pass through unchanged."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.concat(F.element_at(parts, -2), F.lit("."), F.element_at(parts, -1)),
+    ).otherwise(host)
+
+
+def clean_query(col: Column) -> Column:
+    """Query string with tracking params removed and the rest kept in
+    original order (reordering would merge URLs whose servers are
+    order-sensitive)."""
+    params = F.filter(
+        F.split(url_part(col, 4), "&"),
+        lambda p: (p != "")
+        & ~_is_tracking(p),
+    )
+    return F.array_join(params, "&")
+
+
+def _is_tracking(param: Column) -> Column:
+    name = F.substring_index(param, "=", 1)
+    cond = F.lit(False)
+    for pref in TRACKING_PREFIXES:
+        cond = cond | name.startswith(pref)
+    for exact in TRACKING_NAMES:
+        cond = cond | (name == exact)
+    return cond
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form for URL-level dedup and domain stats: lowercase
+    scheme + host, default port dropped (explicit non-default ports
+    kept), empty path folded to "/", tracking params stripped, fragment
+    dropped. Malformed URLs (no grammar match) canonicalize to NULL so
+    callers can route them to quarantine instead of silently grouping
+    them under ''."""
+    scheme = F.lower(url_part(col, 1))
+    host = url_host(col)
+    explicit_port = F.regexp_extract(_host_port(col), r":([0-9]+)$", 1)
+    is_default = F.lit(False)
+    for sch, port in DEFAULT_PORTS.items():
+        is_default = is_default | ((scheme == sch) & (explicit_port == port))
+    port_part = F.when(
+        (explicit_port != "") & ~is_default, F.concat(F.lit(":"), explicit_port)
+    ).otherwise(F.lit(""))
+    path = url_part(col, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = clean_query(col)
+    q_part = F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    return F.when(
+        scheme == "", F.lit(None).cast("string")
+    ).otherwise(F.concat(scheme, F.lit("://"), host, port_part, path, q_part))
+
+
+def url_components(df: DataFrame, url_col: str) -> DataFrame:
+    """Attach parsed + canonical URL columns: scheme, host, port,
+    path, query (tracking-stripped), fragment, registered_domain,
+    canonical_url. One regex evaluated per component over one scan —
+    Catalyst collapses the shared subexpressions; nothing shuffles."""
+    c = F.col(url_col)
+    host = url_host(c)
+    return df.select(
+        "*",
+        F.lower(url_part(c, 1)).alias("url_scheme"),
+        host.alias("url_host"),
+        url_port(c).alias("url_port"),
+        url_part(c, 3).alias("url_path"),
+        clean_query(c).alias("url_query"),
+        url_part(c, 5).alias("url_fragment"),
+        registered_domain(host).alias("url_domain"),
+        canonical_url(c).alias("url_canonical"),
+    )
+
+
+def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
+    """Per-registered-domain rollup: page count, distinct canonical
+    URLs (URL-level dedup grain), distinct hosts — the relation domain
+    blocklists, crawl budgets, and domain-mix resampling key off. One
+    partial-aggregated shuffle on the domain key; at crawl scale the
+    output is domains-sized (millions), not pages-sized (billions)."""
+    parts = url_components(df, url_col)
+    return (
+        parts.groupBy(F.col("url_domain").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.count_distinct("url_canonical").alias("n_unique_urls"),
+            F.count_distinct("url_host").alias("n_hosts"),
+        )
+    )

@@ -108,6 +108,8 @@ def run_corpus_curation_pipeline(
     jaccard_threshold: float = 0.8,
     neardup_removal: str = "component",
     neardup_keeper: str = "min_id",
+    blocklist_terms: tuple[str, ...] | None = None,
+    blocklist_max_fraction: float = 0.0,
     repetition_filter: bool = False,
     decontam_bench: DataFrame | None = None,
     semantic_decontam_bench: DataFrame | None = None,
@@ -126,6 +128,10 @@ def run_corpus_curation_pipeline(
     exact dedup (hash keeper) → MinHash near-dup removal → clustered
     curated write. Every stage is the already-tested operator; this
     function is only the composition and the stats contract.
+    ``blocklist_terms`` adds the C4 "bad words" stage first among the
+    hygiene tiers (cheapest: one map-only regexp pass —
+    operators/text.py::blocklist_metrics); docs whose blocklist-token
+    fraction exceeds ``blocklist_max_fraction`` drop (0.0 = any hit).
     ``repetition_filter=True`` drops docs failing the Gopher-family
     self-similarity thresholds (operators/repetition.py);
     ``decontam_bench`` (a DataFrame with a ``text`` column) drops docs
@@ -239,7 +245,29 @@ def run_corpus_curation_pipeline(
         # exact_kept) so its token-explode/n-gram subtree runs once —
         # the stage count materializes the cache, and every downstream
         # consumer (next stage, keeper agg, semi join) reads it.
-        n_after_repetition = n_after_decontam = None
+        n_after_repetition = n_after_decontam = n_after_blocklist = None
+        if blocklist_terms is not None:
+            # cheapest hygiene tier first: one map-only regexp pass over
+            # the cached relation (operators/text.py::blocklist_metrics —
+            # the C4 "bad words" stage); drop side selected so null-text
+            # docs (keep=True by contract) survive
+            drop_ids = (
+                text.blocklist_metrics(
+                    hygienic,
+                    "doc_id",
+                    "text",
+                    terms=blocklist_terms,
+                    max_fraction=blocklist_max_fraction,
+                )
+                .filter(~F.col("keep"))
+                .select("doc_id")
+            )
+            hygienic = hygienic.join(drop_ids, "doc_id", "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            hygiene_caches.append(hygienic)
+            n_after_blocklist = hygienic.count()
+            snapshots.append(("blocklist", hygienic))
         if repetition_filter:
             from eligibility_etl_airflow_spark.operators import repetition
 
@@ -475,6 +503,8 @@ def run_corpus_curation_pipeline(
         "n_after_exact_dedup": n_exact,
         "n_curated": n_curated,
     }
+    if n_after_blocklist is not None:
+        stats["n_after_blocklist"] = n_after_blocklist
     if n_after_repetition is not None:
         stats["n_after_repetition"] = n_after_repetition
     if n_after_decontam is not None:

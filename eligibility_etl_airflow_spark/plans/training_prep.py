@@ -837,3 +837,361 @@ def line_dedup_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dedup.line_dedup(d, "doc_id", "text", max_line_df=10)
+
+
+# --------------------------------------------------------------------------
+# Blocklist filtering — the C4 "bad words" curation stage
+# --------------------------------------------------------------------------
+
+BLOCKLIST_ORACLE = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+                '\b(dup|spark|vector)\b')) AS BIGINT) AS blocklist_hits,
+       round(CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')) = 0 THEN 0.0
+             ELSE CAST(len(regexp_extract_all(lower(text),
+                      '\b(dup|spark|vector)\b')) AS DOUBLE)
+                  / len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> ''))
+             END, 6) AS hit_fraction,
+       round(CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')) = 0 THEN 0.0
+             ELSE CAST(len(regexp_extract_all(lower(text),
+                      '\b(dup|spark|vector)\b')) AS DOUBLE)
+                  / len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> ''))
+             END, 6) <= 0.05 AS keep
+FROM documents
+"""
+
+
+@query("blocklist_filter", oracle=BLOCKLIST_ORACLE)
+def blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filtering (operators/text.py::blocklist_metrics):
+    whole-word hit count over a term list folded into ONE JVM-compiled
+    alternation — map-only, no explode/join/Python — plus the fraction
+    threshold keep decision (0.05 here; 0.0 is C4's any-hit-drops).
+    The vehicle blocklist (dup/spark/vector) is drawn from the corpus
+    vocabulary so both keep outcomes occur."""
+    d = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return text.blocklist_metrics(
+        d, "doc_id", "text", terms=("dup", "spark", "vector"), max_fraction=0.05
+    )
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal — the model-free entropy proxy
+# --------------------------------------------------------------------------
+
+
+@query("compression_ratio_scores")
+def compression_ratio_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality scoring (operators/text.py::zlib_sizes):
+    zlib-compressed bytes / raw UTF-8 bytes per document — repetitive or
+    templated text compresses far below natural prose; near-random
+    gibberish barely compresses. Arrow-batched pandas UDF (Spark has no
+    deflate expression), map-only, composes into the scan stage.
+    Rows-only by nature: DuckDB has no zlib surface; the pytest suite
+    cross-checks every emitted size against direct ``zlib.compress`` and
+    pins the repetitive-vs-random ordering. Flags the low-entropy tail
+    (ratio < 0.1) the repetition filters are designed to catch."""
+    d = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sized = d.select(
+        "doc_id", text.zlib_sizes(F.col("text")).alias("z")
+    ).select(
+        "doc_id",
+        F.col("z.raw_bytes").alias("raw_bytes"),
+        F.col("z.comp_bytes").alias("comp_bytes"),
+    )
+    ratio = F.when(F.col("raw_bytes") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("comp_bytes").cast("double") / F.col("raw_bytes"), 6)
+    )
+    return sized.select(
+        "doc_id",
+        "raw_bytes",
+        "comp_bytes",
+        ratio.alias("compression_ratio"),
+        (ratio < 0.1).alias("low_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# URL parsing / canonicalization / domain rollup — the web-crawl tier
+# --------------------------------------------------------------------------
+
+# Shared vehicle + parse CTE: the corpus has no URL column, so both
+# engines construct one deterministically from doc fields (same
+# construct-then-process discipline as the NFC/FHIR vehicles), then run
+# the IDENTICAL RE2-compatible grammar regex.
+_URL_PARSE_CTE = r"""
+WITH withurl AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.Example.COM'
+         || CASE WHEN doc_id % 4 = 0 THEN ':443'
+                 WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+         || '/docs/' || CAST(doc_id % 7 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '?utm_source=feed&page=' || CAST(doc_id % 5 AS VARCHAR)
+                 WHEN doc_id % 3 = 1
+                 THEN '?page=' || CAST(doc_id % 5 AS VARCHAR) || '&ref=rss'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS u
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id, u,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$', 1)) AS scheme,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$', 2)) AS hostport,
+         regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$', 3) AS path,
+         coalesce(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$', 4), '') AS qraw,
+         coalesce(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$', 5), '') AS frag
+  FROM withurl
+),
+comp AS (
+  SELECT doc_id, scheme, path, frag,
+         regexp_replace(hostport, ':[0-9]+$', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS explicit_port,
+         coalesce(array_to_string(list_filter(string_split(qraw, '&'),
+           x -> x <> ''
+                AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+                AND split_part(x, '=', 1) NOT IN ('fbclid', 'gclid', 'ref')),
+           '&'), '') AS q
+  FROM parsed
+),
+final AS (
+  SELECT doc_id, scheme, host, path, q, frag,
+         CASE WHEN explicit_port <> '' THEN explicit_port
+              WHEN scheme = 'https' THEN '443'
+              WHEN scheme = 'http' THEN '80' ELSE '' END AS port,
+         CASE WHEN len(string_split(host, '.')) >= 2
+              THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+              ELSE host END AS domain,
+         CASE WHEN scheme = '' THEN NULL
+              ELSE scheme || '://' || host
+                   || CASE WHEN explicit_port <> ''
+                           AND NOT ((scheme = 'https' AND explicit_port = '443')
+                                    OR (scheme = 'http' AND explicit_port = '80'))
+                           THEN ':' || explicit_port ELSE '' END
+                   || CASE WHEN path = '' THEN '/' ELSE path END
+                   || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+         END AS canonical
+  FROM comp
+)
+"""
+
+URL_COMPONENTS_ORACLE = (
+    _URL_PARSE_CTE
+    + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       scheme AS url_scheme, host AS url_host, port AS url_port,
+       path AS url_path, q AS url_query, frag AS url_fragment,
+       domain AS url_domain, canonical AS url_canonical
+FROM final
+"""
+)
+
+URL_DOMAIN_STATS_ORACLE = (
+    _URL_PARSE_CTE
+    + """
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_unique_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM final GROUP BY 1
+"""
+)
+
+
+def _with_vehicle_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    mod = F.col("doc_id") % 4
+    q = F.col("doc_id") % 3
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM"),
+            F.when(mod == 0, ":443").when(mod == 1, ":8080").otherwise(""),
+            F.lit("/docs/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(
+                q == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&page="),
+                    (F.col("doc_id") % 5).cast("string"),
+                ),
+            )
+            .when(
+                q == 1,
+                F.concat(
+                    F.lit("?page="),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit("&ref=rss"),
+                ),
+            )
+            .otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, "#sec").otherwise(""),
+        ).alias("u"),
+    )
+
+
+@query("url_components_parse", oracle=URL_COMPONENTS_ORACLE)
+def url_components_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + canonicalization (operators/urls.py): one shared
+    RE2-compatible grammar regex splits scheme/host/port/path/query/
+    fragment; canonicalization lowercases scheme+host, drops default
+    ports and fragments, strips tracking params (utm_* by prefix,
+    fbclid/gclid/ref by exact name), folds empty paths to "/". All
+    built-in column expressions over one scan — map-only, codegen'd,
+    the primitive URL-level dedup and domain blocklists key off."""
+    from eligibility_etl_airflow_spark.operators import urls
+
+    return urls.url_components(_with_vehicle_url(spark, sf_dir), "u").drop("u")
+
+
+@query("url_domain_stats", oracle=URL_DOMAIN_STATS_ORACLE)
+def url_domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl rollup (operators/urls.py::
+    domain_stats): page count, distinct canonical URLs (the URL-dedup
+    grain), distinct hosts. One partial-aggregated shuffle on the
+    domain key; output is domains-sized, never pages-sized."""
+    from eligibility_etl_airflow_spark.operators import urls
+
+    return urls.domain_stats(_with_vehicle_url(spark, sf_dir), "u")
+
+
+# --------------------------------------------------------------------------
+# HTML → text extraction + script profile — raw-crawl cleaning tier
+# --------------------------------------------------------------------------
+
+HTML_EXTRACT_ORACLE = r"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><style>p { color: red }</style>'
+         || '<script>var t = "<b>' || source || '</b>";</script></head>'
+         || '<body><!-- hdr --><h1>' || lang || '</h1><p>'
+         || substring(text, 1, 120)
+         || ' &amp; ' || source || '&nbsp;&#39;q&#39;</p></body></html>' AS h
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS s
+  FROM page
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       trim(regexp_replace(s, '\s+', ' ', 'g')) AS clean_text,
+       CAST(len(list_filter(string_split_regex(
+              trim(regexp_replace(s, '\s+', ' ', 'g')), '\s+'),
+            x -> x <> '')) AS BIGINT) AS n_tokens
+FROM stripped
+"""
+
+
+@query("html_text_extract", oracle=HTML_EXTRACT_ORACLE)
+def html_text_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (operators/text.py::strip_html): drop
+    script/style/comment blocks WITH contents, then tags, then unescape
+    the common named entities (&amp; last — decode-order rule), then
+    collapse whitespace. The vehicle wraps every document in a full
+    page (style+script head, entity-laden body) both engines construct
+    identically. Pure regexp/replace chain — map-only, codegen'd; the
+    stage that turns a raw crawl column into the text every downstream
+    operator consumes."""
+    d = Catalog(spark, sf_dir).documents
+    page = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit('<html><head><style>p { color: red }</style>'),
+            F.lit('<script>var t = "<b>'),
+            F.col("source"),
+            F.lit('</b>";</script></head>'),
+            F.lit("<body><!-- hdr --><h1>"),
+            F.col("lang"),
+            F.lit("</h1><p>"),
+            F.substring(F.col("text"), 1, 120),
+            F.lit(" &amp; "),
+            F.col("source"),
+            F.lit("&nbsp;&#39;q&#39;</p></body></html>"),
+        ).alias("h"),
+    )
+    clean = text.strip_html(F.col("h"))
+    return page.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        text.token_count_ws(clean).alias("n_tokens"),
+    )
+
+
+SCRIPT_PROFILE_ORACLE = r"""
+WITH mixed AS (
+  SELECT doc_id,
+         substring(text, 1, 40) || ' ' ||
+         repeat(chr(1055) || chr(1088), doc_id % 3) ||
+         repeat(chr(20013) || chr(25991), doc_id % 2) ||
+         CAST(doc_id % 100 AS VARCHAR) AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         CAST(length(t) AS DOUBLE) AS total,
+         CAST(length(t) - length(regexp_replace(t, '[\p{Latin}]', '', 'g')) AS DOUBLE) AS n_latin,
+         CAST(length(t) - length(regexp_replace(t, '[\p{Cyrillic}]', '', 'g')) AS DOUBLE) AS n_cyr,
+         CAST(length(t) - length(regexp_replace(t, '[\p{Han}]', '', 'g')) AS DOUBLE) AS n_han,
+         CAST(length(t) - length(regexp_replace(t, '[\p{Arabic}]', '', 'g')) AS DOUBLE) AS n_ar,
+         CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE) AS n_dig,
+         CAST(length(t) - length(regexp_replace(t, '[\s]', '', 'g')) AS DOUBLE) AS n_sp
+  FROM mixed
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(n_latin / greatest(total, 1), 6) AS frac_latin,
+       round(n_cyr / greatest(total, 1), 6) AS frac_cyrillic,
+       round(n_han / greatest(total, 1), 6) AS frac_han,
+       round(n_ar / greatest(total, 1), 6) AS frac_arabic,
+       round(n_dig / greatest(total, 1), 6) AS frac_digit,
+       round(n_sp / greatest(total, 1), 6) AS frac_space,
+       round((total - n_latin - n_cyr - n_han - n_ar - n_dig - n_sp)
+             / greatest(total, 1), 6) AS frac_other
+FROM counted
+"""
+
+
+@query("script_profile_mixed", oracle=SCRIPT_PROFILE_ORACLE)
+def script_profile_mixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-script character fractions (operators/text.py::
+    script_profile): the mixed-script signal marker-word language ID
+    cannot see — wrong-script contamination, transliteration spam,
+    mojibake. The vehicle appends deterministic Cyrillic/Han runs and
+    digits to each doc; the operator states the script sets in Java
+    \\p{IsX} syntax, the oracle in RE2 \\p{X} — the parity hash proves
+    the two engines agree on every class. Length-difference counting:
+    no explode, no Python, map-only (BMP-only vehicle: both engines
+    count BMP chars identically)."""
+    d = Catalog(spark, sf_dir).documents
+    mixed = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, 40),
+            F.lit(" "),
+            F.repeat(F.lit("Пр"), (F.col("doc_id") % 3).cast("int")),
+            F.repeat(F.lit("中文"), (F.col("doc_id") % 2).cast("int")),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("t"),
+    )
+    return mixed.select("doc_id", *text.script_profile(F.col("t")))

@@ -182,6 +182,17 @@ _DEFERRED = (
     # line dedup rides the graded explode/agg + ordered-rebuild
     # machinery (dedup_global_segments' reconstruction shape)
     "line_dedup_boilerplate",
+    # blocklist metrics are the graded text_quality_scores' regexp-count
+    # machinery with a parameterized term alternation
+    "blocklist_filter",
+    # URL parse/canonicalize/rollup are regexp_extract + agg machinery
+    # already graded (regex paths in eligibility_flagship, pii_redaction)
+    "url_components_parse",
+    "url_domain_stats",
+    # HTML strip + script profile are regexp_replace/length-diff
+    # machinery already graded (pii_redaction, text_quality_scores)
+    "html_text_extract",
+    "script_profile_mixed",
 )
 
 

@@ -568,3 +568,38 @@ def test_media_curation_quarantines_wrong_kind_and_writes_empty(spark, tmp_path)
     assert stats2["n_quarantined"] == 0
     q2 = spark.read.parquet(str(tmp_path / "clean" / "quarantine"))
     assert q2.count() == 0  # present AND empty
+
+
+def test_corpus_curation_blocklist_stage(spark, sf_dir, tmp_path):
+    """Opt-in blocklist stage: the C4 bad-words tier drops every doc
+    containing a blocklisted term (max_fraction=0.0), the funnel stays
+    monotone, and the curated output is hit-free."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.operators import text
+
+    stats = pipelines.run_corpus_curation_pipeline(
+        spark,
+        sf_dir,
+        str(tmp_path),
+        min_quality=0.5,
+        blocklist_terms=("vector",),
+        blocklist_max_fraction=0.0,
+    )
+    assert (
+        stats["n_after_quality_lang"]
+        >= stats["n_after_blocklist"]
+        >= stats["n_after_exact_dedup"]
+        >= stats["n_curated"]
+        > 0
+    )
+    # the stage must actually have dropped something at this corpus
+    assert stats["n_after_blocklist"] < stats["n_after_quality_lang"]
+    curated = spark.read.parquet(str(tmp_path / "curated_docs"))
+    hits = (
+        text.blocklist_metrics(curated, "doc_id", "text", terms=("vector",))
+        .filter(F.col("blocklist_hits") > 0)
+        .count()
+    )
+    assert hits == 0

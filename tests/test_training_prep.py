@@ -485,3 +485,144 @@ def test_rank_normalize_blend_null_signal_raises(spark):
     df = spark.createDataFrame([(1, 5), (2, None)], "id long, v long")
     with pytest.raises(Exception, match="rank_normalize_blend"):
         selection.rank_normalize_blend(df, "id", {"v": F.col("v")}).collect()
+
+
+# ----------------------------------------------------- blocklist filtering
+
+
+def test_blocklist_metrics_counts_and_threshold(spark):
+    from eligibility_etl_airflow_spark.operators import text
+
+    rows = [
+        (1, "clean words only here today friend"),          # 0 hits / 6
+        (2, "the BADWORD appears once in seven tokens x"),  # 1 / 8
+        (3, "badword badword badword"),                     # 3 / 3
+        (4, "badwordy is not a whole-word match"),          # substring: 0
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.blocklist_metrics(
+            df, "doc_id", "text", terms=("badword",), max_fraction=0.2
+        ).collect()
+    }
+    assert out[1]["blocklist_hits"] == 0 and out[1]["keep"]
+    assert out[2]["blocklist_hits"] == 1 and out[2]["n_tokens"] == 8
+    assert out[2]["keep"]  # 1/8 = 0.125 <= 0.2
+    assert out[3]["blocklist_hits"] == 3 and not out[3]["keep"]
+    assert out[4]["blocklist_hits"] == 0  # \b guard: no substring fire
+    # null/empty docs: zero tokens, zero hits, keep=True (not null)
+    for d in (5, 6):
+        assert out[d]["n_tokens"] == 0 and out[d]["hit_fraction"] == 0.0
+        assert out[d]["keep"] is True
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        text.blocklist_metrics(df, "doc_id", "text", terms=())
+
+
+def test_blocklist_terms_are_regex_escaped(spark):
+    from eligibility_etl_airflow_spark.operators import text
+
+    # a term with regex metachars must match literally, not as a pattern
+    df = spark.createDataFrame(
+        [(1, "call c++ now"), (2, "call cxx now")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["blocklist_hits"]
+        for r in text.blocklist_metrics(df, "doc_id", "text", terms=("c++",)).collect()
+    }
+    assert out[1] >= 1 and out[2] == 0
+
+
+# ----------------------------------------------- compression-ratio signal
+
+
+def test_zlib_sizes_match_direct_zlib(spark):
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import text
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 20),
+        (2, "the quick brown fox jumps over the lazy dog " * 10),
+        (3, "k9#pQ@z!mV$xR&wL*eT%yU^iO(sD)fG_hJ+aB=cN"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", text.zlib_sizes(F.col("text")).alias("z"))
+        .select("doc_id", "z.raw_bytes", "z.comp_bytes")
+        .collect()
+    }
+    for doc_id, t in rows:
+        if t is None:
+            assert out[doc_id]["raw_bytes"] is None
+            assert out[doc_id]["comp_bytes"] is None
+        else:
+            b = t.encode("utf-8")
+            assert out[doc_id]["raw_bytes"] == len(b)
+            assert out[doc_id]["comp_bytes"] == len(zlib.compress(b, 6))
+    # repetitive text compresses far below the high-entropy string
+    rep = out[1]["comp_bytes"] / out[1]["raw_bytes"]
+    rand = out[3]["comp_bytes"] / out[3]["raw_bytes"]
+    assert rep < 0.05 < rand
+
+
+# -------------------------------------------------- HTML strip + scripts
+
+
+def test_strip_html_blocks_tags_entities(spark):
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import text
+
+    html = (
+        "<html><head><style>p { color: red }</style>"
+        "<script>var x = '<b>not text</b>';\nalert(1)</script></head>"
+        "<body><!-- note -->\n<h1>Title</h1><p>A &amp;amp; B &lt;tag&gt; "
+        "O&#39;Neil&nbsp;here</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None)], "k long, t string")
+    out = {
+        r["k"]: r["c"]
+        for r in df.select("k", text.strip_html(F.col("t")).alias("c")).collect()
+    }
+    # script/style contents gone, entities decoded, &amp;amp; -> &amp;
+    assert out[1] == "Title A &amp; B <tag> O'Neil here"
+    assert out[2] is None
+    # collapse_ws=False keeps the newline structure
+    raw = df.filter("k = 1").select(
+        text.strip_html(F.col("t"), collapse_ws=False).alias("c")
+    ).collect()[0]["c"]
+    assert "\n" in raw
+
+
+def test_script_profile_fractions(spark):
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import text
+
+    # 4 latin + 1 space + 2 cyrillic + 2 han + 1 digit + 1 other = 11 chars
+    s = "abcd Пр中文" + "7" + "@"
+    df = spark.createDataFrame([(1, s), (2, "")], "k long, t string")
+    out = {
+        r["k"]: r
+        for r in df.select("k", *text.script_profile(F.col("t"))).collect()
+    }
+    r = out[1]
+    assert r["frac_latin"] == round(4 / 11, 6)
+    assert r["frac_cyrillic"] == round(2 / 11, 6)
+    assert r["frac_han"] == round(2 / 11, 6)
+    assert r["frac_digit"] == round(1 / 11, 6)
+    assert r["frac_space"] == round(1 / 11, 6)
+    assert r["frac_other"] == round(1 / 11, 6)
+    # empty doc: all-zero, no divide-by-zero
+    assert all(out[2][c] == 0.0 for c in out[2].asDict() if c.startswith("frac_"))

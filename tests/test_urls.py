@@ -1,0 +1,80 @@
+"""URL parsing / canonicalization / domain-stats operators."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.operators import urls
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(urls.canonical_url(F.col("u")).alias("c")).collect()[0]["c"]
+
+
+def test_canonical_url_strips_default_port_tracking_fragment(spark):
+    got = _canon(
+        spark,
+        "HTTPS://WWW.Example.COM:443/Path/Page?utm_source=x&q=1&ref=tw#frag",
+    )
+    assert got == "https://www.example.com/Path/Page?q=1"
+
+
+def test_canonical_url_keeps_explicit_nondefault_port_and_order(spark):
+    got = _canon(spark, "http://host.example.org:8080/a?b=2&a=1")
+    # port kept, param order preserved (never reordered)
+    assert got == "http://host.example.org:8080/a?b=2&a=1"
+
+
+def test_canonical_url_empty_path_and_bare_host(spark):
+    assert _canon(spark, "https://example.com") == "https://example.com/"
+    assert _canon(spark, "https://example.com?utm_campaign=z") == "https://example.com/"
+
+
+def test_canonical_url_malformed_is_null(spark):
+    assert _canon(spark, "not a url") is None
+    assert _canon(spark, "example.com/no-scheme") is None
+
+
+def test_tracking_match_is_name_exact_not_prefix(spark):
+    # "reference"/"refresh" are legitimate params; "ref" is tracking
+    got = _canon(spark, "https://e.com/p?reference=1&ref=x&refresh=2&fbclid=abc")
+    assert got == "https://e.com/p?reference=1&refresh=2"
+
+
+def test_url_components_and_registered_domain(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.news.example.co:8443/x/y?id=9#top"),
+            (2, "http://localhost/health"),
+        ],
+        "k long, u string",
+    )
+    out = {r["k"]: r for r in urls.url_components(df, "u").collect()}
+    r1 = out[1]
+    assert r1["url_scheme"] == "https"
+    assert r1["url_host"] == "www.news.example.co"
+    assert r1["url_port"] == "8443"
+    assert r1["url_path"] == "/x/y"
+    assert r1["url_query"] == "id=9"
+    assert r1["url_fragment"] == "top"
+    assert r1["url_domain"] == "example.co"
+    r2 = out[2]
+    assert r2["url_host"] == "localhost"
+    assert r2["url_port"] == "80"  # scheme default
+    assert r2["url_domain"] == "localhost"  # single label passes through
+
+
+def test_domain_stats_counts_unique_canonicals(spark):
+    rows = [
+        (1, "https://a.example.com/p?utm_source=1"),
+        (2, "https://a.example.com/p"),          # same canonical as 1
+        (3, "https://b.example.com/q"),
+        (4, "https://other.org/"),
+    ]
+    df = spark.createDataFrame(rows, "k long, u string")
+    out = {r["domain"]: r for r in urls.domain_stats(df, "u").collect()}
+    assert out["example.com"]["n_pages"] == 3
+    assert out["example.com"]["n_unique_urls"] == 2
+    assert out["example.com"]["n_hosts"] == 2
+    assert out["other.org"]["n_pages"] == 1
