@@ -46,10 +46,24 @@ def main(argv: list[str] | None = None) -> int:
             "events-stream",
             "corpus-curation",
             "training-prep",
+            "crawl-preprocess",
         ],
     )
     pp.add_argument("--out-dir", required=True)
     pp.add_argument("--sf-dir", default=DEFAULT_SF)
+    pp.add_argument(
+        "--raw-crawl",
+        default=None,
+        help="crawl-preprocess only (required there): parquet path of raw "
+        "crawl records (doc_id, url, html)",
+    )
+    pp.add_argument(
+        "--min-latin-fraction",
+        type=float,
+        default=None,
+        help="crawl-preprocess only: drop docs below this Latin character "
+        "fraction (mixed-script/mojibake gate)",
+    )
     pp.add_argument(
         "--neardup-removal",
         choices=["component", "pair"],
@@ -211,6 +225,7 @@ def main(argv: list[str] | None = None) -> int:
             "events-stream": pipelines.run_events_stream_pipeline,
             "corpus-curation": pipelines.run_corpus_curation_pipeline,
             "training-prep": pipelines.run_training_prep_pipeline,
+            "crawl-preprocess": pipelines.run_crawl_preprocess_pipeline,
         }[args.name]
         kwargs = {}
         if args.name == "corpus-curation":
@@ -236,6 +251,27 @@ def main(argv: list[str] | None = None) -> int:
                 kwargs["semantic_k"] = args.semantic_k
             if args.audit_path:
                 kwargs["audit_path"] = args.audit_path
+        if args.name == "crawl-preprocess":
+            if not args.raw_crawl:
+                print("crawl-preprocess requires --raw-crawl", file=sys.stderr)
+                return 2
+            if args.blocklist:
+                kwargs["blocklist_terms"] = tuple(
+                    t.strip() for t in args.blocklist.split(",") if t.strip()
+                )
+                kwargs["blocklist_max_fraction"] = args.blocklist_max_fraction
+            if args.min_latin_fraction is not None:
+                kwargs["min_latin_fraction"] = args.min_latin_fraction
+            raw = spark.read.parquet(args.raw_crawl)
+            print(
+                json.dumps(
+                    pipelines.run_crawl_preprocess_pipeline(
+                        spark, raw, args.out_dir, **kwargs
+                    ),
+                    default=str,
+                )
+            )
+            return 0
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir, **kwargs), default=str))
         return 0
 

@@ -267,6 +267,17 @@ def strip_html(col: Column, collapse_ws: bool = True) -> Column:
     s = F.regexp_replace(col, r"(?s)<script[^>]*>.*?</script>", " ")
     s = F.regexp_replace(s, r"(?s)<style[^>]*>.*?</style>", " ")
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    # block-level boundaries become newlines BEFORE generic tag removal,
+    # so the document's block structure survives as line structure —
+    # line-grain operators (line_dedup) need a nav <div> to be its own
+    # line even when the source HTML is single-line. Inline tags become
+    # spaces. Under collapse_ws both fold to ' ' (oracle unaffected).
+    s = F.regexp_replace(
+        s,
+        r"(?i)<br\s*/?>|</(?:p|div|h[1-6]|li|ul|ol|tr|table|section|article"
+        r"|header|footer|blockquote|pre)\s*>",
+        "\n",
+    )
     s = F.regexp_replace(s, r"<[^>]+>", " ")
     for ent, ch in HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))

@@ -1103,3 +1103,145 @@ def run_media_curation_pipeline(
         "n_after_exact": n_exact,
         "n_curated": n_curated,
     }
+
+
+def run_crawl_preprocess_pipeline(
+    spark: SparkSession,
+    raw: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    blocklist_terms: tuple[str, ...] | None = None,
+    blocklist_max_fraction: float = 0.0,
+    min_latin_fraction: float | None = None,
+    line_max_df: int = 10,
+    nfc: bool = True,
+) -> dict:
+    """Raw crawl → curable text: the preprocessing funnel that runs
+    BEFORE run_corpus_curation_pipeline, turning (id, url, html) crawl
+    records into the (doc_id, url, domain, text) relation every
+    downstream operator expects.
+
+    Stages, cheapest first, each the already-tested operator:
+      1. URL canonicalization (operators/urls.py) — malformed URLs
+         (canonical NULL) drop; then URL-level exact dedup keeps the
+         min-id record per canonical form (two crawls of the same page
+         that differ only by tracking params / default port / fragment
+         are one page).
+      2. HTML → text (text.strip_html, collapse_ws=False so line
+         structure survives for stage 3).
+      3. Line-level boilerplate removal (dedup.line_dedup) — site
+         chrome shared across >= ``line_max_df`` docs drops; docs whose
+         every line was boilerplate (empty text_clean) drop.
+      4. Unicode NFC (text.unicode_nfc) so downstream hashing sees one
+         byte form per string (skippable with ``nfc=False``).
+      5. Optional blocklist gate (text.blocklist_metrics).
+      6. Optional script gate: docs whose Latin character fraction
+         falls below ``min_latin_fraction`` drop (the mixed-script/
+         mojibake net; swap thresholds per target language mix).
+
+    Scale shape: stages 2/4/5/6 are map-only column work fused into
+    one pass over the deduped relation; the only shuffles are the
+    URL-dedup aggregate (canonical key), line_dedup's two (line key,
+    id key), all partial-aggregated. Same persist-before-count funnel
+    discipline as the curation pipeline — each stage's output is
+    cached, counted once, and read by the next stage; nothing
+    data-proportional reaches the driver. Output parquet is
+    range-clustered by id for downstream range pruning."""
+    from pyspark import StorageLevel
+
+    from eligibility_etl_airflow_spark.operators import dedup, text, urls
+
+    if line_max_df < 2:
+        raise ValueError(f"line_max_df must be >= 2, got {line_max_df}")
+
+    n_total = raw.count()
+    caches: list[DataFrame] = []
+    try:
+        # 1. canonicalize + URL dedup
+        with_url = urls.url_components(raw, url_col).filter(
+            F.col("url_canonical").isNotNull()
+        )
+        keeper = (
+            with_url.groupBy("url_canonical")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        url_deduped = with_url.join(keeper, id_col, "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        caches.append(url_deduped)
+        n_url_deduped = url_deduped.count()
+
+        # 2+3. HTML → text (newline-preserving), then line-level dedup
+        texted = url_deduped.select(
+            id_col,
+            "url_canonical",
+            F.col("url_domain").alias("domain"),
+            text.strip_html(F.col(html_col), collapse_ws=False).alias("text"),
+        )
+        lined = dedup.line_dedup(texted, id_col, "text", max_line_df=line_max_df)
+        rebuilt = (
+            texted.drop("text")
+            .join(lined.select(id_col, "text_clean"), id_col)
+            .filter(F.trim(F.col("text_clean")) != "")
+            .withColumnRenamed("text_clean", "text")
+        )
+        # 4. NFC — map-only, composes into the same pass
+        if nfc:
+            rebuilt = rebuilt.withColumn("text", text.unicode_nfc(F.col("text")))
+        cleaned = rebuilt.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(cleaned)
+        n_after_lines = cleaned.count()
+
+        # 5. blocklist gate (optional)
+        n_after_blocklist = None
+        current = cleaned
+        if blocklist_terms is not None:
+            drop_ids = (
+                text.blocklist_metrics(
+                    current,
+                    id_col,
+                    "text",
+                    terms=blocklist_terms,
+                    max_fraction=blocklist_max_fraction,
+                )
+                .filter(~F.col("keep"))
+                .select(id_col)
+            )
+            current = current.join(drop_ids, id_col, "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            caches.append(current)
+            n_after_blocklist = current.count()
+
+        # 6. script gate (optional)
+        n_after_script = None
+        if min_latin_fraction is not None:
+            profiled = current.select(
+                id_col, *text.script_profile(F.col("text"))
+            ).filter(F.col("frac_latin") >= min_latin_fraction)
+            current = current.join(
+                profiled.select(id_col), id_col, "left_semi"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            caches.append(current)
+            n_after_script = current.count()
+
+        out_path = os.path.join(out_dir, "preprocessed_docs")
+        sinks.write_clustered(current, out_path, [id_col])
+        n_out = spark.read.parquet(out_path).count()
+    finally:
+        for c in caches:
+            c.unpersist()
+    stats = {
+        "n_total": n_total,
+        "n_after_url_dedup": n_url_deduped,
+        "n_after_line_dedup": n_after_lines,
+        "n_preprocessed": n_out,
+    }
+    if n_after_blocklist is not None:
+        stats["n_after_blocklist"] = n_after_blocklist
+    if n_after_script is not None:
+        stats["n_after_script"] = n_after_script
+    return stats

@@ -603,3 +603,69 @@ def test_corpus_curation_blocklist_stage(spark, sf_dir, tmp_path):
         .count()
     )
     assert hits == 0
+
+
+def test_crawl_preprocess_pipeline(spark, tmp_path):
+    """Raw crawl funnel: malformed-URL drop, canonical URL dedup,
+    HTML strip, shared-boilerplate line removal, blocklist gate,
+    script gate — funnel monotone, output text fully cleaned."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark import pipelines
+
+    nav = "<div>NAV BAR HOME</div>"
+    rows = []
+    for i in range(12):
+        rows.append(
+            (
+                i,
+                f"https://www.site{i % 6}.example.com/page/{i}?utm_source=x",
+                f"<html><body>{nav}<p>unique article body {i} text &amp; more</p>"
+                f"<script>track({i})</script></body></html>",
+            )
+        )
+    # 12: same canonical as 0 (tracking param only) -> deduped
+    rows.append((12, "https://www.site0.example.com/page/0?utm_campaign=y",
+                 "<html><body><p>dup page body</p></body></html>"))
+    # 13: malformed URL -> dropped at stage 1
+    rows.append((13, "not-a-url", "<p>orphan</p>"))
+    # 14: blocklisted
+    rows.append((14, "https://other.example.org/x",
+                 f"<html><body>{nav}<p>FORBIDDENWORD appears here</p></body></html>"))
+    # 15: non-Latin heavy -> script gate
+    rows.append((15, "https://ru.example.net/y",
+                 f"<html><body>{nav}<p>Привет "
+                 "мир мир мир</p></body></html>"))
+    # 16: all-boilerplate doc -> dropped after line dedup
+    rows.append((16, "https://empty.example.io/z",
+                 f"<html><body>{nav}</body></html>"))
+    raw = spark.createDataFrame(rows, "doc_id long, url string, html string")
+
+    stats = pipelines.run_crawl_preprocess_pipeline(
+        spark,
+        raw,
+        str(tmp_path),
+        blocklist_terms=("forbiddenword",),
+        min_latin_fraction=0.5,
+    )
+    assert stats["n_total"] == 17
+    # 13 malformed + 12 canonical-dup -> 15 survive URL stage
+    assert stats["n_after_url_dedup"] == 15
+    # 16 (all boilerplate) drops: nav div appears in 15 docs >= 10
+    assert stats["n_after_line_dedup"] == 14
+    assert stats["n_after_blocklist"] == 13
+    assert stats["n_after_script"] == 12
+    assert stats["n_preprocessed"] == 12
+
+    out = spark.read.parquet(str(tmp_path / "preprocessed_docs"))
+    assert out.count() == 12
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    # doc 0 survived (kept over 12), html stripped, nav line gone,
+    # entity decoded, script content gone
+    assert "unique article body 0" in texts[0]
+    assert "&" in texts[0] and "&amp;" not in texts[0]
+    assert "NAV BAR" not in texts[0]
+    assert "track(" not in texts[0]
+    assert 12 not in texts
+    cols = set(out.columns)
+    assert {"doc_id", "url_canonical", "domain", "text"} <= cols
