@@ -1,0 +1,114 @@
+"""Link-graph operators for web-crawl corpora: degrees and PageRank.
+
+Crawl-scale curation uses link structure as a quality prior — domain
+authority for sampling weights, spam-farm downweighting, seed selection.
+The canonical signal is PageRank over the (src, dst) edge relation; the
+supporting relation is per-node degree stats.
+
+Scale shape mirrors operators/components.py (the other iterative graph
+op): every iteration is one hash join (edges × current ranks, shuffled
+on the SAME src key every round — a pre-partitioned/bucketed edge
+relation reuses its layout) plus one partial-aggregated sum on dst.
+Lineage is truncated per iteration with a localCheckpoint, so the plan
+never nests k iterations deep, and NOTHING data-proportional reaches
+the driver. Iteration count is fixed (power iteration converges
+geometrically at the damping rate; 10–20 rounds is the standard
+budget) rather than residual-tested — a residual test would add a
+scalar action per round for little benefit at a fixed budget.
+
+Determinism: double summation is order-dependent across partitionings,
+so each iteration's rank is rounded to ``round_dp`` (default 9) decimal
+places — drift cannot accumulate, results are partition-count
+independent, and the DuckDB oracle (same per-iteration rounding,
+unrolled CTEs) matches hash-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node in/out degree over a (src, dst) edge relation — two
+    partial-aggregated shuffles + one outer join; isolated endpoints
+    appear with the missing side at 0."""
+    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree")
+    )
+    in_deg = edges.groupBy(F.col(dst).alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    return (
+        out_deg.join(in_deg, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    round_dp: int = 9,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Power-iteration PageRank over (src, dst): returns (id, rank)
+    for every node appearing on either edge side. Uses the standard
+    simplified dangling-node treatment (their outgoing mass decays —
+    ranks then sum to < 1 when sinks exist; relative ordering, which is
+    what sampling weights use, is unaffected). Multi-edges count once:
+    the edge relation is distinct-ed first, the defensive normalization
+    a crawl extractor needs (page A linking B five times is one
+    endorsement).
+
+    Per iteration: ranks join edges on src (one shuffle on the src
+    key), contributions partial-sum on dst (second shuffle), left join
+    back to the node set so zero-inlink nodes keep the teleport term.
+    ``checkpoint=True`` localCheckpoints each iteration — without it
+    the lineage nests ``iterations`` deep and the final plan's
+    compile/execute cost grows superlinearly (same rationale as
+    components._stable). Ranks round to ``round_dp`` per iteration so
+    double-sum ordering cannot leak into results across partitionings.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+        e = e.localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    with_deg = e.join(out_deg, "src")
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), round_dp))
+    for _ in range(iterations):
+        contribs = (
+            with_deg.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            F.round(
+                F.lit(teleport) + F.lit(damping) * F.coalesce("c", F.lit(0.0)),
+                round_dp,
+            ).alias("rank"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

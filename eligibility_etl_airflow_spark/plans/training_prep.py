@@ -1195,3 +1195,108 @@ def script_profile_mixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return mixed.select("doc_id", *text.script_profile(F.col("t")))
+
+
+# --------------------------------------------------------------------------
+# Link-graph PageRank — the crawl-tier authority signal
+# --------------------------------------------------------------------------
+
+# 5 unrolled power iterations; every iteration rounds to 9 dp on BOTH
+# engines so double-sum ordering cannot drift (operators/linkgraph.py
+# does the same per-iteration rounding).
+PAGERANK_ORACLE = r"""
+WITH e0 AS (
+  SELECT DISTINCT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst
+  FROM documents WHERE doc_id % 50 <> (doc_id * 7 + 3) % 50
+),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0
+  )
+),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e0 GROUP BY 1),
+ind AS (SELECT dst, count(*) AS indeg FROM e0 GROUP BY 1),
+it0 AS (
+  SELECT id, round(1.0 / (SELECT n FROM total), 9) AS rank FROM nodes
+),
+it1 AS (
+  SELECT nd.id, round(0.15 / (SELECT n FROM total)
+         + 0.85 * coalesce(s.c, 0), 9) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank / od.deg) AS c
+    FROM e0 e JOIN it0 p ON e.src = p.id JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON nd.id = s.id
+),
+it2 AS (
+  SELECT nd.id, round(0.15 / (SELECT n FROM total)
+         + 0.85 * coalesce(s.c, 0), 9) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank / od.deg) AS c
+    FROM e0 e JOIN it1 p ON e.src = p.id JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON nd.id = s.id
+),
+it3 AS (
+  SELECT nd.id, round(0.15 / (SELECT n FROM total)
+         + 0.85 * coalesce(s.c, 0), 9) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank / od.deg) AS c
+    FROM e0 e JOIN it2 p ON e.src = p.id JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON nd.id = s.id
+),
+it4 AS (
+  SELECT nd.id, round(0.15 / (SELECT n FROM total)
+         + 0.85 * coalesce(s.c, 0), 9) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank / od.deg) AS c
+    FROM e0 e JOIN it3 p ON e.src = p.id JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON nd.id = s.id
+),
+it5 AS (
+  SELECT nd.id, round(0.15 / (SELECT n FROM total)
+         + 0.85 * coalesce(s.c, 0), 9) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank / od.deg) AS c
+    FROM e0 e JOIN it4 p ON e.src = p.id JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON nd.id = s.id
+)
+SELECT CAST(r.id AS BIGINT) AS node_id,
+       CAST(coalesce(od.deg, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(ind.indeg, 0) AS BIGINT) AS in_degree,
+       round(r.rank, 6) AS rank
+FROM it5 r
+LEFT JOIN od ON od.src = r.id
+LEFT JOIN ind ON ind.dst = r.id
+"""
+
+
+@query("domain_pagerank", oracle=PAGERANK_ORACLE)
+def domain_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a link graph (operators/linkgraph.py::pagerank):
+    the crawl-tier authority prior (sampling weights, spam
+    downweighting, seed selection). The vehicle derives a deterministic
+    50-node digraph from doc ids (dedup'd, self-loops removed — the
+    same normalization a crawl extractor applies). 5 power iterations,
+    damping 0.85, per-iteration 9-dp rounding pins cross-engine and
+    cross-partitioning determinism; per iteration: one src-key join,
+    one dst-key partial-agg sum, lineage checkpoint-truncated. Degrees
+    attached from the shared distinct edge relation."""
+    from eligibility_etl_airflow_spark.operators import linkgraph
+
+    d = Catalog(spark, sf_dir).documents
+    edges = (
+        d.select(
+            (F.col("doc_id") % 50).alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = linkgraph.pagerank(edges, iterations=5)
+    deg = linkgraph.degree_stats(edges)
+    return pr.join(deg, "id", "left").select(
+        F.col("id").cast("long").alias("node_id"),
+        F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+        F.round("rank", 6).alias("rank"),
+    )

@@ -193,6 +193,9 @@ _DEFERRED = (
     # machinery already graded (pii_redaction, text_quality_scores)
     "html_text_extract",
     "script_profile_mixed",
+    # pagerank is the components-style iterative join/agg machinery
+    # (graded via dedup_connected_components' local parity family)
+    "domain_pagerank",
 )
 
 

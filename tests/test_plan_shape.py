@@ -334,3 +334,44 @@ def test_semantic_decontam_argmax_is_partial_aggregate(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_blocklist_is_map_only_no_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "blocklist_filter")
+    # one compiled alternation, fused into the scan: no shuffle, no
+    # explode, no Python worker anywhere in the plan
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_html_strip_is_map_only_no_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "html_text_extract")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_script_profile_is_map_only_no_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "script_profile_mixed")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_parse_is_map_only_and_rollup_is_partial(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "url_components_parse")
+    assert "Exchange" not in plan
+    plan = _plan(spark, sf_dir, "url_domain_stats")
+    # domain rollup: exactly the aggregate exchanges (partial-agg pairs),
+    # never a join or Python boundary
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+
+
+def test_line_dedup_frequent_lines_stay_bounded(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "line_dedup_boilerplate")
+    # the frequent-line relation (bounded by |lines|/threshold) must come
+    # back as a broadcast probe, not a sort-merge of the full line table
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -78,3 +78,31 @@ def test_domain_stats_counts_unique_canonicals(spark):
     assert out["example.com"]["n_unique_urls"] == 2
     assert out["example.com"]["n_hosts"] == 2
     assert out["other.org"]["n_pages"] == 1
+
+
+def test_canonical_url_is_idempotent_over_grammar_grid(spark):
+    """canonical(canonical(u)) == canonical(u) for the full grammar
+    cross-product (schemes x hosts x ports x paths x queries x
+    fragments) plus malformed inputs — the invariant URL-level dedup
+    depends on (a canonical form that re-canonicalizes differently
+    would split dedup groups across pipeline runs)."""
+    import itertools
+
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "www.example.com:443", "a.b.c.d:8080", "localhost:80"]
+    paths = ["", "/", "/x/y", "/Case/Kept"]
+    queries = ["", "?utm_source=a", "?q=1&utm_b=2&ref=x", "?b=2&a=1", "?reference=9&"]
+    frags = ["", "#f", "#a?b=c"]
+    cases = [
+        s + "://" + h + p + q + f
+        for s, h, p, q, f in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    cases += ["not a url", "", "http:/missing-slash", "://nohost", None]
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    out = df.select(
+        urls.canonical_url(F.col("u")).alias("c1"),
+    ).select(
+        "c1", urls.canonical_url(F.col("c1")).alias("c2")
+    )
+    bad = out.filter(~F.col("c1").eqNullSafe(F.col("c2"))).collect()
+    assert bad == [], bad[:5]
