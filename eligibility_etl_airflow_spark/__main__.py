@@ -58,6 +58,14 @@ def main(argv: list[str] | None = None) -> int:
         "crawl records (doc_id, url, html)",
     )
     pp.add_argument(
+        "--docs-parquet",
+        default=None,
+        help="corpus-curation / training-prep only: read the documents "
+        "relation from this parquet path instead of "
+        "<sf-dir>/documents.parquet (chains stages: point it at a "
+        "previous stage's curated_docs)",
+    )
+    pp.add_argument(
         "--min-latin-fraction",
         type=float,
         default=None,
@@ -251,6 +259,8 @@ def main(argv: list[str] | None = None) -> int:
                 kwargs["semantic_k"] = args.semantic_k
             if args.audit_path:
                 kwargs["audit_path"] = args.audit_path
+        if args.docs_parquet and args.name in ("corpus-curation", "training-prep"):
+            kwargs["documents"] = spark.read.parquet(args.docs_parquet)
         if args.name == "crawl-preprocess":
             if not args.raw_crawl:
                 print("crawl-preprocess requires --raw-crawl", file=sys.stderr)

@@ -25,7 +25,20 @@ def nanos_timestamp_columns(path: str) -> list[str]:
     Shared by the batch Catalog and the streaming source so the testdata's
     nanos encoding is detected in exactly one place (a testdata format
     change cannot silently break one path but not the other).
+
+    Accepts either a single parquet file (the driver testdata) or a
+    Spark-written parquet DIRECTORY (a previous pipeline stage's output
+    — all part files share one schema, so probing the first suffices);
+    an empty directory probes as no-nanos and lets Spark raise its own
+    error on read.
     """
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return []
+        path = os.path.join(path, parts[0])
     schema = _pq.read_schema(path)
     return [
         field.name

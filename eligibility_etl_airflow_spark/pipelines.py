@@ -121,6 +121,7 @@ def run_corpus_curation_pipeline(
     quality_model: dict | None = None,
     quality_model_min: float = 0.5,
     audit_path: str | None = None,
+    documents: DataFrame | None = None,
 ) -> dict:
     """The LLM-training-data lifecycle the beyond-reference operators
     exist for, composed end to end: quality filter → language mix →
@@ -221,7 +222,11 @@ def run_corpus_curation_pipeline(
             "silently ignore quality"
         )
 
-    docs = Catalog(spark, sf_dir).documents
+    # ``documents`` overrides the catalog table — the seam that chains
+    # this funnel onto a previous stage's output (e.g.
+    # run_crawl_preprocess_pipeline's documents.parquet) or any
+    # caller-built relation with (doc_id, text, lang) columns
+    docs = documents if documents is not None else Catalog(spark, sf_dir).documents
     n_total = docs.count()
     # audit trail: (stage_name, surviving relation) snapshots; consecutive
     # anti-joins reconstruct which stage dropped each doc (opt-in)
@@ -568,6 +573,7 @@ def run_training_prep_pipeline(
     budget: int = 512,
     test_frac: float = 0.1,
     cluster_labels: DataFrame | None = None,
+    documents: DataFrame | None = None,
 ) -> dict:
     """From curated documents to packed training examples: chunk →
     document-level train/test split → per-split sequence packing →
@@ -600,7 +606,9 @@ def run_training_prep_pipeline(
     from eligibility_etl_airflow_spark.catalog import Catalog
     from eligibility_etl_airflow_spark.operators import chunking, packing, sampling
 
-    docs = Catalog(spark, sf_dir).documents
+    # ``documents`` overrides the catalog table — chains this stage onto
+    # a curation/preprocess output relation instead of the raw corpus
+    docs = documents if documents is not None else Catalog(spark, sf_dir).documents
     chunks = chunking.chunk_documents(
         docs, chunk_tokens=chunk_tokens, overlap=overlap
     ).withColumn(
@@ -1147,8 +1155,15 @@ def run_crawl_preprocess_pipeline(
     id key), all partial-aggregated. Same persist-before-count funnel
     discipline as the curation pipeline — each stage's output is
     cached, counted once, and read by the next stage; nothing
-    data-proportional reaches the driver. Output parquet is
-    range-clustered by id for downstream range pruning."""
+    data-proportional reaches the driver.
+
+    The output is a full documents table — (doc_id, text, lang
+    [marker-heuristic], source [= registered domain], n_chars,
+    url_canonical, domain), range-clustered by doc_id under
+    ``<out_dir>/documents.parquet`` — so ``out_dir`` is directly usable
+    as the ``sf_dir`` of run_corpus_curation_pipeline /
+    run_training_prep_pipeline: the crawl → curate → prep funnel chains
+    end to end with no glue."""
     from pyspark import StorageLevel
 
     from eligibility_etl_airflow_spark.operators import dedup, text, urls
@@ -1228,8 +1243,22 @@ def run_crawl_preprocess_pipeline(
             caches.append(current)
             n_after_script = current.count()
 
-        out_path = os.path.join(out_dir, "preprocessed_docs")
-        sinks.write_clustered(current, out_path, [id_col])
+        # the output IS a documents table: curation-compatible columns
+        # (lang via the marker heuristic, source = registered domain,
+        # n_chars) written under documents.parquet so this stage's
+        # out_dir is a valid sf_dir for run_corpus_curation_pipeline /
+        # run_training_prep_pipeline — the funnel chains end to end
+        final = current.select(
+            F.col(id_col).alias("doc_id"),
+            "text",
+            text.lang_id(F.col("text")).alias("lang"),
+            F.col("domain").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+            "url_canonical",
+            "domain",
+        )
+        out_path = os.path.join(out_dir, "documents.parquet")
+        sinks.write_clustered(final, out_path, ["doc_id"])
         n_out = spark.read.parquet(out_path).count()
     finally:
         for c in caches:

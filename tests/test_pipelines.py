@@ -657,7 +657,7 @@ def test_crawl_preprocess_pipeline(spark, tmp_path):
     assert stats["n_after_script"] == 12
     assert stats["n_preprocessed"] == 12
 
-    out = spark.read.parquet(str(tmp_path / "preprocessed_docs"))
+    out = spark.read.parquet(str(tmp_path / "documents.parquet"))
     assert out.count() == 12
     texts = {r["doc_id"]: r["text"] for r in out.collect()}
     # doc 0 survived (kept over 12), html stripped, nav line gone,
@@ -668,4 +668,63 @@ def test_crawl_preprocess_pipeline(spark, tmp_path):
     assert "track(" not in texts[0]
     assert 12 not in texts
     cols = set(out.columns)
-    assert {"doc_id", "url_canonical", "domain", "text"} <= cols
+    # full documents-table contract: chainable into curation directly
+    assert {"doc_id", "text", "lang", "source", "n_chars",
+            "url_canonical", "domain"} <= cols
+
+
+def test_crawl_curation_prep_chain_end_to_end(spark, tmp_path):
+    """The three-stage funnel chains with no glue: crawl preprocess
+    writes a documents table, curation consumes it via documents= (or
+    sf_dir pointed at the stage-1 out_dir), training prep consumes the
+    curated output the same way."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark import pipelines
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "the dog is in the house of the friend"
+    )
+    rows = [
+        (
+            i,
+            f"https://www.s{i % 4}.example.com/a/{i}",
+            f"<html><body><p>{body} variant {i}</p></body></html>",
+        )
+        for i in range(20)
+    ]
+    # two exact dups (same body) to exercise curation's exact dedup
+    rows.append((20, "https://www.dup.example.com/x",
+                 f"<html><body><p>{body} variant 0</p></body></html>"))
+    raw = spark.createDataFrame(rows, "doc_id long, url string, html string")
+
+    s1 = pipelines.run_crawl_preprocess_pipeline(spark, raw, str(tmp_path / "s1"))
+    assert s1["n_preprocessed"] == 21
+
+    # stage-1 out_dir IS a valid sf_dir (documents.parquet directory)
+    s2 = pipelines.run_corpus_curation_pipeline(
+        spark,
+        str(tmp_path / "s1"),
+        str(tmp_path / "s2"),
+        min_quality=0.5,
+        langs=("en",),
+    )
+    assert 0 < s2["n_curated"] < 21  # dedup removed the planted dup
+    curated = spark.read.parquet(str(tmp_path / "s2" / "curated_docs"))
+
+    s3 = pipelines.run_training_prep_pipeline(
+        spark,
+        str(tmp_path / "s1"),  # sf_dir unused when documents= given
+        str(tmp_path / "s3"),
+        documents=curated,
+        chunk_tokens=8,
+        overlap=2,
+        budget=32,
+    )
+    packed = spark.read.parquet(str(tmp_path / "s3" / "packed_chunks"))
+    assert packed.count() > 0
+    assert set(packed.select("split").distinct().toPandas()["split"]) <= {
+        "train",
+        "test",
+    }
