@@ -154,3 +154,76 @@ def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
             F.count_distinct("url_host").alias("n_hosts"),
         )
     )
+
+
+def html_links(html: Column) -> Column:
+    """href targets of a raw HTML column, in document order — one
+    regexp_extract_all per row (double- and single-quoted attribute
+    forms folded into one alternation; group 1 xor 2 carries the value,
+    the empty side drops). Map-only, codegen'd; the crawl primitive the
+    link-graph tier (degree stats, PageRank) starts from. RE2-compatible
+    so DuckDB oracles run the identical pattern."""
+    pairs = F.regexp_extract_all(
+        html, F.lit("href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')"), F.lit(1)
+    )
+    singles = F.regexp_extract_all(
+        html, F.lit("href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')"), F.lit(2)
+    )
+    return F.filter(
+        F.zip_with(pairs, singles, lambda a, b: F.when(a != "", a).otherwise(b)),
+        lambda x: x != "",
+    )
+
+
+def extract_link_edges(
+    df: DataFrame,
+    url_col: str,
+    html_col: str,
+    domain_grain: bool = True,
+) -> DataFrame:
+    """(src, dst) link edges from a crawl relation: harvest hrefs,
+    resolve protocol-relative (//host/...) and root-relative (/path)
+    targets against the source page, canonicalize both ends, and emit
+    either domain-grain edges (default — the grain PageRank-as-
+    authority-prior runs at; self-domain links drop) or page-grain
+    canonical-URL edges (``domain_grain=False``; self-links drop).
+    Fragment-only, query-only, and unresolvable relative targets drop.
+
+    One explode per page (bounded by per-page link count), then pure
+    column work — no joins, no Python; dedup is the consumer's choice
+    (``pagerank`` distincts its input)."""
+    src_canon = canonical_url(F.col(url_col))
+    src_scheme = F.lower(url_part(F.col(url_col), 1))
+    src_host = url_host(F.col(url_col))
+    exploded = df.select(
+        src_canon.alias("_src"),
+        src_scheme.alias("_scheme"),
+        src_host.alias("_host"),
+        F.explode(html_links(F.col(html_col))).alias("_raw"),
+    ).filter(F.col("_src").isNotNull())
+    # resolve: absolute stays; //host/... takes the source scheme;
+    # /path takes scheme://host; anything else (relative path, #frag,
+    # mailto:, javascript:) is dropped — curation-grade link graphs
+    # want site-to-site endorsements, not intra-page anchors
+    resolved = F.when(
+        F.col("_raw").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), F.col("_raw")
+    ).when(
+        F.col("_raw").startswith("//"),
+        F.concat(F.col("_scheme"), F.lit(":"), F.col("_raw")),
+    ).when(
+        F.col("_raw").startswith("/"),
+        F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"), F.col("_raw")),
+    )
+    edges = exploded.select(
+        "_src", canonical_url(resolved).alias("_dst")
+    ).filter(F.col("_dst").isNotNull())
+    if domain_grain:
+        edges = edges.select(
+            registered_domain(url_host(F.col("_src"))).alias("src"),
+            registered_domain(url_host(F.col("_dst"))).alias("dst"),
+        )
+    else:
+        edges = edges.select(
+            F.col("_src").alias("src"), F.col("_dst").alias("dst")
+        )
+    return edges.filter(F.col("src") != F.col("dst"))

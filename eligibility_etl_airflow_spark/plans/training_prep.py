@@ -1300,3 +1300,70 @@ def domain_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
         F.round("rank", 6).alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# HTML link harvesting → domain-grain edge rollup
+# --------------------------------------------------------------------------
+
+# The oracle is an INDEPENDENT construction of the expected edges: the
+# vehicle builds each page's hrefs from doc_id arithmetic, so the
+# expected (src, dst) pairs are computable without parsing any HTML at
+# all — the whole harvest → resolve → canonicalize → domain chain is
+# checked end-to-end against first principles. The in-page root-relative
+# and self-domain links must vanish (self-edges drop at domain grain),
+# and the tracking-parameterized href must COLLAPSE onto the plain one
+# via canonicalization — hence exactly 2 links per page per target (a
+# canonicalization regression would surface as distinct utm dst rows).
+LINK_EDGES_ORACLE = """
+SELECT 'example' || CAST(doc_id % 2 AS VARCHAR) || '.com' AS src,
+       'site' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS dst,
+       CAST(2 * count(*) AS BIGINT) AS n_links
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@query("link_graph_edges", oracle=LINK_EDGES_ORACLE)
+def link_graph_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML link harvesting (operators/urls.py::html_links +
+    extract_link_edges): hrefs out of raw HTML (one regexp pass),
+    protocol-/root-relative targets resolved against the source page,
+    both ends canonicalized, domain-grain edges emitted with self-domain
+    links dropped — the relation domain_pagerank consumes. The vehicle
+    plants one external link, one tracking-parameterized variant of it,
+    one root-relative self link, and one absolute self-domain link per
+    page; the oracle reconstructs the expected edges from the same
+    doc-id arithmetic without parsing HTML, so the entire chain is
+    verified end to end. One explode + one partial-agg shuffle."""
+    from eligibility_etl_airflow_spark.operators import urls
+
+    d = Catalog(spark, sf_dir).documents
+    src_url = F.concat(
+        F.lit("https://www.example"),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit(".com/p/"),
+        (F.col("doc_id") % 20).cast("string"),
+    )
+    dst = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org/q/"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        dst,
+        F.lit('">x</a> <a href="'),
+        dst,
+        F.lit('?utm_source=z">x-tracked</a> <a href="/about">self-rel</a>'),
+        F.lit(' <a href="'),
+        src_url,
+        F.lit('/other">self-abs</a></body></html>'),
+    )
+    crawl = d.select(src_url.alias("url"), html.alias("html"))
+    return (
+        urls.extract_link_edges(crawl, "url", "html")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )

@@ -196,6 +196,10 @@ _DEFERRED = (
     # pagerank is the components-style iterative join/agg machinery
     # (graded via dedup_connected_components' local parity family)
     "domain_pagerank",
+    # link harvesting is regexp_extract_all + explode machinery already
+    # graded (split_explode_keys family); its oracle is an independent
+    # first-principles edge reconstruction
+    "link_graph_edges",
 )
 
 

@@ -106,3 +106,59 @@ def test_canonical_url_is_idempotent_over_grammar_grid(spark):
     )
     bad = out.filter(~F.col("c1").eqNullSafe(F.col("c2"))).collect()
     assert bad == [], bad[:5]
+
+
+def test_html_links_both_quote_styles_in_order(spark):
+    html = (
+        '<a href="https://a.com/x">1</a> '
+        "<a href='https://b.com/y'>2</a> "
+        '<link href = "https://c.com/z"> <a name="nohref">'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    got = df.select(urls.html_links(F.col("h")).alias("l")).collect()[0]["l"]
+    assert got == ["https://a.com/x", "https://b.com/y", "https://c.com/z"]
+
+
+def test_extract_link_edges_resolution_and_grain(spark):
+    rows = [
+        (
+            "https://www.news.example.com/a",
+            '<a href="https://other.org/p?utm_source=x">abs</a>'
+            '<a href="//cdn.example.net/lib.js">proto-rel</a>'
+            '<a href="/local/page">root-rel</a>'
+            '<a href="relative.html">rel</a>'
+            '<a href="#frag">frag</a>'
+            '<a href="mailto:a@b.c">mail</a>'
+            '<a href="https://blog.example.com/x">same-domain</a>',
+        ),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    dom = {(r["src"], r["dst"]) for r in urls.extract_link_edges(df, "url", "html").collect()}
+    # domain grain: other.org + example.net; root-rel resolves to own
+    # domain (self-edge drops), same-domain blog link drops, rel/frag/
+    # mailto drop
+    assert dom == {("example.com", "other.org"), ("example.com", "example.net")}
+
+    page = {
+        (r["src"], r["dst"])
+        for r in urls.extract_link_edges(df, "url", "html", domain_grain=False).collect()
+    }
+    assert ("https://www.news.example.com/a", "https://other.org/p") in page
+    assert ("https://www.news.example.com/a", "https://www.news.example.com/local/page") in page
+    assert ("https://www.news.example.com/a", "https://blog.example.com/x") in page
+    assert all(not d.startswith("mailto") for _, d in page)
+
+
+def test_extract_link_edges_feed_pagerank(spark):
+    """The crawl loop closes: edges harvested from HTML drive pagerank."""
+    from eligibility_etl_airflow_spark.operators import linkgraph
+
+    rows = [
+        (f"https://s{i}.example{i % 3}.com/",
+         '<a href="https://hub.central.org/"></a>')
+        for i in range(6)
+    ] + [("https://hub.central.org/", '<a href="https://s0.example0.com/"></a>')]
+    df = spark.createDataFrame(rows, "url string, html string")
+    edges = urls.extract_link_edges(df, "url", "html")
+    ranks = {r["id"]: r["rank"] for r in linkgraph.pagerank(edges, iterations=5).collect()}
+    assert max(ranks, key=ranks.get) == "central.org"
