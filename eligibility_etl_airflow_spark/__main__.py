@@ -226,6 +226,37 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "pipeline":
+        # shared between the corpus-curation and crawl-preprocess
+        # branches so a parsing tweak cannot land in one and not the other
+        def blocklist_kwargs() -> dict:
+            if not args.blocklist:
+                return {}
+            return {
+                "blocklist_terms": tuple(
+                    t.strip() for t in args.blocklist.split(",") if t.strip()
+                ),
+                "blocklist_max_fraction": args.blocklist_max_fraction,
+            }
+
+        if args.name == "crawl-preprocess":
+            # dispatched before the sf_dir-shaped map below: this is the
+            # one pipeline whose first argument is a DataFrame, not a dir
+            if not args.raw_crawl:
+                print("crawl-preprocess requires --raw-crawl", file=sys.stderr)
+                return 2
+            kwargs = blocklist_kwargs()
+            if args.min_latin_fraction is not None:
+                kwargs["min_latin_fraction"] = args.min_latin_fraction
+            raw = spark.read.parquet(args.raw_crawl)
+            print(
+                json.dumps(
+                    pipelines.run_crawl_preprocess_pipeline(
+                        spark, raw, args.out_dir, **kwargs
+                    ),
+                    default=str,
+                )
+            )
+            return 0
         fn = {
             "eligibility": pipelines.run_eligibility_pipeline,
             "predictions": pipelines.run_predictions_pipeline,
@@ -233,18 +264,13 @@ def main(argv: list[str] | None = None) -> int:
             "events-stream": pipelines.run_events_stream_pipeline,
             "corpus-curation": pipelines.run_corpus_curation_pipeline,
             "training-prep": pipelines.run_training_prep_pipeline,
-            "crawl-preprocess": pipelines.run_crawl_preprocess_pipeline,
         }[args.name]
         kwargs = {}
         if args.name == "corpus-curation":
             kwargs["neardup_removal"] = args.neardup_removal
             kwargs["neardup_keeper"] = args.neardup_keeper
             kwargs["repetition_filter"] = args.repetition_filter
-            if args.blocklist:
-                kwargs["blocklist_terms"] = tuple(
-                    t.strip() for t in args.blocklist.split(",") if t.strip()
-                )
-                kwargs["blocklist_max_fraction"] = args.blocklist_max_fraction
+            kwargs.update(blocklist_kwargs())
             if args.decontam_bench:
                 kwargs["decontam_bench"] = spark.read.parquet(args.decontam_bench)
             if args.semantic_decontam_bench:
@@ -261,27 +287,6 @@ def main(argv: list[str] | None = None) -> int:
                 kwargs["audit_path"] = args.audit_path
         if args.docs_parquet and args.name in ("corpus-curation", "training-prep"):
             kwargs["documents"] = spark.read.parquet(args.docs_parquet)
-        if args.name == "crawl-preprocess":
-            if not args.raw_crawl:
-                print("crawl-preprocess requires --raw-crawl", file=sys.stderr)
-                return 2
-            if args.blocklist:
-                kwargs["blocklist_terms"] = tuple(
-                    t.strip() for t in args.blocklist.split(",") if t.strip()
-                )
-                kwargs["blocklist_max_fraction"] = args.blocklist_max_fraction
-            if args.min_latin_fraction is not None:
-                kwargs["min_latin_fraction"] = args.min_latin_fraction
-            raw = spark.read.parquet(args.raw_crawl)
-            print(
-                json.dumps(
-                    pipelines.run_crawl_preprocess_pipeline(
-                        spark, raw, args.out_dir, **kwargs
-                    ),
-                    default=str,
-                )
-            )
-            return 0
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir, **kwargs), default=str))
         return 0
 

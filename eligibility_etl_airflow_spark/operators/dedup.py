@@ -238,9 +238,14 @@ def line_dedup(
     the operator's output non-joinable against its input."""
     if max_line_df < 2:
         raise ValueError(f"max_line_df must be >= 2, got {max_line_df}")
+    # coalesce: split(NULL) is NULL and posexplode of NULL emits ZERO
+    # rows — a null-text doc would vanish, breaking the joinability
+    # contract below; as '' it survives as one empty (preserved) line
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     ).withColumn("key", F.trim(F.col("line")))
     counted = (
         lines.filter(F.col("key") != "")

@@ -29,10 +29,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst", dedup: bool = True
+) -> DataFrame:
     """Per-node in/out degree over a (src, dst) edge relation — two
     partial-aggregated shuffles + one outer join; isolated endpoints
-    appear with the missing side at 0."""
+    appear with the missing side at 0. ``dedup=True`` (default)
+    distincts multi-edges first, matching ``pagerank``'s grain so the
+    joined (rank, degree) relation is internally consistent when both
+    consume the same raw edge output; pass False to count raw link
+    multiplicity instead."""
+    if dedup:
+        edges = edges.select(src, dst).distinct()
     out_deg = edges.groupBy(F.col(src).alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("out_degree")
     )

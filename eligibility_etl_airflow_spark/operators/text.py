@@ -264,8 +264,8 @@ def strip_html(col: Column, collapse_ws: bool = True) -> Column:
     False to keep original whitespace for line-grain ops (line_dedup).
     Pure built-in regexp/replace chain — map-only, codegen'd, fused
     into the scan; nulls propagate."""
-    s = F.regexp_replace(col, r"(?s)<script[^>]*>.*?</script>", " ")
-    s = F.regexp_replace(s, r"(?s)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
     # block-level boundaries become newlines BEFORE generic tag removal,
     # so the document's block structure survives as line structure —

@@ -157,20 +157,23 @@ def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
 
 
 def html_links(html: Column) -> Column:
-    """href targets of a raw HTML column, in document order — one
-    regexp_extract_all per row (double- and single-quoted attribute
-    forms folded into one alternation; group 1 xor 2 carries the value,
-    the empty side drops). Map-only, codegen'd; the crawl primitive the
-    link-graph tier (degree stats, PageRank) starts from. RE2-compatible
-    so DuckDB oracles run the identical pattern."""
-    pairs = F.regexp_extract_all(
-        html, F.lit("href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')"), F.lit(1)
-    )
-    singles = F.regexp_extract_all(
-        html, F.lit("href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')"), F.lit(2)
+    """href targets of a raw HTML column, in document order. ONE
+    regexp_extract_all over the (potentially large) HTML string —
+    case-insensitive, so legacy HREF=/Href= markup still yields edges —
+    extracts the whole `href=...` attribute; the quoted value is then
+    peeled per element, a per-token regex over tiny strings whose cost
+    is negligible next to the document scan. Double- and single-quoted
+    forms both match. Map-only, codegen'd; the crawl primitive the
+    link-graph tier (degree stats, PageRank) starts from.
+    RE2-compatible so DuckDB oracles can run the identical patterns."""
+    attrs = F.regexp_extract_all(
+        html,
+        F.lit("(?i)href\\s*=\\s*(?:\"[^\"]*\"|'[^']*')"),
+        F.lit(0),
     )
     return F.filter(
-        F.zip_with(pairs, singles, lambda a, b: F.when(a != "", a).otherwise(b)),
+        # leftmost quote .. rightmost quote = the value, either style
+        F.transform(attrs, lambda a: F.regexp_extract(a, "[\"'](.*)[\"']", 1)),
         lambda x: x != "",
     )
 
@@ -194,17 +197,22 @@ def extract_link_edges(
     (``pagerank`` distincts its input)."""
     src_canon = canonical_url(F.col(url_col))
     src_scheme = F.lower(url_part(F.col(url_col), 1))
-    src_host = url_host(F.col(url_col))
     exploded = df.select(
         src_canon.alias("_src"),
         src_scheme.alias("_scheme"),
-        src_host.alias("_host"),
         F.explode(html_links(F.col(html_col))).alias("_raw"),
     ).filter(F.col("_src").isNotNull())
+    # the canonical authority (scheme://host[:non-default-port]) comes
+    # off the ALREADY-canonical source — resolving /path against a
+    # port-stripped host would point a page on :8080 at a different
+    # (default-port) page the crawl never saw
+    authority = F.regexp_extract(
+        F.col("_src"), r"^([a-z][a-z0-9+.-]*://[^/]+)", 1
+    )
     # resolve: absolute stays; //host/... takes the source scheme;
-    # /path takes scheme://host; anything else (relative path, #frag,
-    # mailto:, javascript:) is dropped — curation-grade link graphs
-    # want site-to-site endorsements, not intra-page anchors
+    # /path takes the source authority; anything else (relative path,
+    # #frag, mailto:, javascript:) is dropped — curation-grade link
+    # graphs want site-to-site endorsements, not intra-page anchors
     resolved = F.when(
         F.col("_raw").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), F.col("_raw")
     ).when(
@@ -212,7 +220,7 @@ def extract_link_edges(
         F.concat(F.col("_scheme"), F.lit(":"), F.col("_raw")),
     ).when(
         F.col("_raw").startswith("/"),
-        F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"), F.col("_raw")),
+        F.concat(authority, F.col("_raw")),
     )
     edges = exploded.select(
         "_src", canonical_url(resolved).alias("_dst")

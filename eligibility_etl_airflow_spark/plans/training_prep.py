@@ -1087,8 +1087,8 @@ stripped AS (
            regexp_replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-                 '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                 regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                '(?s)<!--.*?-->', ' ', 'g'),
              '<[^>]+>', ' ', 'g'),
            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

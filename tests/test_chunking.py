@@ -169,3 +169,14 @@ def test_line_dedup_all_boilerplate_doc_emits_empty(spark):
 
     with _pt.raises(ValueError, match="max_line_df"):
         dedup.line_dedup(df, "doc_id", "text", max_line_df=1)
+
+
+def test_line_dedup_null_text_survives_as_empty(spark):
+    from eligibility_etl_airflow_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "real line"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # null-text doc did NOT vanish (joinable)
+    assert out[2]["text_clean"] == "" and out[2]["n_lines_dropped"] == 0

@@ -1,0 +1,93 @@
+"""In-process CLI coverage for the pipeline command's crawl-tier flags.
+
+``main()`` is invoked directly (get_spark getOrCreate reuses the test
+session) so the argument wiring — --raw-crawl requiredness, blocklist
+parsing, --docs-parquet chaining — is exercised without subprocess
+startup cost.
+"""
+
+import json
+
+import pytest
+
+
+def _mk_crawl(spark, tmp_path):
+    body = (
+        "the quick brown fox jumps over the lazy dog and the cat "
+        "is in the house of a friend"
+    )
+    rows = [
+        (
+            i,
+            f"https://www.s{i % 3}.example.com/p/{i}",
+            f"<html><body><p>{body} v{i}</p></body></html>",
+        )
+        for i in range(12)
+    ]
+    rows.append((12, "https://bad.example.org/x",
+                 f"<html><body><p>{body} FORBIDDENTERM v12</p></body></html>"))
+    raw = tmp_path / "raw"
+    spark.createDataFrame(rows, "doc_id long, url string, html string").write.parquet(
+        str(raw)
+    )
+    return str(raw)
+
+
+def test_cli_crawl_preprocess_with_blocklist(spark, tmp_path, capsys):
+    from eligibility_etl_airflow_spark.__main__ import main
+
+    raw = _mk_crawl(spark, tmp_path)
+    rc = main(
+        [
+            "pipeline",
+            "crawl-preprocess",
+            "--raw-crawl",
+            raw,
+            "--out-dir",
+            str(tmp_path / "s1"),
+            "--blocklist",
+            " forbiddenterm , ,unused ",
+            "--min-latin-fraction",
+            "0.5",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_total"] == 13
+    assert stats["n_after_blocklist"] == 12  # planted doc dropped
+    assert stats["n_preprocessed"] == 12
+    out = spark.read.parquet(str(tmp_path / "s1" / "documents.parquet"))
+    assert out.count() == 12
+
+
+def test_cli_crawl_preprocess_requires_raw_crawl(spark, tmp_path, capsys):
+    from eligibility_etl_airflow_spark.__main__ import main
+
+    rc = main(["pipeline", "crawl-preprocess", "--out-dir", str(tmp_path / "x")])
+    assert rc == 2
+    assert "requires --raw-crawl" in capsys.readouterr().err
+
+
+def test_cli_chain_sf_dir_and_docs_parquet(spark, tmp_path, capsys):
+    from eligibility_etl_airflow_spark.__main__ import main
+
+    raw = _mk_crawl(spark, tmp_path)
+    assert main(
+        ["pipeline", "crawl-preprocess", "--raw-crawl", raw,
+         "--out-dir", str(tmp_path / "s1")]
+    ) == 0
+    # stage-1 out-dir as sf-dir
+    assert main(
+        ["pipeline", "corpus-curation", "--sf-dir", str(tmp_path / "s1"),
+         "--out-dir", str(tmp_path / "s2")]
+    ) == 0
+    # --docs-parquet chains stage 2's curated docs into training prep
+    assert main(
+        ["pipeline", "training-prep", "--sf-dir", str(tmp_path / "s1"),
+         "--out-dir", str(tmp_path / "s3"),
+         "--docs-parquet", str(tmp_path / "s2" / "curated_docs")]
+    ) == 0
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    s3 = json.loads(lines[-1])
+    assert s3["n_packs"] >= 1
+    assert spark.read.parquet(str(tmp_path / "s3" / "packed_chunks")).count() > 0

@@ -88,3 +88,11 @@ def test_pagerank_partition_count_invariant(spark):
         for r in linkgraph.pagerank(df.repartition(7), iterations=6).collect()
     }
     assert a == b
+
+
+def test_degree_stats_dedup_flag(spark):
+    df = spark.createDataFrame([(1, 2)] * 5 + [(3, 2)], "src long, dst long")
+    dd = {r["id"]: r for r in linkgraph.degree_stats(df).collect()}
+    assert dd[1]["out_degree"] == 1 and dd[2]["in_degree"] == 2  # pagerank grain
+    raw = {r["id"]: r for r in linkgraph.degree_stats(df, dedup=False).collect()}
+    assert raw[1]["out_degree"] == 5 and raw[2]["in_degree"] == 6

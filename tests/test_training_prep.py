@@ -585,8 +585,8 @@ def test_strip_html_blocks_tags_entities(spark):
     from eligibility_etl_airflow_spark.operators import text
 
     html = (
-        "<html><head><style>p { color: red }</style>"
-        "<script>var x = '<b>not text</b>';\nalert(1)</script></head>"
+        "<html><head><STYLE>p { color: red }</STYLE>"
+        "<SCRIPT>var x = '<b>not text</b>';\nalert(1)</SCRIPT></head>"
         "<body><!-- note -->\n<h1>Title</h1><p>A &amp;amp; B &lt;tag&gt; "
         "O&#39;Neil&nbsp;here</p></body></html>"
     )

@@ -162,3 +162,25 @@ def test_extract_link_edges_feed_pagerank(spark):
     edges = urls.extract_link_edges(df, "url", "html")
     ranks = {r["id"]: r["rank"] for r in linkgraph.pagerank(edges, iterations=5).collect()}
     assert max(ranks, key=ranks.get) == "central.org"
+
+
+def test_html_links_case_insensitive_href(spark):
+    html = '<A HREF="https://a.com/x">1</A> <a Href=\'https://b.com/y\'>2</a>'
+    df = spark.createDataFrame([(html,)], "h string")
+    got = df.select(urls.html_links(F.col("h")).alias("l")).collect()[0]["l"]
+    assert got == ["https://a.com/x", "https://b.com/y"]
+
+
+def test_extract_link_edges_keeps_nondefault_port_in_resolution(spark):
+    rows = [("http://host.example.org:8080/a", '<a href="/x">r</a>')]
+    df = spark.createDataFrame(rows, "url string, html string")
+    page = {
+        (r["src"], r["dst"])
+        for r in urls.extract_link_edges(df, "url", "html", domain_grain=False).collect()
+    }
+    # root-relative resolves against the canonical AUTHORITY — the
+    # :8080 port survives; a port-stripped resolution would invent a
+    # default-port URL the crawl never saw
+    assert page == {
+        ("http://host.example.org:8080/a", "http://host.example.org:8080/x")
+    }
