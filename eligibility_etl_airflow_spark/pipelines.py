@@ -1190,12 +1190,17 @@ def run_crawl_preprocess_pipeline(
         n_url_deduped = url_deduped.count()
 
         # 2+3. HTML → text (newline-preserving), then line-level dedup
+        # persisted: line_dedup consumes its input through TWO physical
+        # subtrees (the line-frequency aggregate and the join probe), so
+        # without the cache the strip_html regexp chain — the dominant
+        # map cost at crawl scale — would execute twice
         texted = url_deduped.select(
             id_col,
             "url_canonical",
             F.col("url_domain").alias("domain"),
             text.strip_html(F.col(html_col), collapse_ws=False).alias("text"),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(texted)
         lined = dedup.line_dedup(texted, id_col, "text", max_line_df=line_max_df)
         rebuilt = (
             texted.drop("text")
@@ -1274,3 +1279,156 @@ def run_crawl_preprocess_pipeline(
     if n_after_script is not None:
         stats["n_after_script"] = n_after_script
     return stats
+
+
+def run_incremental_crawl_ingest(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    blocklist_terms: tuple[str, ...] | None = None,
+    blocklist_max_fraction: float = 0.0,
+    min_latin_fraction: float | None = None,
+    line_max_df: int = 10,
+    nfc: bool = True,
+) -> dict:
+    """Ingest a NEW crawl batch against persisted crawl state — the
+    continuous form of run_crawl_preprocess_pipeline, where re-crawls
+    arrive forever and re-scanning accepted pages per batch is the cost
+    that kills naive designs. The state directory holds the accepted
+    documents plus two INDEX relations:
+
+      * ``index_urls`` (canonical URL) — a re-crawl of an already-
+        accepted page (same canonical form, any tracking-param/port/
+        fragment variation) skips in one anti-join;
+      * ``index_hashes`` (content md5 of the CLEANED text) — the same
+        content re-appearing at a NEW URL (mirrors, CDNs, domain moves)
+        skips in a second anti-join.
+
+    Per batch: canonicalize + within-batch URL dedup → URL-vs-state
+    anti-join → HTML strip → within-batch line dedup → optional NFC/
+    blocklist/script gates → within-batch content dedup →
+    content-vs-state anti-join → idempotent appends (``append_dedup``
+    on doc_id / url_canonical / content_hash). Replaying a batch is a
+    no-op, so the foreachBatch wrapper (streaming/ops.py::
+    stream_crawl_ingest) is restart-safe end to end. Accepted-page TEXT
+    is never re-read — both vs-state checks ride the key indexes.
+
+    Line-frequency note: the boilerplate tier sees one BATCH at a time,
+    so chrome shared across batches but rare within one can survive —
+    the documented trade for never re-scanning state; lower
+    ``line_max_df`` or run a periodic batch re-pass if that matters."""
+    from pyspark import StorageLevel
+
+    from eligibility_etl_airflow_spark.operators import dedup, text, urls
+    from eligibility_etl_airflow_spark.operators.components import _stable
+
+    docs_path = os.path.join(state_dir, "accepted_docs")
+    url_index = os.path.join(state_dir, "index_urls")
+    hash_index = os.path.join(state_dir, "index_hashes")
+    has_state = os.path.exists(url_index)
+
+    n_batch = batch.count()
+    caches: list[DataFrame] = []
+    try:
+        with_url = urls.url_components(batch, url_col).filter(
+            F.col("url_canonical").isNotNull()
+        )
+        keeper = (
+            with_url.groupBy("url_canonical")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        url_deduped = with_url.join(keeper, id_col, "left_semi")
+        if has_state:
+            seen_urls = spark.read.parquet(url_index).select("url_canonical")
+            url_deduped = url_deduped.join(seen_urls, "url_canonical", "left_anti")
+        url_deduped = url_deduped.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(url_deduped)
+        n_new_urls = url_deduped.count()
+
+        texted = url_deduped.select(
+            id_col,
+            "url_canonical",
+            F.col("url_domain").alias("domain"),
+            text.strip_html(F.col(html_col), collapse_ws=False).alias("text"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(texted)
+        lined = dedup.line_dedup(texted, id_col, "text", max_line_df=line_max_df)
+        rebuilt = (
+            texted.drop("text")
+            .join(lined.select(id_col, "text_clean"), id_col)
+            .filter(F.trim(F.col("text_clean")) != "")
+            .withColumnRenamed("text_clean", "text")
+        )
+        if nfc:
+            rebuilt = rebuilt.withColumn("text", text.unicode_nfc(F.col("text")))
+        current = rebuilt
+        if blocklist_terms is not None:
+            drop_ids = (
+                text.blocklist_metrics(
+                    current, id_col, "text",
+                    terms=blocklist_terms, max_fraction=blocklist_max_fraction,
+                )
+                .filter(~F.col("keep"))
+                .select(id_col)
+            )
+            current = current.join(drop_ids, id_col, "left_anti")
+        if min_latin_fraction is not None:
+            ok_ids = current.select(
+                id_col, *text.script_profile(F.col("text"))
+            ).filter(F.col("frac_latin") >= min_latin_fraction)
+            current = current.join(ok_ids.select(id_col), id_col, "left_semi")
+
+        hashed = current.withColumn(
+            "content_hash", text.fingerprint_md5(F.col("text"))
+        )
+        ckeeper = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+        deduped = hashed.join(ckeeper.select(id_col), id_col, "left_semi")
+        if has_state and os.path.exists(hash_index):
+            seen_hashes = spark.read.parquet(hash_index).select("content_hash")
+            deduped = deduped.join(seen_hashes, "content_hash", "left_anti")
+
+        accepted = _stable(
+            deduped.select(
+                F.col(id_col).alias("doc_id"),
+                "text",
+                text.lang_id(F.col("text")).alias("lang"),
+                F.col("domain").alias("source"),
+                F.length("text").cast("long").alias("n_chars"),
+                "url_canonical",
+                "domain",
+                "content_hash",
+            )
+        )
+        n_accepted = accepted.count()
+        # appends AFTER the _stable: each write refreshes its path, and
+        # an un-checkpointed lineage reading these paths would lazily
+        # recompute against the just-updated state (append_dedup's
+        # documented caller contract)
+        sinks.append_dedup(
+            spark, docs_path, accepted.drop("content_hash"), keys=["doc_id"]
+        )
+        sinks.append_dedup(
+            spark,
+            url_index,
+            accepted.select("url_canonical", "doc_id"),
+            keys=["url_canonical"],
+        )
+        sinks.append_dedup(
+            spark,
+            hash_index,
+            accepted.select("content_hash", "doc_id"),
+            keys=["content_hash"],
+        )
+    finally:
+        for c in caches:
+            c.unpersist()
+    return {
+        "n_batch": n_batch,
+        "n_new_urls": n_new_urls,
+        "n_accepted": n_accepted,
+        "n_total_accepted": spark.read.parquet(docs_path).count(),
+    }

@@ -492,3 +492,39 @@ def stream_incremental_curation(
     )
     q.awaitTermination()
     return stats
+
+
+def stream_crawl_ingest(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    **ingest_kwargs,
+) -> list[dict]:
+    """Continuous crawl ingestion: each micro-batch of raw (doc_id, url,
+    html) records runs ``run_incremental_crawl_ingest`` (pipelines.py)
+    inside ``foreachBatch`` — canonical-URL and content-hash vs-state
+    dedup against the persisted crawl indexes, preprocessing, idempotent
+    appends. Same layered restart-safety as stream_incremental_curation:
+    the stream checkpoint replays at-least-once, and the ingest's
+    appends are key-upserts, so a replayed batch is a verified no-op.
+    Returns per-batch funnel stats in processing order.
+    ``Trigger.AvailableNow`` drains the backlog then stops (bounded
+    harness shape; swap the trigger for production)."""
+    stats: list[dict] = []
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from eligibility_etl_airflow_spark import pipelines
+
+        s = pipelines.run_incremental_crawl_ingest(
+            batch_df.sparkSession, batch_df, state_dir, **ingest_kwargs
+        )
+        stats.append({"batch_id": batch_id, **s})
+
+    q = (
+        stream_df.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

@@ -728,3 +728,31 @@ def test_crawl_curation_prep_chain_end_to_end(spark, tmp_path):
         "train",
         "test",
     }
+
+
+def test_incremental_crawl_ingest_gates_and_empty_state(spark, tmp_path):
+    """First batch builds state from nothing; the blocklist and script
+    gates apply before anything reaches the indexes."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    rows = [
+        (1, "https://a.example.com/ok",
+         "<html><body><p>clean words entirely fine here</p></body></html>"),
+        (2, "https://b.example.com/bad",
+         "<html><body><p>the BLOCKEDWORD appears</p></body></html>"),
+        (3, "not a url", "<p>malformed</p>"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    stats = pipelines.run_incremental_crawl_ingest(
+        spark,
+        batch,
+        str(tmp_path / "st"),
+        blocklist_terms=("blockedword",),
+    )
+    assert stats["n_batch"] == 3
+    assert stats["n_new_urls"] == 2  # malformed URL dropped
+    assert stats["n_accepted"] == 1 and stats["n_total_accepted"] == 1
+    docs = spark.read.parquet(str(tmp_path / "st" / "accepted_docs"))
+    assert [r.doc_id for r in docs.collect()] == [1]
+    # accepted schema is the documents-table contract
+    assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(docs.columns)

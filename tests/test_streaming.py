@@ -305,3 +305,77 @@ def test_stream_incremental_curation_semantic_passthrough(spark, tmp_path):
     assert sum(s["n_accepted"] for s in stats) == 3
     docs = spark.read.parquet(f"{state}/accepted_docs")
     assert sorted(r.doc_id for r in docs.collect()) == [1, 2, 11]
+
+
+def test_stream_crawl_ingest_vs_state_and_replay(spark, tmp_path):
+    """Continuous crawl ingestion: re-crawled canonical URLs and
+    same-content-new-URL mirrors skip against the persisted indexes;
+    a forced full replay (checkpoint wiped) is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    state = str(tmp_path / "cstate")
+    body_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    body_b = "totally different words one two three four five six seven"
+    body_c = "third page content red orange yellow green blue indigo violet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "url": [
+                    "https://www.a.example.com/page",
+                    "https://www.b.example.com/other",
+                ],
+                "html": [
+                    f"<html><body><p>{body_a}</p></body></html>",
+                    f"<html><body><p>{body_b}</p></body></html>",
+                ],
+            }
+        ),
+        str(src / "b1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [10, 11, 12],
+                "url": [
+                    # re-crawl of doc 1's page: tracking variant, SAME canonical
+                    "https://www.a.example.com/page?utm_source=feed",
+                    # mirror: doc 2's CONTENT at a brand-new URL
+                    "https://mirror.example.net/copy",
+                    # genuinely new
+                    "https://www.c.example.com/new",
+                ],
+                "html": [
+                    f"<html><body><p>{body_a} refreshed</p></body></html>",
+                    f"<html><body><p>{body_b}</p></body></html>",
+                    f"<html><body><p>{body_c}</p></body></html>",
+                ],
+            }
+        ),
+        str(src / "b2.parquet"),
+    )
+    os.utime(str(src / "b1.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(str(src / "b2.parquet"), (1_700_000_100, 1_700_000_100))
+
+    stream = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
+    stats = ops.stream_crawl_ingest(stream, state, str(tmp_path / "ck1"))
+    assert [s["n_batch"] for s in stats] == [2, 3]
+    # batch 2: doc 10 skipped at URL index (despite changed content —
+    # canonical identity wins), doc 11 skipped at content index, 12 in
+    assert stats[1]["n_accepted"] == 1
+    docs = spark.read.parquet(f"{state}/accepted_docs")
+    assert sorted(r.doc_id for r in docs.collect()) == [1, 2, 12]
+    # indexes carry one row per accepted doc
+    assert spark.read.parquet(f"{state}/index_urls").count() == 3
+    assert spark.read.parquet(f"{state}/index_hashes").count() == 3
+
+    # full replay against built state: no-op
+    stream2 = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
+    stats2 = ops.stream_crawl_ingest(stream2, state, str(tmp_path / "ck2"))
+    assert all(s["n_accepted"] == 0 for s in stats2)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{state}/accepted_docs").collect()
+    ) == [1, 2, 12]
