@@ -235,3 +235,40 @@ def extract_link_edges(
             F.col("_src").alias("src"), F.col("_dst").alias("dst")
         )
     return edges.filter(F.col("src") != F.col("dst"))
+
+
+def html_anchor_texts(html: Column) -> Column:
+    """(href, anchor) pairs from raw HTML, in document order —
+    ``array<struct<href, anchor>>``. Anchor text is what the LINKING
+    page calls the target: the classic relevance signal for retrieval
+    corpora and link-label datasets (anchor → target is a free
+    query→document pair). Same cost shape as ``html_links``: ONE
+    case-insensitive regexp pass extracts whole ``<a …href…>…</a>``
+    elements from the large HTML string; href and inner text are then
+    peeled per element (tiny strings), inner tags stripped, whitespace
+    collapsed. Elements with an empty href drop; empty anchors (image
+    links) survive with anchor='' — the caller decides whether a bare
+    image link is signal."""
+    matches = F.regexp_extract_all(
+        html, F.lit("(?is)<a\\s[^>]*href[^>]*>.*?</a>"), F.lit(0)
+    )
+    pairs = F.transform(
+        matches,
+        lambda m: F.struct(
+            F.regexp_extract(m, "(?i)href\\s*=\\s*[\"']([^\"']*)", 1).alias(
+                "href"
+            ),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_extract(m, "(?is)^<a[^>]*>(.*)</a>$", 1),
+                        "<[^>]+>",
+                        " ",
+                    ),
+                    "\\s+",
+                    " ",
+                )
+            ).alias("anchor"),
+        ),
+    )
+    return F.filter(pairs, lambda p: p["href"] != "")

@@ -1367,3 +1367,58 @@ def link_graph_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )
+
+
+# --------------------------------------------------------------------------
+# Anchor-text pairs — the free query→document relevance signal
+# --------------------------------------------------------------------------
+
+# First-principles oracle (no HTML parsing): the vehicle's two anchors
+# per page are reconstructed from the same doc-id arithmetic. The second
+# anchor carries nested markup + ragged whitespace that must normalize
+# to single-space text.
+ANCHOR_PAIRS_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'https://t' || CAST(doc_id % 9 AS VARCHAR) || '.example.org/d' AS href,
+       'read about ' || lang AS anchor
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       '/local/' || CAST(doc_id % 4 AS VARCHAR) AS href,
+       'bold ' || source || ' link' AS anchor
+FROM documents
+"""
+
+
+@query("anchor_text_pairs", oracle=ANCHOR_PAIRS_ORACLE)
+def anchor_text_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text harvesting (operators/urls.py::html_anchor_texts):
+    (href, anchor) pairs — what the linking page calls the target, the
+    classic free relevance signal for retrieval corpora (anchor →
+    target is a query→document pair). One case-insensitive regexp pass
+    per page extracts whole <a> elements; href + inner text peel per
+    element with nested tags stripped and whitespace collapsed. The
+    oracle reconstructs both planted anchors per page from first
+    principles — markup normalization is verified end to end. One
+    explode, no joins, no Python."""
+    from eligibility_etl_airflow_spark.operators import urls
+
+    d = Catalog(spark, sf_dir).documents
+    html = F.concat(
+        F.lit('<html><body><a href="https://t'),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit('.example.org/d">read   about\n'),
+        F.col("lang"),
+        F.lit("</a> <p>filler</p> <a href='/local/"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("'><b>bold</b> "),
+        F.col("source"),
+        F.lit(" <i>link</i></a></body></html>"),
+    )
+    pagified = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), html.alias("html")
+    )
+    return pagified.select(
+        "doc_id",
+        F.explode(urls.html_anchor_texts(F.col("html"))).alias("p"),
+    ).select("doc_id", F.col("p.href").alias("href"), F.col("p.anchor").alias("anchor"))

@@ -200,6 +200,8 @@ _DEFERRED = (
     # graded (split_explode_keys family); its oracle is an independent
     # first-principles edge reconstruction
     "link_graph_edges",
+    # anchor pairs ride the same harvest machinery with a text payload
+    "anchor_text_pairs",
 )
 
 

@@ -184,3 +184,18 @@ def test_extract_link_edges_keeps_nondefault_port_in_resolution(spark):
     assert page == {
         ("http://host.example.org:8080/a", "http://host.example.org:8080/x")
     }
+
+
+def test_html_anchor_texts_pairs(spark):
+    html = (
+        '<a href="https://a.com/x">Click <b>here</b>\n now</a>'
+        "<A HREF='https://b.com'><img src=\"i.png\"/></A>"
+        '<a name="no-href">skip</a>'
+        '<a href="">empty href skip</a>'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    got = df.select(urls.html_anchor_texts(F.col("h")).alias("p")).collect()[0]["p"]
+    assert [(r["href"], r["anchor"]) for r in got] == [
+        ("https://a.com/x", "Click here now"),
+        ("https://b.com", ""),  # image link: empty anchor survives
+    ]
