@@ -1422,3 +1422,152 @@ def anchor_text_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(urls.html_anchor_texts(F.col("html"))).alias("p"),
     ).select("doc_id", F.col("p.href").alias("href"), F.col("p.anchor").alias("anchor"))
+
+
+# --------------------------------------------------------------------------
+# Crawl politeness: robots.txt admission + frontier scheduling
+# --------------------------------------------------------------------------
+
+# First-principles oracle: the vehicle's robots.txt (identical rules per
+# domain, crawl-delay varying by domain) and six URL path shapes are both
+# reconstructed from doc_id arithmetic, so the oracle knows each URL's
+# fate without parsing anything — which is exactly what makes it a check
+# of the WHOLE chain (group-stateful parse, specific-agent precedence,
+# wildcard compile, longest-match + allow-tie resolution, delay lookup).
+ROBOTS_FILTER_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'https://h' || CAST(doc_id % 3 AS VARCHAR) || '.ex'
+           || CAST(doc_id % 7 AS VARCHAR) || '.org'
+           || CASE doc_id % 6
+                WHEN 0 THEN '/index.html'
+                WHEN 1 THEN '/private/x'
+                WHEN 2 THEN '/private/pub/x'
+                WHEN 3 THEN '/files/a.pdf'
+                WHEN 4 THEN '/files/a.pdf?x=1'
+                ELSE '/privateer' END AS url,
+       doc_id % 6 IN (0, 2, 4) AS crawl_allowed,
+       CASE doc_id % 6
+            WHEN 1 THEN '/private'
+            WHEN 5 THEN '/private'
+            WHEN 2 THEN '/private/pub'
+            WHEN 3 THEN '/*.pdf$'
+            ELSE '' END AS matched_pattern,
+       CAST((doc_id % 7) % 4 + 1 AS DOUBLE) AS crawl_delay
+FROM documents
+"""
+
+
+@query("robots_url_filter", oracle=ROBOTS_FILTER_ORACLE)
+def robots_url_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt URL admission (operators/robots.py): parse per-domain
+    robots.txt (JVM fold — group-stateful, comment-stripping,
+    specific-agent precedence: the googlebot Disallow-everything group
+    must NOT leak into the '*' decision), compile ``*``/``$`` wildcard
+    rules to anchored regexes by column arithmetic, and resolve every
+    frontier URL by longest-match with Allow-beats-Disallow ties; the
+    per-domain Crawl-delay rides along. URLs matching no rule are
+    allowed (robots is deny-by-exception). Rules relation is
+    domain-sized; the admission join broadcasts it here."""
+    from eligibility_etl_airflow_spark.operators import robots as R
+
+    d = Catalog(spark, sf_dir).documents
+    m = (F.col("doc_id") % 7).cast("string")
+    path = (
+        F.when(F.col("doc_id") % 6 == 0, "/index.html")
+        .when(F.col("doc_id") % 6 == 1, "/private/x")
+        .when(F.col("doc_id") % 6 == 2, "/private/pub/x")
+        .when(F.col("doc_id") % 6 == 3, "/files/a.pdf")
+        .when(F.col("doc_id") % 6 == 4, "/files/a.pdf?x=1")
+        .otherwise("/privateer")
+    )
+    frontier = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".ex"),
+            m,
+            F.lit(".org"),
+            path,
+        ).alias("url"),
+    )
+    robots_txt = F.concat(
+        F.lit(
+            "# synthetic policy\nUser-agent: googlebot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /private   # comment\n"
+            "Allow: /private/pub\nDisallow: /*.pdf$\nCrawl-delay: "
+        ),
+        ((F.col("dnum") % 4) + 1).cast("string"),
+        F.lit("\n\nUser-agent: other\nDisallow: /other\n"),
+    )
+    dim = (
+        d.select((F.col("doc_id") % 7).alias("dnum"))
+        .distinct()
+        .select(
+            F.concat(F.lit("ex"), F.col("dnum").cast("string"), F.lit(".org")).alias(
+                "rdomain"
+            ),
+            robots_txt.alias("robots"),
+        )
+    )
+    rules = R.robots_rules(dim, "rdomain", "robots")
+    admitted = R.robots_allowed(frontier, "url", rules, broadcast_rules=True)
+    from eligibility_etl_airflow_spark.operators import urls as U
+
+    delays = dim.select(
+        F.col("rdomain"),
+        R.robots_crawl_delay(F.col("robots")).alias("crawl_delay"),
+    )
+    return admitted.join(
+        F.broadcast(delays),
+        U.registered_domain(U.url_host(F.col("url"))) == F.col("rdomain"),
+    ).select("doc_id", "url", "crawl_allowed", "matched_pattern", "crawl_delay")
+
+
+FRONTIER_SCHEDULE_ORACLE = """
+WITH fr AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'https://www.ex' || CAST(doc_id % 7 AS VARCHAR) || '.org/p'
+             || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id % 101 AS DOUBLE) AS priority,
+         'ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS domain
+  FROM documents
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY priority DESC, url) - 1 AS rk
+  FROM fr
+)
+SELECT doc_id, url, priority, domain,
+       CAST(FLOOR(rk / 5.0) AS INT) AS fetch_cycle,
+       CAST(rk % 5 AS INT) AS cycle_slot
+FROM r WHERE rk < 40
+"""
+
+
+@query("frontier_schedule", oracle=FRONTIER_SCHEDULE_ORACLE)
+def frontier_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-budgeted frontier scheduling
+    (operators/robots.py::frontier_schedule): within each registered
+    domain, URLs rank by priority (PageRank × novelty in the real
+    funnel; deterministic arithmetic here) and get a fetch cycle of at
+    most 5 URLs per domain per cycle, queue capped at 40 per domain.
+    One window over the domain partition — politeness is per-domain
+    sequential by definition, so domain is the minimal partition
+    grain."""
+    from eligibility_etl_airflow_spark.operators import robots as R
+
+    d = Catalog(spark, sf_dir).documents
+    frontier = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("https://www.ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 101).cast("double").alias("priority"),
+    )
+    return R.frontier_schedule(
+        frontier, "url", "priority", per_domain_budget=5, max_per_domain=40
+    )

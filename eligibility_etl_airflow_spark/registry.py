@@ -202,6 +202,10 @@ _DEFERRED = (
     "link_graph_edges",
     # anchor pairs ride the same harvest machinery with a text payload
     "anchor_text_pairs",
+    # crawl politeness tier: first-principles oracles over constructed
+    # robots/frontier vehicles
+    "robots_url_filter",
+    "frontier_schedule",
 )
 
 
