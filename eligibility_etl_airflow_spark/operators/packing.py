@@ -217,3 +217,37 @@ def assign_token_shards(
         )
         .drop("_pid", "_offset")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    token_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-shard export manifest — the metadata a training data-loader
+    consumes alongside the shards: document count, token sum, id span,
+    and an ORDER-INDEPENDENT content checksum (sum of 60-bit md5
+    prefixes as decimal(38,0) — commutative, so it is layout- and
+    partitioning-invariant, and a reader can re-derive it shard-local to
+    detect corruption/drift without any global sort; 38 digits holds
+    ~10^20 docs per shard before overflow, far past any real shard).
+
+    One partial-aggregatable groupBy on the shard key — every aggregate
+    (count/sum/min/max) combines map-side, so the shuffle carries
+    shards-sized rows, not docs-sized. Emits: shard, n_docs, n_tokens,
+    min_id, max_id, checksum."""
+    h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return (
+        df.groupBy(F.col(shard_col).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+            F.min(F.col(id_col)).alias("min_id"),
+            F.max(F.col(id_col)).alias("max_id"),
+            F.sum(h).cast("decimal(38,0)").alias("checksum"),
+        )
+    )

@@ -268,3 +268,35 @@ def test_epoch_shuffle_order_contracts(spark):
     ok = spark.createDataFrame([(1,)], "doc_id long")
     with _pt.raises(ValueError, match="epoch"):
         sampling.epoch_shuffle_order(ok, "doc_id", -1)
+
+
+def test_shard_manifest_totals_and_checksum_order_independence(spark):
+    rows = [(i, i % 3, 10 + i, f"doc {i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, shard int, tokens long, text string")
+    got = {
+        r["shard"]: r
+        for r in packing.shard_manifest(df, "shard", "doc_id", "tokens", "text").collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for s, r in got.items():
+        ids = [i for i in range(30) if i % 3 == s]
+        assert r["n_docs"] == len(ids)
+        assert r["n_tokens"] == sum(10 + i for i in ids)
+        assert (r["min_id"], r["max_id"]) == (min(ids), max(ids))
+    # checksum is content-addressed and commutative: any layout, same value
+    relaid = packing.shard_manifest(
+        df.repartition(7).sortWithinPartitions("text"),
+        "shard", "doc_id", "tokens", "text",
+    ).collect()
+    assert {r["shard"]: r["checksum"] for r in relaid} == {
+        s: r["checksum"] for s, r in got.items()
+    }
+    # ...and content-sensitive: one changed byte moves the shard checksum
+    mutated = df.withColumn(
+        "text", F.when(F.col("doc_id") == 0, "doc 0!").otherwise(F.col("text"))
+    )
+    m = {
+        r["shard"]: r["checksum"]
+        for r in packing.shard_manifest(mutated, "shard", "doc_id", "tokens", "text").collect()
+    }
+    assert m[0] != got[0]["checksum"] and m[1] == got[1]["checksum"]
