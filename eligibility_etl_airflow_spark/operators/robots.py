@@ -13,7 +13,10 @@ operators:
   document — runs as ONE ``F.aggregate`` fold over the split lines:
   JVM-side, map-only, no Python, no UDF.
 - :func:`robots_allowed` joins candidate URLs against the rules on the
-  domain key and resolves each URL with Google/RFC-9309 precedence:
+  site key — per-HOST by default, the grain robots.txt is actually
+  fetched at (RFC 9309); registered-domain grain opt-in for
+  curator-imposed domain policy — and resolves each URL with
+  Google/RFC-9309 precedence:
   longest (most-specific) matching pattern wins, ``Allow`` beats
   ``Disallow`` on ties, no matching rule means allowed. Rule patterns
   compile to anchored Java regexes by COLUMN arithmetic (escape, ``*``
@@ -204,15 +207,20 @@ def robots_allowed(
     url_col: str,
     rules: DataFrame,
     broadcast_rules: bool = False,
+    key: str = "host",
 ) -> DataFrame:
     """Attach ``crawl_allowed`` (boolean) and ``matched_pattern`` (the
     winning rule's path, '' when no rule matched) to every input row.
 
     Match target is path + '?query' of the URL (fragments never reach
-    the server); candidate rules come from an inner join on the
-    registered domain, so only same-domain rules are ever evaluated.
+    the server); candidate rules come from an inner join of the URL's
+    ``key`` — ``"host"`` (the RFC-9309 grain: robots.txt is fetched per
+    host, so the rules relation is keyed by the host it was fetched
+    from) or ``"domain"`` (registered-domain grain, for curator-imposed
+    domain-level policy) — against the rules' ``domain`` column, so
+    only same-site rules are ever evaluated.
     Winner = max(struct(specificity, allow)) — longest pattern first,
-    Allow over Disallow on ties. URLs on domains with no rules (or
+    Allow over Disallow on ties. URLs on hosts with no rules (or
     matching none) are allowed: robots is deny-by-exception.
 
     Two shuffles worst-case (rules join + winner agg on the URL key);
@@ -220,15 +228,22 @@ def robots_allowed(
     to broadcast, which removes the first. The winner aggregate is a
     partial-aggregatable max — no window, no skew hotspot even for a
     domain holding most of the frontier."""
+    if key not in ("host", "domain"):
+        raise ValueError(f"key must be 'host' or 'domain', got {key!r}")
     c = F.col(url_col)
     q = urls_ops.url_part(c, 4)
     target = F.concat(
         urls_ops.url_part(c, 3),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
+    site = (
+        urls_ops.url_host(c)
+        if key == "host"
+        else urls_ops.registered_domain(urls_ops.url_host(c))
+    )
     lhs = urls_df.select(
         F.col(url_col).alias("_u"),
-        urls_ops.registered_domain(urls_ops.url_host(c)).alias("_dom"),
+        site.alias("_dom"),
         target.alias("_target"),
     )
     rhs = rules.select(

@@ -1125,6 +1125,11 @@ def run_crawl_preprocess_pipeline(
     min_latin_fraction: float | None = None,
     line_max_df: int = 10,
     nfc: bool = True,
+    robots_df: DataFrame | None = None,
+    robots_domain_col: str = "domain",
+    robots_text_col: str = "robots",
+    robots_agent: str = "*",
+    robots_key: str = "host",
 ) -> dict:
     """Raw crawl → curable text: the preprocessing funnel that runs
     BEFORE run_corpus_curation_pipeline, turning (id, url, html) crawl
@@ -1132,6 +1137,14 @@ def run_crawl_preprocess_pipeline(
     downstream operator expects.
 
     Stages, cheapest first, each the already-tested operator:
+      0. Optional robots.txt admission (operators/robots.py) — when
+         ``robots_df`` (site key, robots text) is given, pages whose
+         URL the site's robots rules disallow for ``robots_agent``
+         drop FIRST: a compliant crawler never fetched them, so
+         nothing downstream should spend a cycle on them.
+         ``robots_key`` picks the match grain: "host" (RFC 9309 —
+         robots.txt is per host) or "domain". Rules are site-sized;
+         the join shuffles on the site key.
       1. URL canonicalization (operators/urls.py) — malformed URLs
          (canonical NULL) drop; then URL-level exact dedup keeps the
          min-id record per canonical form (two crawls of the same page
@@ -1174,8 +1187,26 @@ def run_crawl_preprocess_pipeline(
     n_total = raw.count()
     caches: list[DataFrame] = []
     try:
+        # 0. robots admission (optional)
+        n_after_robots = None
+        admitted = raw
+        if robots_df is not None:
+            from eligibility_etl_airflow_spark.operators import robots as robots_ops
+
+            rules = robots_ops.robots_rules(
+                robots_df, robots_domain_col, robots_text_col, agent=robots_agent
+            )
+            admitted = (
+                robots_ops.robots_allowed(raw, url_col, rules, key=robots_key)
+                .filter(F.col("crawl_allowed"))
+                .drop("crawl_allowed", "matched_pattern")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            caches.append(admitted)
+            n_after_robots = admitted.count()
+
         # 1. canonicalize + URL dedup
-        with_url = urls.url_components(raw, url_col).filter(
+        with_url = urls.url_components(admitted, url_col).filter(
             F.col("url_canonical").isNotNull()
         )
         keeper = (
@@ -1274,6 +1305,8 @@ def run_crawl_preprocess_pipeline(
         "n_after_line_dedup": n_after_lines,
         "n_preprocessed": n_out,
     }
+    if n_after_robots is not None:
+        stats["n_after_robots"] = n_after_robots
     if n_after_blocklist is not None:
         stats["n_after_blocklist"] = n_after_blocklist
     if n_after_script is not None:
@@ -1293,6 +1326,11 @@ def run_incremental_crawl_ingest(
     min_latin_fraction: float | None = None,
     line_max_df: int = 10,
     nfc: bool = True,
+    robots_df: DataFrame | None = None,
+    robots_domain_col: str = "domain",
+    robots_text_col: str = "robots",
+    robots_agent: str = "*",
+    robots_key: str = "host",
 ) -> dict:
     """Ingest a NEW crawl batch against persisted crawl state — the
     continuous form of run_crawl_preprocess_pipeline, where re-crawls

@@ -1500,27 +1500,36 @@ def robots_url_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("dnum") % 4) + 1).cast("string"),
         F.lit("\n\nUser-agent: other\nDisallow: /other\n"),
     )
+    # robots.txt is fetched per HOST (RFC 9309), so the dim enumerates
+    # every host the frontier can produce; the policy text varies only
+    # by the ex{d} site, the delay by d%4+1
     dim = (
-        d.select((F.col("doc_id") % 7).alias("dnum"))
+        d.select(
+            (F.col("doc_id") % 3).alias("hnum"), (F.col("doc_id") % 7).alias("dnum")
+        )
         .distinct()
         .select(
-            F.concat(F.lit("ex"), F.col("dnum").cast("string"), F.lit(".org")).alias(
-                "rdomain"
-            ),
+            F.concat(
+                F.lit("h"),
+                F.col("hnum").cast("string"),
+                F.lit(".ex"),
+                F.col("dnum").cast("string"),
+                F.lit(".org"),
+            ).alias("rhost"),
             robots_txt.alias("robots"),
         )
     )
-    rules = R.robots_rules(dim, "rdomain", "robots")
+    rules = R.robots_rules(dim, "rhost", "robots")
     admitted = R.robots_allowed(frontier, "url", rules, broadcast_rules=True)
     from eligibility_etl_airflow_spark.operators import urls as U
 
     delays = dim.select(
-        F.col("rdomain"),
+        F.col("rhost"),
         R.robots_crawl_delay(F.col("robots")).alias("crawl_delay"),
     )
     return admitted.join(
         F.broadcast(delays),
-        U.registered_domain(U.url_host(F.col("url"))) == F.col("rdomain"),
+        U.url_host(F.col("url")) == F.col("rhost"),
     ).select("doc_id", "url", "crawl_allowed", "matched_pattern", "crawl_delay")
 
 
@@ -1571,3 +1580,126 @@ def frontier_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.frontier_schedule(
         frontier, "url", "priority", per_domain_budget=5, max_per_domain=40
     )
+
+
+# --------------------------------------------------------------------------
+# Export shard manifest — the data-loader contract of the training export
+# --------------------------------------------------------------------------
+
+SHARD_MANIFEST_ORACLE = """
+SELECT CAST(doc_id % 8 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id,
+       CAST(CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+            AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("shard_manifest", oracle=SHARD_MANIFEST_ORACLE)
+def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard manifest (operators/packing.py::
+    shard_manifest): per-shard doc count, token sum, id span, and an
+    order-independent content checksum (sum of 60-bit md5 prefixes as
+    decimal — commutative, so layout/partitioning-invariant; a reader
+    re-derives it shard-local to detect corruption). One
+    partial-aggregated groupBy on the shard key; output is shards-sized.
+    Shard here is doc_id%8 so the oracle can reconstruct membership;
+    production uses balanced_token_shards' contiguous assignment."""
+    from eligibility_etl_airflow_spark.operators import packing as P
+
+    d = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.col("n_chars").cast("long").alias("tokens"),
+        "text",
+    )
+    m = P.shard_manifest(d, "shard", "doc_id", "tokens", "text")
+    # decimal -> string for the compare harness (pandas renders DuckDB
+    # decimals as float64 and loses the low digits)
+    return m.withColumn("checksum", F.col("checksum").cast("string"))
+
+
+# --------------------------------------------------------------------------
+# PCA whitening over the embeddings table — ANN/semantic-dedup preprocessing
+# --------------------------------------------------------------------------
+
+
+@query("pca_whiten_embeddings")
+def pca_whiten_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening (operators/pca.py): fit on one distributed
+    moment pass (d²+d+1 scalars to the driver, corpus-size-independent),
+    eigendecompose driver-side, project back as one Arrow-batched matmul
+    per batch. Rows-only: the basis is data-learned so no static SQL
+    twin exists; tests/test_pca.py pins the math against numpy
+    (moments, identity covariance after whitening, sign-pinned
+    layout-stable basis). Emits the top-4 whitened coordinates rounded
+    to 4 dp plus the explained-variance share of the retained basis."""
+    from eligibility_etl_airflow_spark.operators import pca as P
+
+    e = Catalog(spark, sf_dir).embeddings
+    model = P.fit_pca(e, "embedding", k=4)
+    total_var = float(model.eigvals.sum())
+    y = P.pca_transform(model, F.col("embedding"))
+    return e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.element_at(y, 1), 4).alias("w1"),
+        F.round(F.element_at(y, 2), 4).alias("w2"),
+        F.round(F.element_at(y, 3), 4).alias("w3"),
+        F.round(F.element_at(y, 4), 4).alias("w4"),
+        F.lit(round(total_var, 6)).alias("retained_var"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus drift: per-source Jensen-Shannon divergence vs the whole corpus
+# --------------------------------------------------------------------------
+
+CORPUS_DRIFT_ORACLE = """
+WITH toks AS (
+  SELECT source AS slice,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+  FROM documents
+), t2 AS (
+  SELECT slice, tok FROM toks WHERE tok <> ''
+), sc AS (
+  SELECT slice, tok, CAST(count(*) AS DOUBLE) AS c FROM t2 GROUP BY 1, 2
+), stot AS (
+  SELECT slice, sum(c) AS n_slice, count(*) AS vocab_slice FROM sc GROUP BY 1
+), gc AS (
+  SELECT tok, sum(c) AS g FROM sc GROUP BY 1
+), gtot AS (
+  SELECT sum(g) AS n_all FROM gc
+), pq AS (
+  SELECT sc.slice, stot.n_slice, stot.vocab_slice,
+         sc.c / stot.n_slice AS p,
+         gc.g / gtot.n_all AS q
+  FROM sc JOIN stot USING (slice) JOIN gc USING (tok) CROSS JOIN gtot
+)
+SELECT slice,
+       CAST(n_slice AS BIGINT) AS n_tokens,
+       CAST(vocab_slice AS BIGINT) AS vocab_size,
+       round(sum(p / 2 * log2(p / ((p + q) / 2))
+                 + q / 2 * log2(q / ((p + q) / 2)))
+             + (1 - sum(q)) / 2, 6) AS js_divergence
+FROM pq
+GROUP BY slice, n_slice, vocab_slice
+"""
+
+
+@query("corpus_drift_js", oracle=CORPUS_DRIFT_ORACLE)
+def corpus_drift_js_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor (operators/drift.py): Jensen-Shannon
+    divergence between each source slice's unigram distribution and the
+    corpus-wide one — symmetric, bounded [0,1] bits, defined across
+    differing supports. The p=0 tail telescopes to (1-Σq)/2, so no
+    outer join against the vocabulary: one explode, two partial-agg
+    shuffles, one token join, one per-slice sum; output is
+    slices-sized."""
+    from eligibility_etl_airflow_spark.operators import drift
+
+    d = Catalog(spark, sf_dir).documents
+    return drift.js_divergence_by_slice(d, "source", "text")

@@ -206,6 +206,12 @@ _DEFERRED = (
     # robots/frontier vehicles
     "robots_url_filter",
     "frontier_schedule",
+    # manifest rides the graded grouped-agg machinery (grouped_multi_agg)
+    # with a commutative checksum the oracle reconstructs byte-for-byte
+    "shard_manifest",
+    # drift rides the graded explode-agg machinery (tfidf_top_terms);
+    # the JSD closed form is pinned by a python cross-check test
+    "corpus_drift_js",
 )
 
 

@@ -756,3 +756,32 @@ def test_incremental_crawl_ingest_gates_and_empty_state(spark, tmp_path):
     assert [r.doc_id for r in docs.collect()] == [1]
     # accepted schema is the documents-table contract
     assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(docs.columns)
+
+
+def test_crawl_preprocess_robots_stage_drops_disallowed(spark, tmp_path):
+    """Stage-0 robots admission: disallowed URLs drop before any other
+    work; domains with no robots row default to allowed."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    rows = [
+        (0, "https://www.polite.example.com/open/a",
+         "<html><body><p>open page body zero</p></body></html>"),
+        (1, "https://www.polite.example.com/private/b",
+         "<html><body><p>private page body one</p></body></html>"),
+        (2, "https://www.norobots.example.org/x",
+         "<html><body><p>unruled page body two</p></body></html>"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    # host grain (RFC 9309): the robots row is keyed by the fetch host
+    robots = spark.createDataFrame(
+        [("www.polite.example.com", "User-agent: *\nDisallow: /private\n")],
+        "domain string, robots string",
+    )
+    stats = pipelines.run_crawl_preprocess_pipeline(
+        spark, raw, str(tmp_path), robots_df=robots
+    )
+    assert stats["n_total"] == 3
+    assert stats["n_after_robots"] == 2
+    assert stats["n_preprocessed"] == 2
+    out = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {0, 2}

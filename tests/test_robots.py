@@ -98,7 +98,7 @@ def _admit(spark, rules, url, **kw):
 
 
 def test_admission_longest_match_and_ties(spark, rules):
-    assert _admit(spark, rules, "https://www.ex.org/private/x") == (False, "/private")
+    assert _admit(spark, rules, "https://ex.org/private/x") == (False, "/private")
     # longer Allow beats shorter Disallow
     assert _admit(spark, rules, "https://ex.org/private/pub/1") == (
         True,
@@ -115,12 +115,24 @@ def test_admission_wildcard_anchor_and_query(spark, rules):
 
 
 def test_admission_defaults_to_allowed(spark, rules):
-    # no matching rule; and a domain with no rules at all
+    # no matching rule; and a host with no rules at all
     assert _admit(spark, rules, "https://ex.org/open/page") == (True, "")
     assert _admit(spark, rules, "https://nobody.net/anything") == (True, "")
     assert _admit(
         spark, rules, "https://ex.org/open/page", broadcast_rules=True
     ) == (True, "")
+
+
+def test_admission_key_grain_host_vs_domain(spark, rules):
+    # robots.txt is per host: a subdomain does NOT inherit ex.org's
+    # rules under the default host grain...
+    assert _admit(spark, rules, "https://www.ex.org/private/x") == (True, "")
+    # ...but does under the curator-policy domain grain
+    assert _admit(
+        spark, rules, "https://www.ex.org/private/x", key="domain"
+    ) == (False, "/private")
+    with pytest.raises(ValueError, match="key must be"):
+        _admit(spark, rules, "https://ex.org/x", key="page")
 
 
 def test_frontier_schedule_budget_and_cap(spark):
