@@ -1,0 +1,88 @@
+"""Corpus drift monitoring — distribution divergence between slices.
+
+A 100 TB corpus is assembled from many sources over many snapshots; the
+standard monitoring question is "does slice X (a source, a crawl
+snapshot, an incoming batch) still look like the corpus?" — answered
+here as the Jensen-Shannon divergence between each slice's unigram
+token distribution and the corpus-wide distribution. JSD is the
+monitoring-friendly divergence: symmetric, bounded in [0, 1] (log base
+2), defined even when supports differ.
+
+Decomposition that keeps it one pass: with P the slice distribution,
+Q the corpus distribution and M = (P+Q)/2,
+
+    JSD(P, Q) = Σ_{t∈P} [ p/2·log2(p/m) + q/2·log2(q/m) ]
+                + (1 − Σ_{t∈P} q_t) / 2
+
+— tokens ABSENT from the slice (p = 0, m = q/2) contribute exactly
+q/2 each, which telescopes to the closed-form tail above. So no outer
+join against the full vocabulary is ever needed: explode once, two
+partial-agg shuffles ((slice, token) and (token)), one token-key join,
+one per-slice sum. Nothing reaches the driver; output is slices-sized.
+
+Same [^a-z]+ tokenizer as the LM/TF-IDF tier (operators/tokenize.py:
+TOKEN_SPLIT) so divergences are comparable across the engine's scores.
+No reference counterpart — corpus-monitoring extension of the LM tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.operators.tokenize import TOKEN_SPLIT
+
+
+def js_divergence_by_slice(
+    df: DataFrame,
+    slice_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-slice unigram Jensen-Shannon divergence vs the whole corpus:
+    (slice, n_tokens, vocab_size, js_divergence). ``round_to`` absorbs
+    float-summation order across partitions (the sums are exact to
+    ~1e-12 relative; 6 dp is far coarser)."""
+    toks = df.select(
+        F.col(slice_col).alias("slice"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    sc = toks.groupBy("slice", "tok").agg(F.count(F.lit(1)).alias("c"))
+    stot = sc.groupBy("slice").agg(
+        F.sum("c").alias("n_slice"), F.count(F.lit(1)).alias("vocab_slice")
+    )
+    gc = sc.groupBy("tok").agg(F.sum("c").alias("gc"))
+    gtot = gc.agg(F.sum("gc").alias("n_all")).select("n_all")
+    joined = (
+        sc.join(gc, "tok")
+        .join(stot, "slice")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "slice",
+            "n_slice",
+            "vocab_slice",
+            (F.col("c") / F.col("n_slice")).alias("p"),
+            (F.col("gc") / F.col("n_all")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.col("p") / 2 * F.log2(F.col("p") / m)
+        + F.col("q") / 2 * F.log2(F.col("q") / m)
+    )
+    return (
+        joined.groupBy("slice", "n_slice", "vocab_slice")
+        .agg(F.sum(term).alias("_body"), F.sum("q").alias("_qcov"))
+        .select(
+            "slice",
+            F.col("n_slice").cast("long").alias("n_tokens"),
+            F.col("vocab_slice").cast("long").alias("vocab_size"),
+            F.round(F.col("_body") + (1 - F.col("_qcov")) / 2, round_to).alias(
+                "js_divergence"
+            ),
+        )
+    )

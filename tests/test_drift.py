@@ -1,0 +1,78 @@
+"""Corpus drift: JSD math vs a python reference, bounds, edge cases."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from eligibility_etl_airflow_spark.operators import drift
+
+
+def _py_jsd(slice_texts, all_texts):
+    tok = lambda t: [w for w in re.split("[^a-z]+", t.lower()) if w]
+    p_cnt = Counter(w for t in slice_texts for w in tok(t))
+    q_cnt = Counter(w for t in all_texts for w in tok(t))
+    np_, nq = sum(p_cnt.values()), sum(q_cnt.values())
+    js = 0.0
+    for w, qc in q_cnt.items():
+        p = p_cnt.get(w, 0) / np_
+        q = qc / nq
+        m = (p + q) / 2
+        if p:
+            js += p / 2 * math.log2(p / m)
+        js += q / 2 * math.log2(q / m)
+    return js
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "source string, text string")
+    return {
+        r["slice"]: r
+        for r in drift.js_divergence_by_slice(df, "source", "text").collect()
+    }
+
+
+def test_jsd_matches_python_reference(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("a", "the dog sleeps in the quiet house"),
+        ("b", "stochastic gradient descent optimizes the loss surface"),
+        ("b", "the loss decreases as training proceeds"),
+        ("c", "quick quick quick fox fox the"),
+    ]
+    got = _run(spark, rows)
+    all_texts = [t for _, t in rows]
+    for s in ("a", "b", "c"):
+        want = _py_jsd([t for src, t in rows if src == s], all_texts)
+        assert abs(got[s]["js_divergence"] - want) < 1e-6, s
+        assert 0.0 <= got[s]["js_divergence"] <= 1.0
+
+
+def test_single_slice_corpus_has_zero_divergence(spark):
+    rows = [("only", "alpha beta gamma"), ("only", "beta gamma delta")]
+    got = _run(spark, rows)
+    assert got["only"]["js_divergence"] == 0.0
+    assert got["only"]["n_tokens"] == 6
+    assert got["only"]["vocab_size"] == 4
+
+
+def test_disjoint_vocab_slice_diverges_most(spark):
+    rows = [
+        ("en", "the cat sat on the mat"),
+        ("en", "the dog ate the bone"),
+        ("xx", "zzz qqq www yyy zzz qqq"),
+    ]
+    got = _run(spark, rows)
+    # the disjoint slice must diverge strictly more than the dominant
+    # one (the ceiling is well below 1: the corpus INCLUDES the slice,
+    # so q already covers a third of xx's mass)
+    assert got["xx"]["js_divergence"] > got["en"]["js_divergence"]
+    assert got["xx"]["js_divergence"] > 0.3
+
+
+def test_token_less_slice_emits_no_row(spark):
+    rows = [("a", "real words here"), ("punct", "!!! ... 123")]
+    got = _run(spark, rows)
+    # a slice with zero tokens has no distribution — absent, not NaN
+    assert set(got) == {"a"}
