@@ -1703,3 +1703,35 @@ def corpus_drift_js_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     return drift.js_divergence_by_slice(d, "source", "text")
+
+
+# --------------------------------------------------------------------------
+# Contrastive triplet mining — embedding-model training pairs
+# --------------------------------------------------------------------------
+
+
+@query("contrastive_triplets")
+def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, positive, hard-negative) mining
+    (operators/contrastive.py): one MinHash-LSH candidate pass serves
+    both sides — verified Jaccard in [0.4, 0.98] is a positive
+    (paraphrase, not exact dup), band collisions at <= 0.25 are the
+    lexically-colliding hard negatives. r=1 banding (bands == num_perm)
+    trades band selectivity for recall of the low-Jaccard colliders —
+    the bucket cap keeps the pair budget bounded either way. Rows-only:
+    LSH candidate sets have no SQL twin; tests/test_contrastive.py pins
+    planted-positive/collider behavior and determinism."""
+    from eligibility_etl_airflow_spark.operators import contrastive as C
+
+    d = Catalog(spark, sf_dir).documents
+    return C.contrastive_triplets(
+        d,
+        "doc_id",
+        "text",
+        pos_min=0.4,
+        pos_max=0.98,
+        neg_max=0.25,
+        num_perm=16,
+        bands=16,
+        max_bucket_size=200,
+    )
