@@ -1371,7 +1371,27 @@ def run_incremental_crawl_ingest(
     n_batch = batch.count()
     caches: list[DataFrame] = []
     try:
-        with_url = urls.url_components(batch, url_col).filter(
+        # robots admission first — a compliant crawler never fetched a
+        # disallowed URL, so nothing downstream should see it (same
+        # stage-0 contract as run_crawl_preprocess_pipeline)
+        admitted = batch
+        n_after_robots = None
+        if robots_df is not None:
+            from eligibility_etl_airflow_spark.operators import robots as robots_ops
+
+            rules = robots_ops.robots_rules(
+                robots_df, robots_domain_col, robots_text_col, agent=robots_agent
+            )
+            admitted = (
+                robots_ops.robots_allowed(batch, url_col, rules, key=robots_key)
+                .filter(F.col("crawl_allowed"))
+                .drop("crawl_allowed", "matched_pattern")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            caches.append(admitted)
+            n_after_robots = admitted.count()
+
+        with_url = urls.url_components(admitted, url_col).filter(
             F.col("url_canonical").isNotNull()
         )
         keeper = (
@@ -1464,9 +1484,140 @@ def run_incremental_crawl_ingest(
     finally:
         for c in caches:
             c.unpersist()
-    return {
+    stats = {
         "n_batch": n_batch,
         "n_new_urls": n_new_urls,
         "n_accepted": n_accepted,
         "n_total_accepted": spark.read.parquet(docs_path).count(),
     }
+    if n_after_robots is not None:
+        stats["n_after_robots"] = n_after_robots
+    return stats
+
+
+def run_crawl_frontier_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    robots_df: DataFrame | None = None,
+    robots_domain_col: str = "domain",
+    robots_text_col: str = "robots",
+    robots_agent: str = "*",
+    robots_key: str = "host",
+    per_domain_budget: int = 10,
+    max_per_domain: int | None = None,
+    pagerank_iterations: int = 5,
+) -> dict:
+    """Close the crawl loop: from the pages already fetched, decide
+    WHAT to fetch next and in what order. The missing quarter of the
+    crawl story — preprocess (what we got), incremental ingest (keep
+    getting it), curation (keep the good parts) all exist; this emits
+    the next fetch list.
+
+    Stages, each an already-tested operator:
+      1. Harvest page-grain link edges from the raw HTML
+         (urls.extract_link_edges, domain_grain=False) and domain-grain
+         edges for authority (one shared href pass, two projections).
+      2. Candidate frontier = link TARGETS not already crawled
+         (anti-join on canonical URL — re-discovering a fetched page
+         costs one hash probe, never a fetch slot).
+      3. Authority prior = domain-grain PageRank (linkgraph.pagerank);
+         each candidate URL inherits its registered domain's rank as
+         ``priority`` and carries its in-link count as the audit
+         column. Unknown-domain candidates get rank 0 (they enter the
+         crawl through the budget's tail, not never).
+      4. Optional robots.txt admission (operators/robots.py) — don't
+         schedule what compliance forbids fetching.
+      5. Politeness scheduling (robots.frontier_schedule): at most
+         ``per_domain_budget`` fetches per domain per cycle, best
+         priority first, per-domain queue capped at ``max_per_domain``.
+
+    Scale shape: one href-explode pass feeds both edge grains; the
+    candidate set is distinct-ed on the canonical URL key (one
+    partial-agg shuffle) and anti-joined against the crawled set on the
+    same key; PageRank runs at DOMAIN grain (nodes = domains, not
+    pages); the rank attach is a broadcast-or-shuffle join on the
+    domain key; scheduling is the per-domain window. Output
+    ``frontier.parquet`` is range-clustered by (fetch_cycle, domain) —
+    the order a fetcher consumes it.
+    """
+    from pyspark import StorageLevel
+
+    from eligibility_etl_airflow_spark.operators import (
+        linkgraph,
+        robots as robots_ops,
+        urls,
+    )
+
+    page_edges = urls.extract_link_edges(
+        pages, url_col, html_col, domain_grain=False
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        crawled = (
+            urls.url_components(pages, url_col)
+            .select(F.col("url_canonical"))
+            .filter(F.col("url_canonical").isNotNull())
+            .distinct()
+        )
+        candidates = (
+            page_edges.groupBy(F.col("dst").alias("url"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inlinks"))
+            .join(crawled, F.col("url") == F.col("url_canonical"), "left_anti")
+        )
+        n_candidates = candidates.count()
+
+        dom_edges = page_edges.select(
+            urls.registered_domain(urls.url_host(F.col("src"))).alias("src"),
+            urls.registered_domain(urls.url_host(F.col("dst"))).alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+        ranks = linkgraph.pagerank(dom_edges, iterations=pagerank_iterations)
+        scored = candidates.withColumn(
+            "domain", urls.registered_domain(urls.url_host(F.col("url")))
+        ).join(
+            ranks.select(F.col("id").alias("domain"), F.col("rank")),
+            "domain",
+            "left",
+        ).select(
+            "url",
+            "n_inlinks",
+            F.coalesce(F.col("rank"), F.lit(0.0)).alias("priority"),
+        )
+
+        n_admitted = None
+        if robots_df is not None:
+            rules = robots_ops.robots_rules(
+                robots_df, robots_domain_col, robots_text_col, agent=robots_agent
+            )
+            scored = (
+                robots_ops.robots_allowed(scored, "url", rules, key=robots_key)
+                .filter(F.col("crawl_allowed"))
+                .drop("crawl_allowed", "matched_pattern")
+            )
+            scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+            n_admitted = scored.count()
+
+        frontier = robots_ops.frontier_schedule(
+            scored,
+            "url",
+            "priority",
+            per_domain_budget=per_domain_budget,
+            max_per_domain=max_per_domain,
+        )
+        out_path = os.path.join(out_dir, "frontier.parquet")
+        sinks.write_clustered(frontier, out_path, ["fetch_cycle", "domain"])
+        written = spark.read.parquet(out_path)
+        n_scheduled = written.count()
+        n_domains = written.select("domain").distinct().count()
+    finally:
+        page_edges.unpersist()
+    stats = {
+        "n_candidates": n_candidates,
+        "n_scheduled": n_scheduled,
+        "n_domains": n_domains,
+    }
+    if n_admitted is not None:
+        stats["n_admitted"] = n_admitted
+    return stats

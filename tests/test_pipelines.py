@@ -785,3 +785,83 @@ def test_crawl_preprocess_robots_stage_drops_disallowed(spark, tmp_path):
     assert stats["n_preprocessed"] == 2
     out = spark.read.parquet(str(tmp_path / "documents.parquet"))
     assert {r["doc_id"] for r in out.select("doc_id").collect()} == {0, 2}
+
+
+def test_incremental_crawl_ingest_applies_robots(spark, tmp_path):
+    """The continuous ingest honors robots.txt per batch: disallowed
+    URLs never reach the state indexes."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    robots = spark.createDataFrame(
+        [("www.a.example.com", "User-agent: *\nDisallow: /no\n")],
+        "domain string, robots string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "https://www.a.example.com/ok", "<p>allowed body one</p>"),
+            (2, "https://www.a.example.com/no/x", "<p>blocked body two</p>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    stats = pipelines.run_incremental_crawl_ingest(
+        spark, batch, str(tmp_path), robots_df=robots
+    )
+    assert stats["n_after_robots"] == 1
+    assert stats["n_accepted"] == 1
+    docs = spark.read.parquet(str(tmp_path / "accepted_docs"))
+    assert [r["doc_id"] for r in docs.collect()] == [1]
+
+
+def test_crawl_frontier_pipeline_schedules_uncrawled_targets(spark, tmp_path):
+    """The frontier closes the crawl loop: link targets not yet crawled
+    get priority from domain PageRank, robots-disallowed targets drop,
+    and the schedule respects the per-domain budget."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    # hub.example.com links to two uncrawled sites; big.example.net is
+    # endorsed by BOTH crawled pages (higher PageRank), small.example.io
+    # by one; one target is robots-blocked
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                "https://hub.example.com/a",
+                '<p><a href="https://big.example.net/x">b</a>'
+                '<a href="https://small.example.io/y">s</a>'
+                '<a href="https://big.example.net/blocked/z">nb</a></p>',
+            ),
+            (
+                2,
+                "https://other.example.org/b",
+                '<p><a href="https://big.example.net/x">b</a>'
+                '<a href="https://hub.example.com/a">seen</a></p>',
+            ),
+        ],
+        "doc_id long, url string, html string",
+    )
+    robots = spark.createDataFrame(
+        [("big.example.net", "User-agent: *\nDisallow: /blocked\n")],
+        "domain string, robots string",
+    )
+    stats = pipelines.run_crawl_frontier_pipeline(
+        spark, pages, str(tmp_path), robots_df=robots, per_domain_budget=1
+    )
+    # /a was already crawled -> not a candidate; 3 distinct new targets
+    assert stats["n_candidates"] == 3
+    assert stats["n_admitted"] == 2  # /blocked/z dropped
+    assert stats["n_scheduled"] == 2
+    frontier = {
+        r["url"]: r
+        for r in spark.read.parquet(str(tmp_path / "frontier.parquet")).collect()
+    }
+    assert set(frontier) == {
+        "https://big.example.net/x",
+        "https://small.example.io/y",
+    }
+    big = frontier["https://big.example.net/x"]
+    small = frontier["https://small.example.io/y"]
+    # two endorsements beat one in the authority prior
+    assert big["priority"] > small["priority"]
+    assert big["n_inlinks"] == 2
+    # budget 1: each domain's single URL is cycle 0 slot 0
+    assert (big["fetch_cycle"], big["cycle_slot"]) == (0, 0)
