@@ -47,6 +47,7 @@ def main(argv: list[str] | None = None) -> int:
             "corpus-curation",
             "training-prep",
             "crawl-preprocess",
+            "crawl-frontier",
         ],
     )
     pp.add_argument("--out-dir", required=True)
@@ -54,8 +55,26 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument(
         "--raw-crawl",
         default=None,
-        help="crawl-preprocess only (required there): parquet path of raw "
-        "crawl records (doc_id, url, html)",
+        help="crawl-preprocess / crawl-frontier (required there): parquet "
+        "path of raw crawl records (doc_id, url, html)",
+    )
+    pp.add_argument(
+        "--robots-parquet",
+        default=None,
+        help="crawl-preprocess / crawl-frontier: parquet path of robots "
+        "state (domain, robots) — enables the robots.txt admission stage",
+    )
+    pp.add_argument(
+        "--per-domain-budget",
+        type=int,
+        default=10,
+        help="crawl-frontier only: max fetches per domain per cycle",
+    )
+    pp.add_argument(
+        "--max-per-domain",
+        type=int,
+        default=None,
+        help="crawl-frontier only: cap each domain's scheduled queue",
     )
     pp.add_argument(
         "--docs-parquet",
@@ -238,16 +257,36 @@ def main(argv: list[str] | None = None) -> int:
                 "blocklist_max_fraction": args.blocklist_max_fraction,
             }
 
-        if args.name == "crawl-preprocess":
-            # dispatched before the sf_dir-shaped map below: this is the
-            # one pipeline whose first argument is a DataFrame, not a dir
+        if args.name in ("crawl-preprocess", "crawl-frontier"):
+            # dispatched before the sf_dir-shaped map below: these are the
+            # pipelines whose first argument is a DataFrame, not a dir
             if not args.raw_crawl:
-                print("crawl-preprocess requires --raw-crawl", file=sys.stderr)
+                print(f"{args.name} requires --raw-crawl", file=sys.stderr)
                 return 2
+            pages = spark.read.parquet(args.raw_crawl)
+            robots_kwargs = {}
+            if args.robots_parquet:
+                robots_kwargs["robots_df"] = spark.read.parquet(args.robots_parquet)
+            if args.name == "crawl-frontier":
+                print(
+                    json.dumps(
+                        pipelines.run_crawl_frontier_pipeline(
+                            spark,
+                            pages,
+                            args.out_dir,
+                            per_domain_budget=args.per_domain_budget,
+                            max_per_domain=args.max_per_domain,
+                            **robots_kwargs,
+                        ),
+                        default=str,
+                    )
+                )
+                return 0
             kwargs = blocklist_kwargs()
+            kwargs.update(robots_kwargs)
             if args.min_latin_fraction is not None:
                 kwargs["min_latin_fraction"] = args.min_latin_fraction
-            raw = spark.read.parquet(args.raw_crawl)
+            raw = pages
             print(
                 json.dumps(
                     pipelines.run_crawl_preprocess_pipeline(

@@ -272,3 +272,46 @@ def html_anchor_texts(html: Column) -> Column:
         ),
     )
     return F.filter(pairs, lambda p: p["href"] != "")
+
+
+def sitemap_entries(xml: Column) -> Column:
+    """(loc, lastmod) entries of a sitemap.xml document, in document
+    order — ``array<struct<loc, lastmod>>``. The other frontier seed:
+    sitemaps enumerate what a site WANTS crawled (vs links = what other
+    pages endorse). Same single-pass shape as the href harvest: one
+    case-insensitive regexp pass extracts whole ``<url>…</url>``
+    elements; loc/lastmod peel per element (tiny strings). lastmod is
+    '' when absent — callers ``try_cast`` to date/timestamp, keeping
+    malformed values diagnosable instead of silently null. Sitemap
+    INDEX files (``<sitemap>`` elements) use the same two tags, so the
+    second pattern harvests nested sitemap locations too."""
+    urls_arr = F.regexp_extract_all(
+        xml, F.lit("(?is)<url>.*?</url>"), F.lit(0)
+    )
+    return F.transform(
+        urls_arr,
+        lambda u: F.struct(
+            F.trim(
+                F.regexp_extract(u, "(?is)<loc>(.*?)</loc>", 1)
+            ).alias("loc"),
+            F.trim(
+                F.regexp_extract(u, "(?is)<lastmod>(.*?)</lastmod>", 1)
+            ).alias("lastmod"),
+        ),
+    )
+
+
+def sitemap_index_locs(xml: Column) -> Column:
+    """Nested sitemap locations of a sitemap INDEX file —
+    ``array<string>`` of the <sitemap><loc> targets a crawler must
+    fetch next to finish enumerating the site."""
+    maps = F.regexp_extract_all(
+        xml, F.lit("(?is)<sitemap>.*?</sitemap>"), F.lit(0)
+    )
+    return F.filter(
+        F.transform(
+            maps,
+            lambda m: F.trim(F.regexp_extract(m, "(?is)<loc>(.*?)</loc>", 1)),
+        ),
+        lambda x: x != "",
+    )

@@ -1331,6 +1331,7 @@ def run_incremental_crawl_ingest(
     robots_text_col: str = "robots",
     robots_agent: str = "*",
     robots_key: str = "host",
+    recrawl_policy: str = "skip",
 ) -> dict:
     """Ingest a NEW crawl batch against persisted crawl state — the
     continuous form of run_crawl_preprocess_pipeline, where re-crawls
@@ -1354,6 +1355,20 @@ def run_incremental_crawl_ingest(
     stream_crawl_ingest) is restart-safe end to end. Accepted-page TEXT
     is never re-read — both vs-state checks ride the key indexes.
 
+    Re-crawls: ``recrawl_policy="skip"`` (default) drops already-seen
+    canonical URLs in one anti-join — the cheapest correct behavior
+    when snapshots rarely change. ``"update"`` additionally re-cleans
+    the re-crawled pages and, where the cleaned content hash CHANGED,
+    replaces the accepted document in place (URL identity wins:
+    ``merge_upsert`` keyed on url_canonical updates the doc and the
+    URL index; the new hash appends to the hash index, which stays
+    append-only as an ever-seen-content filter — a page updated AWAY
+    from some content keeps that content suppressed for future new
+    URLs, the standard crawl-dedup semantics). Unchanged re-crawls are
+    no-ops, so replaying a batch under either policy stays idempotent.
+    Update mode needs the url index to carry content_hash (written by
+    this version); older two-column state raises with guidance.
+
     Line-frequency note: the boilerplate tier sees one BATCH at a time,
     so chrome shared across batches but rare within one can survive —
     the documented trade for never re-scanning state; lower
@@ -1363,6 +1378,10 @@ def run_incremental_crawl_ingest(
     from eligibility_etl_airflow_spark.operators import dedup, text, urls
     from eligibility_etl_airflow_spark.operators.components import _stable
 
+    if recrawl_policy not in ("skip", "update"):
+        raise ValueError(
+            f"recrawl_policy must be 'skip' or 'update', got {recrawl_policy!r}"
+        )
     docs_path = os.path.join(state_dir, "accepted_docs")
     url_index = os.path.join(state_dir, "index_urls")
     hash_index = os.path.join(state_dir, "index_hashes")
@@ -1399,50 +1418,64 @@ def run_incremental_crawl_ingest(
             .agg(F.min(id_col).alias(id_col))
             .select(id_col)
         )
-        url_deduped = with_url.join(keeper, id_col, "left_semi")
+        batch_urls = with_url.join(keeper, id_col, "left_semi")
+        recrawls_src = None
         if has_state:
             seen_urls = spark.read.parquet(url_index).select("url_canonical")
-            url_deduped = url_deduped.join(seen_urls, "url_canonical", "left_anti")
+            if recrawl_policy == "update":
+                batch_urls = batch_urls.persist(StorageLevel.MEMORY_AND_DISK)
+                caches.append(batch_urls)
+                recrawls_src = batch_urls.join(
+                    seen_urls, "url_canonical", "left_semi"
+                )
+            url_deduped = batch_urls.join(seen_urls, "url_canonical", "left_anti")
+        else:
+            url_deduped = batch_urls
         url_deduped = url_deduped.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(url_deduped)
         n_new_urls = url_deduped.count()
 
-        texted = url_deduped.select(
-            id_col,
-            "url_canonical",
-            F.col("url_domain").alias("domain"),
-            text.strip_html(F.col(html_col), collapse_ws=False).alias("text"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        caches.append(texted)
-        lined = dedup.line_dedup(texted, id_col, "text", max_line_df=line_max_df)
-        rebuilt = (
-            texted.drop("text")
-            .join(lined.select(id_col, "text_clean"), id_col)
-            .filter(F.trim(F.col("text_clean")) != "")
-            .withColumnRenamed("text_clean", "text")
-        )
-        if nfc:
-            rebuilt = rebuilt.withColumn("text", text.unicode_nfc(F.col("text")))
-        current = rebuilt
-        if blocklist_terms is not None:
-            drop_ids = (
-                text.blocklist_metrics(
-                    current, id_col, "text",
-                    terms=blocklist_terms, max_fraction=blocklist_max_fraction,
-                )
-                .filter(~F.col("keep"))
-                .select(id_col)
+        def clean(rel: DataFrame) -> DataFrame:
+            # strip -> line dedup -> NFC -> gates -> content hash; the
+            # line-frequency window is the relation it is given (per
+            # split in update mode — documented trade)
+            texted = rel.select(
+                id_col,
+                "url_canonical",
+                F.col("url_domain").alias("domain"),
+                text.strip_html(F.col(html_col), collapse_ws=False).alias("text"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            caches.append(texted)
+            lined = dedup.line_dedup(texted, id_col, "text", max_line_df=line_max_df)
+            rebuilt = (
+                texted.drop("text")
+                .join(lined.select(id_col, "text_clean"), id_col)
+                .filter(F.trim(F.col("text_clean")) != "")
+                .withColumnRenamed("text_clean", "text")
             )
-            current = current.join(drop_ids, id_col, "left_anti")
-        if min_latin_fraction is not None:
-            ok_ids = current.select(
-                id_col, *text.script_profile(F.col("text"))
-            ).filter(F.col("frac_latin") >= min_latin_fraction)
-            current = current.join(ok_ids.select(id_col), id_col, "left_semi")
+            if nfc:
+                rebuilt = rebuilt.withColumn("text", text.unicode_nfc(F.col("text")))
+            current = rebuilt
+            if blocklist_terms is not None:
+                drop_ids = (
+                    text.blocklist_metrics(
+                        current, id_col, "text",
+                        terms=blocklist_terms, max_fraction=blocklist_max_fraction,
+                    )
+                    .filter(~F.col("keep"))
+                    .select(id_col)
+                )
+                current = current.join(drop_ids, id_col, "left_anti")
+            if min_latin_fraction is not None:
+                ok_ids = current.select(
+                    id_col, *text.script_profile(F.col("text"))
+                ).filter(F.col("frac_latin") >= min_latin_fraction)
+                current = current.join(ok_ids.select(id_col), id_col, "left_semi")
+            return current.withColumn(
+                "content_hash", text.fingerprint_md5(F.col("text"))
+            )
 
-        hashed = current.withColumn(
-            "content_hash", text.fingerprint_md5(F.col("text"))
-        )
+        hashed = clean(url_deduped)
         ckeeper = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
         deduped = hashed.join(ckeeper.select(id_col), id_col, "left_semi")
         if has_state and os.path.exists(hash_index):
@@ -1462,6 +1495,41 @@ def run_incremental_crawl_ingest(
             )
         )
         n_accepted = accepted.count()
+
+        # update path: re-crawled URLs whose CLEANED content changed
+        # replace their accepted doc in place; computed (and _stable'd)
+        # BEFORE any write below refreshes the state paths it reads
+        n_updated = None
+        if recrawls_src is not None:
+            idx = spark.read.parquet(url_index)
+            if "content_hash" not in idx.columns:
+                raise ValueError(
+                    "recrawl_policy='update' needs a url index carrying "
+                    "content_hash; this state was written by an older "
+                    "version — rebuild the state or use recrawl_policy='skip'"
+                )
+            updated = _stable(
+                clean(recrawls_src)
+                .join(
+                    idx.select(
+                        "url_canonical", F.col("content_hash").alias("_old")
+                    ),
+                    "url_canonical",
+                )
+                .filter(F.col("content_hash") != F.col("_old"))
+                .select(
+                    F.col(id_col).alias("doc_id"),
+                    "text",
+                    text.lang_id(F.col("text")).alias("lang"),
+                    F.col("domain").alias("source"),
+                    F.length("text").cast("long").alias("n_chars"),
+                    "url_canonical",
+                    "domain",
+                    "content_hash",
+                )
+            )
+            n_updated = updated.count()
+
         # appends AFTER the _stable: each write refreshes its path, and
         # an un-checkpointed lineage reading these paths would lazily
         # recompute against the just-updated state (append_dedup's
@@ -1472,7 +1540,7 @@ def run_incremental_crawl_ingest(
         sinks.append_dedup(
             spark,
             url_index,
-            accepted.select("url_canonical", "doc_id"),
+            accepted.select("url_canonical", "doc_id", "content_hash"),
             keys=["url_canonical"],
         )
         sinks.append_dedup(
@@ -1481,6 +1549,26 @@ def run_incremental_crawl_ingest(
             accepted.select("content_hash", "doc_id"),
             keys=["content_hash"],
         )
+        if n_updated:
+            sinks.merge_upsert(
+                spark,
+                docs_path,
+                updated.drop("content_hash"),
+                keys=["url_canonical"],
+            )
+            sinks.merge_upsert(
+                spark,
+                url_index,
+                updated.select("url_canonical", "doc_id", "content_hash"),
+                keys=["url_canonical"],
+            )
+            # hash index stays append-only: an ever-seen-content filter
+            sinks.append_dedup(
+                spark,
+                hash_index,
+                updated.select("content_hash", "doc_id"),
+                keys=["content_hash"],
+            )
     finally:
         for c in caches:
             c.unpersist()
@@ -1492,6 +1580,8 @@ def run_incremental_crawl_ingest(
     }
     if n_after_robots is not None:
         stats["n_after_robots"] = n_after_robots
+    if n_updated is not None:
+        stats["n_updated"] = n_updated
     return stats
 
 
@@ -1510,6 +1600,7 @@ def run_crawl_frontier_pipeline(
     per_domain_budget: int = 10,
     max_per_domain: int | None = None,
     pagerank_iterations: int = 5,
+    default_crawl_delay: float = 1.0,
 ) -> dict:
     """Close the crawl loop: from the pages already fetched, decide
     WHAT to fetch next and in what order. The missing quarter of the
@@ -1606,6 +1697,31 @@ def run_crawl_frontier_pipeline(
             per_domain_budget=per_domain_budget,
             max_per_domain=max_per_domain,
         )
+        if robots_df is not None:
+            # earliest polite fetch time: a domain's cycle N starts after
+            # N waits of its Crawl-delay (default_crawl_delay when the
+            # robots file sets none) — the column a rate-limited fetcher
+            # sorts on
+            delays = robots_df.select(
+                F.col(robots_domain_col).alias("_site"),
+                robots_ops.robots_crawl_delay(
+                    F.col(robots_text_col), robots_agent
+                ).alias("_delay"),
+            )
+            site = (
+                urls.url_host(F.col("url"))
+                if robots_key == "host"
+                else urls.registered_domain(urls.url_host(F.col("url")))
+            )
+            frontier = (
+                frontier.join(delays, site == F.col("_site"), "left")
+                .withColumn(
+                    "eta_seconds",
+                    F.col("fetch_cycle")
+                    * F.coalesce(F.col("_delay"), F.lit(default_crawl_delay)),
+                )
+                .drop("_site", "_delay")
+            )
         out_path = os.path.join(out_dir, "frontier.parquet")
         sinks.write_clustered(frontier, out_path, ["fetch_cycle", "domain"])
         written = spark.read.parquet(out_path)

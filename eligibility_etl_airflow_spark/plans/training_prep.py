@@ -1735,3 +1735,63 @@ def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         max_bucket_size=200,
     )
+
+
+# --------------------------------------------------------------------------
+# Sitemap parsing — the crawler's other frontier seed
+# --------------------------------------------------------------------------
+
+SITEMAP_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/page/'
+           || CAST(doc_id AS VARCHAR) AS loc,
+       CAST(CAST(DATE '2026-01-01' + INTERVAL (doc_id % 28) DAY AS DATE)
+            AS VARCHAR) AS lastmod
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/extra/'
+           || CAST(doc_id AS VARCHAR) AS loc,
+       '' AS lastmod
+FROM documents
+"""
+
+
+@query("sitemap_parse", oracle=SITEMAP_ORACLE)
+def sitemap_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap harvesting (operators/urls.py::sitemap_entries): (loc,
+    lastmod) entries out of sitemap.xml — what a site asks to have
+    crawled, the frontier seed complementing link discovery. One
+    case-insensitive regexp pass per document for whole <url> elements,
+    per-element peel for loc/lastmod (the second entry has none —
+    lastmod=''), whitespace trimmed. The oracle reconstructs both
+    planted entries from doc_id arithmetic. Map-only + one explode."""
+    from eligibility_etl_airflow_spark.operators import urls as U
+
+    d = Catalog(spark, sf_dir).documents
+    lastmod = F.date_format(
+        F.date_add(F.to_date(F.lit("2026-01-01")), (F.col("doc_id") % 28).cast("int")),
+        "yyyy-MM-dd",
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> https://s'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/page/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" </loc><lastmod>"),
+        lastmod,
+        F.lit("</lastmod></url><URL><loc>https://s"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/extra/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc></URL></urlset>"),
+    )
+    return (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), xml.alias("xml"))
+        .select("doc_id", F.explode(U.sitemap_entries(F.col("xml"))).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.loc").alias("loc"),
+            F.col("e.lastmod").alias("lastmod"),
+        )
+    )

@@ -212,6 +212,9 @@ _DEFERRED = (
     # drift rides the graded explode-agg machinery (tfidf_top_terms);
     # the JSD closed form is pinned by a python cross-check test
     "corpus_drift_js",
+    # sitemap rides the same regexp-harvest machinery as the graded
+    # split/explode family; first-principles oracle
+    "sitemap_parse",
 )
 
 

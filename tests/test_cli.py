@@ -91,3 +91,54 @@ def test_cli_chain_sf_dir_and_docs_parquet(spark, tmp_path, capsys):
     s3 = json.loads(lines[-1])
     assert s3["n_packs"] >= 1
     assert spark.read.parquet(str(tmp_path / "s3" / "packed_chunks")).count() > 0
+
+
+def test_cli_crawl_frontier_with_robots(spark, tmp_path, capsys):
+    from eligibility_etl_airflow_spark.__main__ import main
+
+    pages = tmp_path / "pages"
+    spark.createDataFrame(
+        [
+            (
+                1,
+                "https://hub.example.com/a",
+                '<p><a href="https://new.example.net/x">n</a>'
+                '<a href="https://new.example.net/blocked/y">b</a></p>',
+            )
+        ],
+        "doc_id long, url string, html string",
+    ).write.parquet(str(pages))
+    robots = tmp_path / "robots"
+    spark.createDataFrame(
+        [("new.example.net", "User-agent: *\nDisallow: /blocked\n")],
+        "domain string, robots string",
+    ).write.parquet(str(robots))
+    rc = main(
+        [
+            "pipeline",
+            "crawl-frontier",
+            "--raw-crawl",
+            str(pages),
+            "--robots-parquet",
+            str(robots),
+            "--out-dir",
+            str(tmp_path / "f"),
+            "--per-domain-budget",
+            "1",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_candidates"] == 2
+    assert stats["n_admitted"] == 1
+    assert stats["n_scheduled"] == 1
+    out = spark.read.parquet(str(tmp_path / "f" / "frontier.parquet"))
+    assert [r["url"] for r in out.collect()] == ["https://new.example.net/x"]
+
+
+def test_cli_crawl_frontier_requires_raw_crawl(spark, tmp_path, capsys):
+    from eligibility_etl_airflow_spark.__main__ import main
+
+    rc = main(["pipeline", "crawl-frontier", "--out-dir", str(tmp_path / "x")])
+    assert rc == 2
+    assert "requires --raw-crawl" in capsys.readouterr().err

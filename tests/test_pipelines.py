@@ -865,3 +865,87 @@ def test_crawl_frontier_pipeline_schedules_uncrawled_targets(spark, tmp_path):
     assert big["n_inlinks"] == 2
     # budget 1: each domain's single URL is cycle 0 slot 0
     assert (big["fetch_cycle"], big["cycle_slot"]) == (0, 0)
+    # crawl-delay ETA: cycle 0 is immediate regardless of delay
+    assert big["eta_seconds"] == 0.0
+
+
+def test_crawl_frontier_eta_scales_with_crawl_delay(spark, tmp_path):
+    from eligibility_etl_airflow_spark import pipelines
+
+    links = "".join(
+        f'<a href="https://slow.example.net/p{i}">x</a>' for i in range(3)
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://hub.example.com/a", f"<p>{links}</p>")],
+        "doc_id long, url string, html string",
+    )
+    robots = spark.createDataFrame(
+        [("slow.example.net", "User-agent: *\nCrawl-delay: 30\n")],
+        "domain string, robots string",
+    )
+    pipelines.run_crawl_frontier_pipeline(
+        spark, pages, str(tmp_path), robots_df=robots, per_domain_budget=1
+    )
+    rows = spark.read.parquet(str(tmp_path / "frontier.parquet")).collect()
+    got = sorted((r["fetch_cycle"], r["eta_seconds"]) for r in rows)
+    # one URL per cycle; each later cycle waits another 30 s
+    assert got == [(0, 0.0), (1, 30.0), (2, 60.0)]
+
+
+def test_incremental_crawl_ingest_recrawl_update_policy(spark, tmp_path):
+    """recrawl_policy='update': a re-crawled URL with CHANGED cleaned
+    content replaces its accepted doc in place (URL identity); an
+    unchanged re-crawl is a no-op; replaying the batch is idempotent;
+    the hash index stays append-only as an ever-seen filter."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    state = str(tmp_path)
+    b1 = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/a", "<p>original article body alpha</p>"),
+            (2, "https://a.example.com/b", "<p>stable article body beta</p>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    s1 = pipelines.run_incremental_crawl_ingest(spark, b1, state)
+    assert s1["n_accepted"] == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "https://a.example.com/a", "<p>REWRITTEN article body alpha two</p>"),
+            (11, "https://a.example.com/b", "<p>stable article body beta</p>"),
+            (12, "https://a.example.com/c", "<p>brand new page gamma</p>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    s2 = pipelines.run_incremental_crawl_ingest(
+        spark, b2, state, recrawl_policy="update"
+    )
+    assert s2["n_new_urls"] == 1  # only /c
+    assert s2["n_accepted"] == 1
+    assert s2["n_updated"] == 1  # /a changed; /b unchanged
+    docs = {
+        r["url_canonical"]: r
+        for r in spark.read.parquet(f"{state}/accepted_docs").collect()
+    }
+    assert len(docs) == 3
+    a = docs["https://a.example.com/a"]
+    assert "REWRITTEN" in a["text"] and a["doc_id"] == 10
+    # url index carries the new hash; hash index keeps BOTH (ever-seen)
+    idx = spark.read.parquet(f"{state}/index_urls")
+    assert idx.count() == 3 and "content_hash" in idx.columns
+    assert spark.read.parquet(f"{state}/index_hashes").count() == 4
+
+    # replay: fully idempotent under update policy
+    s3 = pipelines.run_incremental_crawl_ingest(
+        spark, b2, state, recrawl_policy="update"
+    )
+    assert s3["n_accepted"] == 0 and s3["n_updated"] == 0
+    assert spark.read.parquet(f"{state}/accepted_docs").count() == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="recrawl_policy"):
+        pipelines.run_incremental_crawl_ingest(
+            spark, b2, state, recrawl_policy="replace"
+        )

@@ -199,3 +199,29 @@ def test_html_anchor_texts_pairs(spark):
         ("https://a.com/x", "Click here now"),
         ("https://b.com", ""),  # image link: empty anchor survives
     ]
+
+
+def test_sitemap_entries_and_index(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://ex.org/a </loc><lastmod>2026-01-05</lastmod></url>"
+        "<URL><loc>https://ex.org/b</loc></URL>"
+        "<url><lastmod>2026-01-06</lastmod></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], "x string")
+    got = df.select(urls.sitemap_entries(F.col("x")).alias("e")).collect()[0]["e"]
+    assert [(r["loc"], r["lastmod"]) for r in got] == [
+        ("https://ex.org/a", "2026-01-05"),
+        ("https://ex.org/b", ""),
+        ("", "2026-01-06"),  # loc-less entry surfaces for diagnosis
+    ]
+    idx = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://ex.org/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://ex.org/s2.xml</loc><lastmod>x</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    df2 = spark.createDataFrame([(idx,)], "x string")
+    got2 = df2.select(urls.sitemap_index_locs(F.col("x")).alias("l")).collect()[0]["l"]
+    assert got2 == ["https://ex.org/s1.xml", "https://ex.org/s2.xml"]
