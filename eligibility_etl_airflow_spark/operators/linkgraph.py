@@ -120,3 +120,87 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    round_dp: int = 9,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities over (src, dst): returns (id, hub,
+    authority) for every node on either edge side — PageRank's
+    complement for crawl curation (a high-hub page is a link directory
+    / index page; a high-authority page is linked BY good hubs — the
+    distinction a seed-list builder wants that PageRank collapses).
+
+    L1-normalized power iteration (scores sum to 1 — SQL-friendly, same
+    ranking as the textbook L2 variant): per iteration, authority(v) =
+    Σ hub over in-edges then normalize, hub(u) = Σ authority over
+    out-edges then normalize. Per iteration: two src/dst-key joins +
+    two partial-agg sums + two scalar normalizations (broadcast
+    crossJoin — no driver transfer); scores round to ``round_dp`` per
+    iteration so double-sum ordering cannot leak across partitionings;
+    lineage checkpoint-truncated per iteration like :func:`pagerank`.
+    Multi-edges count once (distinct-ed first)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+        e = e.localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    hub = nodes.withColumn("hub", F.round(F.lit(1.0 / n), round_dp))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        a_tot = a_raw.agg(F.sum("s").alias("t"))
+        auth = (
+            nodes.join(a_raw, "id", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "id",
+                F.round(
+                    F.coalesce(F.col("s"), F.lit(0.0)) / F.col("t"), round_dp
+                ).alias("authority"),
+            )
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("s"))
+        )
+        h_tot = h_raw.agg(F.sum("s").alias("t"))
+        hub = (
+            nodes.join(h_raw, "id", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "id",
+                F.round(
+                    F.coalesce(F.col("s"), F.lit(0.0)) / F.col("t"), round_dp
+                ).alias("hub"),
+            )
+        )
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return nodes.join(hub, "id", "left").join(auth, "id", "left").select(
+        "id",
+        F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        F.coalesce("authority", F.lit(0.0)).alias("authority"),
+    )

@@ -75,40 +75,36 @@ def fit_pca(
             if not vecs:
                 continue
             x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-            yield pd.DataFrame(
-                {
-                    "n": [int(x.shape[0])],
-                    "d": [int(x.shape[1])],
-                    "s": [x.sum(axis=0).tolist()],
-                    "ss": [(x.T @ x).ravel().tolist()],
-                }
+            # one flat moment vector: [n] ++ Σx ++ Σxxᵀ — a single
+            # posexplode+sum aggregates it element-wise downstream (4k+1
+            # ROWS per batch, not 4k aggregate EXPRESSIONS, which would
+            # blow up codegen/compile time at d=64)
+            m = np.concatenate(
+                ([float(x.shape[0])], x.sum(axis=0), (x.T @ x).ravel())
             )
+            yield pd.DataFrame({"d": [int(x.shape[1])], "m": [m.tolist()]})
 
-    parts = df.select(vec_col).mapInPandas(
-        moments, "n long, d int, s array<double>, ss array<double>"
+    parts = df.select(vec_col).mapInPandas(moments, "d int, m array<double>")
+    rows = (
+        parts.select("d", F.posexplode("m").alias("i", "v"))
+        .groupBy("d", "i")
+        .agg(F.sum("v").alias("v"))
+        .collect()
     )
-    # element-wise sums of the partial-moment arrays combine map-side
-    # like any sum; the aggregate output is one row of d² + d + 1 numbers
-    d = _probe_dim(df, vec_col)
-    agg = parts.groupBy("d").agg(
-        F.sum("n").alias("n"),
-        F.array(*[F.sum(F.element_at("s", i + 1)) for i in range(d)]).alias("s"),
-        F.array(*[F.sum(F.element_at("ss", i + 1)) for i in range(d * d)]).alias(
-            "ss"
-        ),
-    )
-    rows = agg.collect()
     if not rows:
         raise ValueError("fit_pca: no non-null vectors in input")
-    if len(rows) > 1:
-        dims = sorted(r["d"] for r in rows)
+    dims = sorted({r["d"] for r in rows})
+    if len(dims) > 1:
         raise ValueError(f"fit_pca: mixed embedding widths {dims}")
-    row = rows[0]
-    n = int(row["n"])
+    d = dims[0]
     if k > d:
         raise ValueError(f"k={k} exceeds embedding dim {d}")
-    s = np.asarray(row["s"], dtype=np.float64)
-    ss = np.asarray(row["ss"], dtype=np.float64).reshape(d, d)
+    flat = np.zeros(1 + d + d * d)
+    for r in rows:
+        flat[r["i"]] = r["v"]
+    n = int(round(flat[0]))
+    s = flat[1 : 1 + d]
+    ss = flat[1 + d :].reshape(d, d)
     mean = s / n
     cov = ss / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending
@@ -122,17 +118,6 @@ def fit_pca(
     comps = v / np.sqrt(evals_k + eps)[:, None]
     return PcaModel(mean=mean, components=comps, eigvals=evals_k, n=n)
 
-
-def _probe_dim(df: DataFrame, vec_col: str) -> int:
-    row = (
-        df.select(F.size(vec_col).alias("d"))
-        .filter(F.col("d") > 0)
-        .limit(1)
-        .collect()
-    )
-    if not row:
-        raise ValueError("fit_pca: no non-null vectors in input")
-    return int(row[0]["d"])
 
 
 def pca_transform(model: PcaModel, vec: Column) -> Column:

@@ -134,7 +134,12 @@ def _fold_robots(robots: Column, agent: str) -> Column:
             agent_delay.alias("agent_delay"),
         )
 
-    return F.aggregate(F.split(robots, r"\r?\n"), init, step)
+    # real robots files frequently start with a UTF-8 BOM, which would
+    # otherwise glue itself to the first directive name and silently
+    # void the first group
+    return F.aggregate(
+        F.split(F.regexp_replace(robots, "^\ufeff", ""), r"\r?\n"), init, step
+    )
 
 
 def robots_group(robots: Column, agent: str = "*") -> Column:
@@ -159,6 +164,21 @@ def robots_crawl_delay(robots: Column, agent: str = "*") -> Column:
         .otherwise(st["star_delay"])
         .try_cast("double")
     )
+
+
+def robots_sitemaps(robots: Column) -> Column:
+    """``Sitemap:`` URLs declared anywhere in robots.txt —
+    ``array<string>``. Per RFC 9309 the directive is GLOBAL (not
+    group-scoped), so this is one case-insensitive multiline regex
+    pass, no fold. Feeds :func:`urls.sitemap_entries` to close the
+    frontier-seeding loop: robots → sitemaps → URLs."""
+    cleaned = F.regexp_replace(robots, "^\ufeff", "")
+    lines = F.regexp_extract_all(
+        cleaned, F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\r\n]+)"), F.lit(1)
+    )
+    # NB: transform(lines, F.trim) would pass the element INDEX as
+    # trim's second (trim-chars) argument — explicit lambda required
+    return F.filter(F.transform(lines, lambda x: F.trim(x)), lambda x: x != "")
 
 
 def pattern_regex(pattern: Column) -> Column:

@@ -1601,6 +1601,8 @@ def run_crawl_frontier_pipeline(
     max_per_domain: int | None = None,
     pagerank_iterations: int = 5,
     default_crawl_delay: float = 1.0,
+    sitemaps_df: DataFrame | None = None,
+    sitemap_xml_col: str = "xml",
 ) -> dict:
     """Close the crawl loop: from the pages already fetched, decide
     WHAT to fetch next and in what order. The missing quarter of the
@@ -1653,10 +1655,30 @@ def run_crawl_frontier_pipeline(
             .filter(F.col("url_canonical").isNotNull())
             .distinct()
         )
-        candidates = (
-            page_edges.groupBy(F.col("dst").alias("url"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_inlinks"))
-            .join(crawled, F.col("url") == F.col("url_canonical"), "left_anti")
+        candidates = page_edges.groupBy(F.col("dst").alias("url")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_inlinks")
+        )
+        if sitemaps_df is not None:
+            # the site's own enumeration seeds the frontier alongside link
+            # discovery; locs canonicalize through the same grammar so a
+            # sitemap variant of a linked URL merges, not duplicates
+            seeds = (
+                sitemaps_df.select(
+                    F.explode(
+                        urls.sitemap_entries(F.col(sitemap_xml_col))
+                    ).alias("e")
+                )
+                .select(urls.canonical_url(F.col("e.loc")).alias("url"))
+                .filter(F.col("url").isNotNull())
+                .withColumn("n_inlinks", F.lit(0).cast("long"))
+            )
+            candidates = (
+                candidates.unionByName(seeds)
+                .groupBy("url")
+                .agg(F.sum("n_inlinks").alias("n_inlinks"))
+            )
+        candidates = candidates.join(
+            crawled, F.col("url") == F.col("url_canonical"), "left_anti"
         )
         n_candidates = candidates.count()
 

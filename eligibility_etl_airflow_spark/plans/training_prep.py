@@ -1717,10 +1717,14 @@ def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides — verified Jaccard in [0.4, 0.98] is a positive
     (paraphrase, not exact dup), band collisions at <= 0.25 are the
     lexically-colliding hard negatives. r=1 banding (bands == num_perm)
-    trades band selectivity for recall of the low-Jaccard colliders —
-    the bucket cap keeps the pair budget bounded either way. Rows-only:
-    LSH candidate sets have no SQL twin; tests/test_contrastive.py pins
-    planted-positive/collider behavior and determinism."""
+    trades band selectivity for recall of the low-Jaccard colliders;
+    the BUCKET CAP is the cost knob — pair expansion is quadratic in
+    it, and cap=32 keeps ~90% of the triplet yield at ~1/5 the cost of
+    cap=200 (measured at sf0.1; mining is opportunistic by contract,
+    so a capped-away collider just means that anchor tops up with a
+    random negative downstream). Rows-only: LSH candidate sets have no
+    SQL twin; tests/test_contrastive.py pins planted-positive/collider
+    behavior and determinism."""
     from eligibility_etl_airflow_spark.operators import contrastive as C
 
     d = Catalog(spark, sf_dir).documents
@@ -1733,7 +1737,7 @@ def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg_max=0.25,
         num_perm=16,
         bands=16,
-        max_bucket_size=200,
+        max_bucket_size=32,
     )
 
 
@@ -1794,4 +1798,77 @@ def sitemap_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.loc").alias("loc"),
             F.col("e.lastmod").alias("lastmod"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities — PageRank's complement in the link tier
+# --------------------------------------------------------------------------
+
+# 3 unrolled iterations, L1 normalization, per-iteration 9-dp rounding on
+# both engines (the pagerank oracle's discipline, doubled: two relations
+# per iteration).
+HITS_ORACLE = r"""
+WITH e0 AS (
+  SELECT DISTINCT doc_id % 40 AS src, (doc_id * 11 + 5) % 40 AS dst
+  FROM documents WHERE doc_id % 40 <> (doc_id * 11 + 5) % 40
+),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0
+  )
+),
+h0 AS (
+  SELECT id, round(1.0 / (SELECT count(*) FROM nodes), 9) AS hub FROM nodes
+),
+a1r AS (SELECT e.dst AS id, sum(h.hub) AS s FROM e0 e JOIN h0 h ON e.src = h.id GROUP BY 1),
+a1 AS (SELECT nd.id, round(coalesce(r.s, 0) / (SELECT sum(s) FROM a1r), 9) AS authority
+       FROM nodes nd LEFT JOIN a1r r ON nd.id = r.id),
+h1r AS (SELECT e.src AS id, sum(a.authority) AS s FROM e0 e JOIN a1 a ON e.dst = a.id GROUP BY 1),
+h1 AS (SELECT nd.id, round(coalesce(r.s, 0) / (SELECT sum(s) FROM h1r), 9) AS hub
+       FROM nodes nd LEFT JOIN h1r r ON nd.id = r.id),
+a2r AS (SELECT e.dst AS id, sum(h.hub) AS s FROM e0 e JOIN h1 h ON e.src = h.id GROUP BY 1),
+a2 AS (SELECT nd.id, round(coalesce(r.s, 0) / (SELECT sum(s) FROM a2r), 9) AS authority
+       FROM nodes nd LEFT JOIN a2r r ON nd.id = r.id),
+h2r AS (SELECT e.src AS id, sum(a.authority) AS s FROM e0 e JOIN a2 a ON e.dst = a.id GROUP BY 1),
+h2 AS (SELECT nd.id, round(coalesce(r.s, 0) / (SELECT sum(s) FROM h2r), 9) AS hub
+       FROM nodes nd LEFT JOIN h2r r ON nd.id = r.id),
+a3r AS (SELECT e.dst AS id, sum(h.hub) AS s FROM e0 e JOIN h2 h ON e.src = h.id GROUP BY 1),
+a3 AS (SELECT nd.id, round(coalesce(r.s, 0) / (SELECT sum(s) FROM a3r), 9) AS authority
+       FROM nodes nd LEFT JOIN a3r r ON nd.id = r.id),
+h3r AS (SELECT e.src AS id, sum(a.authority) AS s FROM e0 e JOIN a3 a ON e.dst = a.id GROUP BY 1),
+h3 AS (SELECT nd.id, round(coalesce(r.s, 0) / (SELECT sum(s) FROM h3r), 9) AS hub
+       FROM nodes nd LEFT JOIN h3r r ON nd.id = r.id)
+SELECT CAST(nd.id AS BIGINT) AS node_id,
+       round(h3.hub, 6) AS hub,
+       round(a3.authority, 6) AS authority
+FROM nodes nd JOIN h3 ON nd.id = h3.id JOIN a3 ON nd.id = a3.id
+"""
+
+
+@query("domain_hits", oracle=HITS_ORACLE)
+def domain_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/linkgraph.py::hits) —
+    PageRank's complement: hubs are link directories, authorities are
+    what good hubs point AT; crawl seed-list builders want both. Same
+    deterministic digraph-vehicle discipline as domain_pagerank (40
+    nodes from doc-id arithmetic), 3 L1-normalized iterations,
+    per-iteration 9-dp rounding both engines. Per iteration: two key
+    joins + two partial-agg sums + two broadcast scalar
+    normalizations."""
+    from eligibility_etl_airflow_spark.operators import linkgraph
+
+    d = Catalog(spark, sf_dir).documents
+    edges = (
+        d.select(
+            (F.col("doc_id") % 40).alias("src"),
+            ((F.col("doc_id") * 11 + 5) % 40).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return linkgraph.hits(edges, iterations=3).select(
+        F.col("id").cast("long").alias("node_id"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
     )

@@ -215,6 +215,9 @@ _DEFERRED = (
     # sitemap rides the same regexp-harvest machinery as the graded
     # split/explode family; first-principles oracle
     "sitemap_parse",
+    # HITS rides the same iterate-join-agg machinery as the graded
+    # pagerank vehicle; unrolled-CTE oracle
+    "domain_hits",
 )
 
 

@@ -96,3 +96,54 @@ def test_degree_stats_dedup_flag(spark):
     assert dd[1]["out_degree"] == 1 and dd[2]["in_degree"] == 2  # pagerank grain
     raw = {r["id"]: r for r in linkgraph.degree_stats(df, dedup=False).collect()}
     assert raw[1]["out_degree"] == 5 and raw[2]["in_degree"] == 6
+
+
+def _py_hits(edges, iterations=3, dp=9):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {v: round(1.0 / len(nodes), dp) for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(iterations):
+        raw_a = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            raw_a[v] += hub[u]
+        t = sum(raw_a.values())
+        auth = {v: round(raw_a[v] / t, dp) for v in nodes}
+        raw_h = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            raw_h[u] += auth[v]
+        t = sum(raw_h.values())
+        hub = {v: round(raw_h[v] / t, dp) for v in nodes}
+    return hub, auth
+
+
+def test_hits_matches_python_reference(spark):
+    edges = [(1, 3), (2, 3), (3, 4), (2, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r for r in linkgraph.hits(df, iterations=3).collect()}
+    hub, auth = _py_hits(edges)
+    for v in hub:
+        assert abs(got[v]["hub"] - hub[v]) < 1e-8, v
+        assert abs(got[v]["authority"] - auth[v]) < 1e-8, v
+    # structure: 3 and 4 are the authorities (fed by hubs 1 and 2)
+    assert got[3]["authority"] > got[1]["authority"]
+    assert got[4]["authority"] > got[1]["authority"]
+    # 2 links to both authorities: the best hub
+    assert got[2]["hub"] == max(r["hub"] for r in got.values())
+
+
+def test_hits_multi_edges_count_once_and_scores_sum_to_one(spark):
+    edges = [(1, 2), (1, 2), (1, 2), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r for r in linkgraph.hits(df, iterations=2).collect()}
+    # 1's triple edge counts once: hubs 1 and 3 tie
+    assert got[1]["hub"] == got[3]["hub"]
+    assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-6
+    assert abs(sum(r["authority"] for r in got.values()) - 1.0) < 1e-6
+
+
+def test_hits_validates_iterations(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        linkgraph.hits(df, iterations=0)

@@ -949,3 +949,37 @@ def test_incremental_crawl_ingest_recrawl_update_policy(spark, tmp_path):
         pipelines.run_incremental_crawl_ingest(
             spark, b2, state, recrawl_policy="replace"
         )
+
+
+def test_crawl_frontier_sitemap_seeding(spark, tmp_path):
+    """Sitemap locs union into the candidate set (0 in-links), merge
+    with link-discovered URLs, and skip already-crawled pages."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    pages = spark.createDataFrame(
+        [(1, "https://hub.example.com/a",
+          '<p><a href="https://t.example.net/linked">x</a></p>')],
+        "doc_id long, url string, html string",
+    )
+    xml = (
+        "<urlset>"
+        "<url><loc>https://t.example.net/linked</loc></url>"   # merges
+        "<url><loc>https://t.example.net/sitemap-only</loc></url>"
+        "<url><loc>https://hub.example.com/a</loc></url>"      # crawled
+        "</urlset>"
+    )
+    sitemaps = spark.createDataFrame([(xml,)], "xml string")
+    stats = pipelines.run_crawl_frontier_pipeline(
+        spark, pages, str(tmp_path), sitemaps_df=sitemaps, per_domain_budget=5
+    )
+    assert stats["n_candidates"] == 2  # linked (merged) + sitemap-only
+    frontier = {
+        r["url"]: r
+        for r in spark.read.parquet(str(tmp_path / "frontier.parquet")).collect()
+    }
+    assert set(frontier) == {
+        "https://t.example.net/linked",
+        "https://t.example.net/sitemap-only",
+    }
+    assert frontier["https://t.example.net/linked"]["n_inlinks"] == 1
+    assert frontier["https://t.example.net/sitemap-only"]["n_inlinks"] == 0

@@ -162,3 +162,20 @@ def test_frontier_schedule_validates_budget(spark):
     fr = spark.createDataFrame([("https://a.org/x", 1.0)], "url string, prio double")
     with pytest.raises(ValueError, match="per_domain_budget"):
         R.frontier_schedule(fr, "url", "prio", per_domain_budget=0)
+
+
+def test_bom_and_crlf_robots_parse(spark):
+    txt = "﻿User-agent: *\r\nDisallow: /x\r\n"
+    assert _group(spark, txt) == [(False, "/x")]
+
+
+def test_robots_sitemaps_global_any_group(spark):
+    txt = (
+        "﻿Sitemap: https://ex.org/s1.xml\n"
+        "User-agent: bot\nDisallow: /\n"
+        "sitemap: https://ex.org/s2.xml   # comment\n"
+        "Sitemap:\n"  # empty -> skipped
+    )
+    df = spark.createDataFrame([(txt,)], "robots string")
+    got = df.select(R.robots_sitemaps(F.col("robots")).alias("s")).collect()[0]["s"]
+    assert got == ["https://ex.org/s1.xml", "https://ex.org/s2.xml"]
