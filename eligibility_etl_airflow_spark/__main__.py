@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
         "state (domain, robots) — enables the robots.txt admission stage",
     )
     pp.add_argument(
+        "--quarantine-path",
+        default=None,
+        help="crawl-preprocess only: write one (doc_id, url, reason) row "
+        "per dropped record (drop provenance)",
+    )
+    pp.add_argument(
         "--per-domain-budget",
         type=int,
         default=10,
@@ -286,6 +292,8 @@ def main(argv: list[str] | None = None) -> int:
             kwargs.update(robots_kwargs)
             if args.min_latin_fraction is not None:
                 kwargs["min_latin_fraction"] = args.min_latin_fraction
+            if args.quarantine_path:
+                kwargs["quarantine_path"] = args.quarantine_path
             raw = pages
             print(
                 json.dumps(

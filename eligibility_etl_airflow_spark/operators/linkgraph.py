@@ -65,6 +65,8 @@ def pagerank(
     damping: float = 0.85,
     round_dp: int = 9,
     checkpoint: bool = True,
+    init: DataFrame | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over (src, dst): returns (id, rank)
     for every node appearing on either edge side. Uses the standard
@@ -83,6 +85,15 @@ def pagerank(
     compile/execute cost grows superlinearly (same rationale as
     components._stable). Ranks round to ``round_dp`` per iteration so
     double-sum ordering cannot leak into results across partitionings.
+
+    Continuous-crawl refinements: ``init`` warm-starts from a previous
+    (id, rank) relation — after an incremental edge batch, ranks are
+    already near the fixed point and 1-2 iterations re-converge instead
+    of ``iterations`` from uniform (new nodes absent from ``init`` get
+    the uniform prior). ``tol`` stops early when the L1 delta between
+    consecutive iterations falls below it — one extra scalar aggregate
+    per iteration (a driver round-trip, never data); ``iterations``
+    remains the hard cap.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -103,14 +114,22 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     with_deg = e.join(out_deg, "src")
     teleport = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), round_dp))
+    if init is not None:
+        ranks = nodes.join(init.select("id", "rank"), "id", "left").select(
+            "id",
+            F.round(F.coalesce("rank", F.lit(1.0 / n)), round_dp).alias("rank"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    else:
+        ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), round_dp))
     for _ in range(iterations):
         contribs = (
             with_deg.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
         )
-        ranks = nodes.join(contribs, "id", "left").select(
+        new_ranks = nodes.join(contribs, "id", "left").select(
             "id",
             F.round(
                 F.lit(teleport) + F.lit(damping) * F.coalesce("c", F.lit(0.0)),
@@ -118,7 +137,19 @@ def pagerank(
             ).alias("rank"),
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                new_ranks.withColumnRenamed("rank", "r2")
+                .join(ranks, "id")
+                .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks
 
 

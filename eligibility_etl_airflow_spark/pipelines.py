@@ -1130,6 +1130,7 @@ def run_crawl_preprocess_pipeline(
     robots_text_col: str = "robots",
     robots_agent: str = "*",
     robots_key: str = "host",
+    quarantine_path: str | None = None,
 ) -> dict:
     """Raw crawl → curable text: the preprocessing funnel that runs
     BEFORE run_corpus_curation_pipeline, turning (id, url, html) crawl
@@ -1170,6 +1171,14 @@ def run_crawl_preprocess_pipeline(
     cached, counted once, and read by the next stage; nothing
     data-proportional reaches the driver.
 
+    ``quarantine_path`` (opt-in) writes one (doc_id, url, reason) row
+    per DROPPED record — robots_disallowed / malformed_url /
+    url_duplicate / boilerplate_empty / blocklist / script_gate — the
+    crawl tier's "why is page X missing" provenance answer, same
+    discipline as curation's audit_path. Reasons derive from anti-joins
+    of the already-persisted stage relations, so the extra cost is the
+    write itself; drops + survivors partition the input (test-pinned).
+
     The output is a full documents table — (doc_id, text, lang
     [marker-heuristic], source [= registered domain], n_chars,
     url_canonical, domain), range-clustered by doc_id under
@@ -1205,6 +1214,23 @@ def run_crawl_preprocess_pipeline(
             caches.append(admitted)
             n_after_robots = admitted.count()
 
+        def drops(survivors: DataFrame, source: DataFrame, reason: str) -> DataFrame:
+            # post-strip relations carry only the canonical form
+            u = url_col if url_col in source.columns else "url_canonical"
+            return (
+                source.select(id_col, u)
+                .join(survivors.select(id_col), id_col, "left_anti")
+                .select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col(u).alias("url"),
+                    F.lit(reason).alias("reason"),
+                )
+            )
+
+        quarantine_parts: list[DataFrame] = []
+        if quarantine_path is not None and robots_df is not None:
+            quarantine_parts.append(drops(admitted, raw, "robots_disallowed"))
+
         # 1. canonicalize + URL dedup
         with_url = urls.url_components(admitted, url_col).filter(
             F.col("url_canonical").isNotNull()
@@ -1219,6 +1245,9 @@ def run_crawl_preprocess_pipeline(
         )
         caches.append(url_deduped)
         n_url_deduped = url_deduped.count()
+        if quarantine_path is not None:
+            quarantine_parts.append(drops(with_url, admitted, "malformed_url"))
+            quarantine_parts.append(drops(url_deduped, with_url, "url_duplicate"))
 
         # 2+3. HTML → text (newline-preserving), then line-level dedup
         # persisted: line_dedup consumes its input through TWO physical
@@ -1245,6 +1274,10 @@ def run_crawl_preprocess_pipeline(
         cleaned = rebuilt.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(cleaned)
         n_after_lines = cleaned.count()
+        if quarantine_path is not None:
+            quarantine_parts.append(
+                drops(cleaned, url_deduped, "boilerplate_empty")
+            )
 
         # 5. blocklist gate (optional)
         n_after_blocklist = None
@@ -1261,11 +1294,16 @@ def run_crawl_preprocess_pipeline(
                 .filter(~F.col("keep"))
                 .select(id_col)
             )
+            before_blocklist = current
             current = current.join(drop_ids, id_col, "left_anti").persist(
                 StorageLevel.MEMORY_AND_DISK
             )
             caches.append(current)
             n_after_blocklist = current.count()
+            if quarantine_path is not None:
+                quarantine_parts.append(
+                    drops(current, before_blocklist, "blocklist")
+                )
 
         # 6. script gate (optional)
         n_after_script = None
@@ -1273,11 +1311,16 @@ def run_crawl_preprocess_pipeline(
             profiled = current.select(
                 id_col, *text.script_profile(F.col("text"))
             ).filter(F.col("frac_latin") >= min_latin_fraction)
+            before_script = current
             current = current.join(
                 profiled.select(id_col), id_col, "left_semi"
             ).persist(StorageLevel.MEMORY_AND_DISK)
             caches.append(current)
             n_after_script = current.count()
+            if quarantine_path is not None:
+                quarantine_parts.append(
+                    drops(current, before_script, "script_gate")
+                )
 
         # the output IS a documents table: curation-compatible columns
         # (lang via the marker heuristic, source = registered domain,
@@ -1296,6 +1339,13 @@ def run_crawl_preprocess_pipeline(
         out_path = os.path.join(out_dir, "documents.parquet")
         sinks.write_clustered(final, out_path, ["doc_id"])
         n_out = spark.read.parquet(out_path).count()
+        n_quarantined = None
+        if quarantine_path is not None:
+            from functools import reduce
+
+            q = reduce(lambda a, b: a.unionByName(b), quarantine_parts)
+            q.write.mode("overwrite").parquet(quarantine_path)
+            n_quarantined = spark.read.parquet(quarantine_path).count()
     finally:
         for c in caches:
             c.unpersist()
@@ -1307,6 +1357,8 @@ def run_crawl_preprocess_pipeline(
     }
     if n_after_robots is not None:
         stats["n_after_robots"] = n_after_robots
+    if n_quarantined is not None:
+        stats["n_quarantined"] = n_quarantined
     if n_after_blocklist is not None:
         stats["n_after_blocklist"] = n_after_blocklist
     if n_after_script is not None:
@@ -1603,6 +1655,9 @@ def run_crawl_frontier_pipeline(
     default_crawl_delay: float = 1.0,
     sitemaps_df: DataFrame | None = None,
     sitemap_xml_col: str = "xml",
+    domain_quality_df: DataFrame | None = None,
+    pagerank_init: DataFrame | None = None,
+    pagerank_tol: float | None = None,
 ) -> dict:
     """Close the crawl loop: from the pages already fetched, decide
     WHAT to fetch next and in what order. The missing quarter of the
@@ -1686,14 +1741,36 @@ def run_crawl_frontier_pipeline(
             urls.registered_domain(urls.url_host(F.col("src"))).alias("src"),
             urls.registered_domain(urls.url_host(F.col("dst"))).alias("dst"),
         ).filter(F.col("src") != F.col("dst"))
-        ranks = linkgraph.pagerank(dom_edges, iterations=pagerank_iterations)
+        ranks = linkgraph.pagerank(
+            dom_edges,
+            iterations=pagerank_iterations,
+            init=pagerank_init,
+            tol=pagerank_tol,
+        )
         scored = candidates.withColumn(
             "domain", urls.registered_domain(urls.url_host(F.col("url")))
         ).join(
             ranks.select(F.col("id").alias("domain"), F.col("rank")),
             "domain",
             "left",
-        ).select(
+        )
+        if domain_quality_df is not None:
+            # curation feedback: domains whose pages keep getting dropped
+            # downstream earn a lower fetch priority — authority × yield.
+            # Unseen domains keep factor 1 (no evidence is not bad
+            # evidence)
+            scored = scored.join(
+                F.broadcast(
+                    domain_quality_df.select("domain", "quality_rate")
+                ),
+                "domain",
+                "left",
+            ).withColumn(
+                "rank",
+                F.coalesce(F.col("rank"), F.lit(0.0))
+                * F.coalesce(F.col("quality_rate"), F.lit(1.0)),
+            ).drop("quality_rate")
+        scored = scored.select(
             "url",
             "n_inlinks",
             F.coalesce(F.col("rank"), F.lit(0.0)).alias("priority"),
@@ -1759,3 +1836,36 @@ def run_crawl_frontier_pipeline(
     if n_admitted is not None:
         stats["n_admitted"] = n_admitted
     return stats
+
+
+def domain_survival_rates(
+    docs: DataFrame,
+    audit: DataFrame,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curation feedback for the crawler: per-domain survival rate
+    (docs NOT dropped / docs ingested) from a curation audit trail
+    (``run_corpus_curation_pipeline(audit_path=)`` — one (doc_id,
+    dropped_at) row per dropped doc). The output (domain,
+    quality_rate, n_docs, n_dropped) plugs into
+    ``run_crawl_frontier_pipeline(domain_quality_df=)`` so domains
+    that keep producing boilerplate/junk earn a lower fetch priority —
+    the crawl → curate → crawl feedback loop. One semi-join + one
+    partial-agg shuffle on the domain key; output is domains-sized."""
+    dropped = docs.join(
+        audit.select(id_col).distinct(), id_col, "left_semi"
+    ).groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_dropped"))
+    totals = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(dropped, domain_col, "left")
+        .select(
+            F.col(domain_col).alias("domain"),
+            "n_docs",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+        .withColumn(
+            "quality_rate",
+            F.round(1.0 - F.col("n_dropped") / F.col("n_docs"), 6),
+        )
+    )

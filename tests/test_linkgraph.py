@@ -147,3 +147,24 @@ def test_hits_validates_iterations(spark):
 
     with _pytest.raises(ValueError, match="iterations"):
         linkgraph.hits(df, iterations=0)
+
+
+def test_pagerank_warm_start_and_tolerance(spark):
+    edges = [(i, (i * 3 + 1) % 9) for i in range(9) if i != (i * 3 + 1) % 9]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cold = linkgraph.pagerank(df, iterations=30)
+    # warm start from the fixed point: one iteration changes nothing
+    warm = linkgraph.pagerank(df, iterations=1, init=cold)
+    assert {(r["id"], r["rank"]) for r in warm.collect()} == {
+        (r["id"], r["rank"]) for r in cold.collect()
+    }
+    # tolerance: converges to the same ranks without spending the cap
+    tolled = linkgraph.pagerank(df, iterations=50, tol=1e-9)
+    got = {r["id"]: r["rank"] for r in tolled.collect()}
+    want = {r["id"]: r["rank"] for r in cold.collect()}
+    assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+    # a new node absent from init takes the uniform prior, not null
+    df2 = spark.createDataFrame(edges + [(99, 0)], "src long, dst long")
+    warm2 = linkgraph.pagerank(df2, iterations=1, init=cold)
+    r99 = {r["id"]: r["rank"] for r in warm2.collect()}
+    assert r99[99] > 0

@@ -983,3 +983,111 @@ def test_crawl_frontier_sitemap_seeding(spark, tmp_path):
     }
     assert frontier["https://t.example.net/linked"]["n_inlinks"] == 1
     assert frontier["https://t.example.net/sitemap-only"]["n_inlinks"] == 0
+
+
+def test_crawl_preprocess_quarantine_partitions_the_source(spark, tmp_path):
+    """Opt-in quarantine: every dropped record gets exactly one
+    (doc_id, url, reason) row; drops + survivors partition the input."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    nav = "<div>NAV CHROME SHARED</div>"
+    rows = [
+        (
+            i,
+            f"https://www.s{i % 6}.example.com/ok/{i}",
+            f"<html><body>{nav}<p>unique body {i} words enough here</p></body></html>",
+        )
+        for i in range(12)
+    ]
+    rows.append((20, "https://www.s0.example.com/ok/0?utm_source=x",
+                 "<p>dup of page 0 canonical</p>"))          # url_duplicate
+    rows.append((21, "::notaurl::", "<p>x</p>"))             # malformed_url
+    rows.append((22, "https://www.s1.example.com/private/x",
+                 "<p>robots blocked</p>"))                   # robots_disallowed
+    rows.append((23, "https://www.s2.example.com/ok/b",
+                 f"<html><body>{nav}</body></html>"))        # boilerplate_empty
+    rows.append((24, "https://www.s3.example.com/ok/c",
+                 f"<html><body>{nav}<p>BADWORD text here</p></body></html>"))  # blocklist
+    rows.append((25, "https://www.s4.example.com/ok/d",
+                 f"<html><body>{nav}<p>Привет мир мир мир</p></body></html>"))  # script_gate
+    raw = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    robots = spark.createDataFrame(
+        [("www.s1.example.com", "User-agent: *\nDisallow: /private\n")],
+        "domain string, robots string",
+    )
+    qpath = str(tmp_path / "quarantine")
+    stats = pipelines.run_crawl_preprocess_pipeline(
+        spark,
+        raw,
+        str(tmp_path / "out"),
+        blocklist_terms=("badword",),
+        min_latin_fraction=0.5,
+        robots_df=robots,
+        quarantine_path=qpath,
+    )
+    q = {r["doc_id"]: r["reason"] for r in spark.read.parquet(qpath).collect()}
+    assert q[20] == "url_duplicate"
+    assert q[21] == "malformed_url"
+    assert q[22] == "robots_disallowed"
+    assert q[23] == "boilerplate_empty"
+    assert q[24] == "blocklist"
+    assert q[25] == "script_gate"
+    # partition: one reason per dropped doc, drops + survivors = input
+    assert len(q) == stats["n_quarantined"]
+    assert stats["n_total"] == stats["n_preprocessed"] + stats["n_quarantined"]
+    out_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "documents.parquet")).collect()
+    }
+    assert out_ids.isdisjoint(q)
+
+
+def test_domain_quality_feedback_lowers_frontier_priority(spark, tmp_path):
+    """The crawl -> curate -> crawl loop: domains whose pages keep
+    getting dropped in curation earn lower fetch priority."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    # registered-domain grain: the frontier keys on eTLD+1, so the
+    # curation docs must carry the same grain (junksite.net, not a
+    # subdomain of a shared parent)
+    docs = spark.createDataFrame(
+        [(i, "junksite.net" if i < 8 else "goodsite.org") for i in range(12)],
+        "doc_id long, domain string",
+    )
+    audit = spark.createDataFrame(
+        [(i, "exact_dedup") for i in range(6)],  # 6 of junk's 8 dropped
+        "doc_id long, dropped_at string",
+    )
+    rates = {
+        r["domain"]: r for r in pipelines.domain_survival_rates(docs, audit).collect()
+    }
+    assert rates["junksite.net"]["quality_rate"] == 0.25
+    assert rates["goodsite.org"]["quality_rate"] == 1.0
+
+    # same link structure toward both domains; quality breaks the tie
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                "https://hub.example.com/a",
+                '<p><a href="https://www.junksite.net/x">j</a>'
+                '<a href="https://www.goodsite.org/x">g</a></p>',
+            ),
+            (
+                2,
+                "https://other.example.io/b",
+                '<p><a href="https://www.junksite.net/x">j</a>'
+                '<a href="https://www.goodsite.org/x">g</a></p>',
+            ),
+        ],
+        "doc_id long, url string, html string",
+    )
+    quality = pipelines.domain_survival_rates(docs, audit)
+    pipelines.run_crawl_frontier_pipeline(
+        spark, pages, str(tmp_path), domain_quality_df=quality
+    )
+    fr = {
+        r["url"]: r["priority"]
+        for r in spark.read.parquet(str(tmp_path / "frontier.parquet")).collect()
+    }
+    assert fr["https://www.goodsite.org/x"] > fr["https://www.junksite.net/x"] > 0
