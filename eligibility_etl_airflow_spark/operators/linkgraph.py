@@ -195,11 +195,18 @@ def hits(
     hub = nodes.withColumn("hub", F.round(F.lit(1.0 / n), round_dp))
     auth = None
     for _ in range(iterations):
+        # each relation checkpoints BEFORE anything consumes it twice —
+        # a_raw feeds both its total and the normalize join, auth feeds
+        # both h_raw and the final select; deferring the checkpoints to
+        # the end of the loop body would re-execute the edge join + agg
+        # several times per iteration (pagerank's discipline)
         a_raw = (
             e.join(hub.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("s"))
         )
+        if checkpoint:
+            a_raw = a_raw.localCheckpoint(eager=True)
         a_tot = a_raw.agg(F.sum("s").alias("t"))
         auth = (
             nodes.join(a_raw, "id", "left")
@@ -211,11 +218,15 @@ def hits(
                 ).alias("authority"),
             )
         )
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
         h_raw = (
             e.join(auth.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("authority").alias("s"))
         )
+        if checkpoint:
+            h_raw = h_raw.localCheckpoint(eager=True)
         h_tot = h_raw.agg(F.sum("s").alias("t"))
         hub = (
             nodes.join(h_raw, "id", "left")
@@ -228,7 +239,6 @@ def hits(
             )
         )
         if checkpoint:
-            auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
     return nodes.join(hub, "id", "left").join(auth, "id", "left").select(
         "id",

@@ -44,6 +44,13 @@ class PcaModel:
     components: np.ndarray  # (k, d) — rows are scaled eigenvectors
     eigvals: np.ndarray  # (k,) descending
     n: int
+    total_var: float  # trace of the FULL covariance (all d eigenvalues)
+
+    @property
+    def explained_share(self) -> float:
+        """Fraction of total variance the retained basis carries,
+        in [0, 1] — the 'keep k while share < X' knob."""
+        return float(self.eigvals.sum() / self.total_var) if self.total_var else 1.0
 
     @property
     def dim(self) -> int:
@@ -116,7 +123,13 @@ def fit_pca(
     signs[signs == 0] = 1.0
     v = v * signs[:, None]
     comps = v / np.sqrt(evals_k + eps)[:, None]
-    return PcaModel(mean=mean, components=comps, eigvals=evals_k, n=n)
+    return PcaModel(
+        mean=mean,
+        components=comps,
+        eigvals=evals_k,
+        n=n,
+        total_var=float(np.trace(cov)),
+    )
 
 
 

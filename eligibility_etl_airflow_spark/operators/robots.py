@@ -252,8 +252,12 @@ def robots_allowed(
         raise ValueError(f"key must be 'host' or 'domain', got {key!r}")
     c = F.col(url_col)
     q = urls_ops.url_part(c, 4)
+    path = urls_ops.url_part(c, 3)
+    # RFC 9309: an empty path is '/' — without the fold, a host-root URL
+    # ('https://ex.org', no trailing slash) would dodge even Disallow: /
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     target = F.concat(
-        urls_ops.url_part(c, 3),
+        path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
     site = (
@@ -335,10 +339,10 @@ def frontier_schedule(
         if domain_col
         else urls_ops.registered_domain(urls_ops.url_host(c))
     )
-    ranked = frontier.withColumn("domain", dom).withColumn(
+    ranked = frontier.withColumn("_dom", dom).withColumn(
         "_rank",
         F.row_number().over(
-            Window.partitionBy("domain").orderBy(
+            Window.partitionBy("_dom").orderBy(
                 F.col(priority_col).desc(), F.col(url_col)
             )
         )
@@ -346,9 +350,13 @@ def frontier_schedule(
     )
     if max_per_domain is not None:
         ranked = ranked.filter(F.col("_rank") < max_per_domain)
+    # output 'domain' IS the scheduling key; an input column of the same
+    # name is either that key already (domain_col='domain') or replaced
+    # by the computed key — never duplicated into an ambiguous pair
+    passthrough = [frontier[c0] for c0 in frontier.columns if c0 != "domain"]
     return ranked.select(
-        *[frontier[c0] for c0 in frontier.columns],
-        "domain",
+        *passthrough,
+        F.col("_dom").alias("domain"),
         (F.col("_rank") / per_domain_budget).cast("int").alias("fetch_cycle"),
         (F.col("_rank") % per_domain_budget).cast("int").alias("cycle_slot"),
     )

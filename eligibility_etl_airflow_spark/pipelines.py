@@ -1418,8 +1418,10 @@ def run_incremental_crawl_ingest(
     from some content keeps that content suppressed for future new
     URLs, the standard crawl-dedup semantics). Unchanged re-crawls are
     no-ops, so replaying a batch under either policy stays idempotent.
-    Update mode needs the url index to carry content_hash (written by
-    this version); older two-column state raises with guidance.
+    A url index written before the update-policy era (no content_hash
+    column) is backfilled ONCE on the next ingest — hashes recomputed
+    from the accepted docs' stored text, staged write + rename swap —
+    under either policy, so appends never mix parquet schemas.
 
     Line-frequency note: the boilerplate tier sees one BATCH at a time,
     so chrome shared across batches but rare within one can survive —
@@ -1442,6 +1444,41 @@ def run_incremental_crawl_ingest(
     n_batch = batch.count()
     caches: list[DataFrame] = []
     try:
+        # one-time state migration: a url index written before the
+        # update-policy era lacks content_hash; appending 3-column rows
+        # into a 2-column directory would mix parquet schemas (reads
+        # then surface NULL hashes or nondeterministic footers), so the
+        # index is backfilled FIRST — hash recomputed from the accepted
+        # docs' stored text, staged write + rename swap, idempotent
+        if has_state and "content_hash" not in spark.read.parquet(url_index).columns:
+            import shutil
+            import uuid
+
+            from eligibility_etl_airflow_spark.operators import text as _text
+            from eligibility_etl_airflow_spark.operators.components import (
+                _stable as _stable_mig,
+            )
+
+            migrated = _stable_mig(
+                spark.read.parquet(url_index)
+                .select("url_canonical", "doc_id")
+                .join(
+                    spark.read.parquet(docs_path).select(
+                        "doc_id", _text.fingerprint_md5(F.col("text")).alias(
+                            "content_hash"
+                        )
+                    ),
+                    "doc_id",
+                )
+                .select("url_canonical", "doc_id", "content_hash")
+            )
+            tmp = f"{url_index}__migrate_{uuid.uuid4().hex[:8]}"
+            migrated.write.mode("overwrite").parquet(tmp)
+            old_dir = f"{url_index}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(url_index, old_dir)
+            os.rename(tmp, url_index)
+            shutil.rmtree(old_dir)
+
         # robots admission first — a compliant crawler never fetched a
         # disallowed URL, so nothing downstream should see it (same
         # stage-0 contract as run_crawl_preprocess_pipeline)
@@ -1554,12 +1591,6 @@ def run_incremental_crawl_ingest(
         n_updated = None
         if recrawls_src is not None:
             idx = spark.read.parquet(url_index)
-            if "content_hash" not in idx.columns:
-                raise ValueError(
-                    "recrawl_policy='update' needs a url index carrying "
-                    "content_hash; this state was written by an older "
-                    "version — rebuild the state or use recrawl_policy='skip'"
-                )
             updated = _stable(
                 clean(recrawls_src)
                 .join(
@@ -1703,6 +1734,7 @@ def run_crawl_frontier_pipeline(
     page_edges = urls.extract_link_edges(
         pages, url_col, html_col, domain_grain=False
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    caches: list[DataFrame] = [page_edges]
     try:
         crawled = (
             urls.url_components(pages, url_col)
@@ -1734,7 +1766,8 @@ def run_crawl_frontier_pipeline(
             )
         candidates = candidates.join(
             crawled, F.col("url") == F.col("url_canonical"), "left_anti"
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(candidates)
         n_candidates = candidates.count()
 
         dom_edges = page_edges.select(
@@ -1787,6 +1820,7 @@ def run_crawl_frontier_pipeline(
                 .drop("crawl_allowed", "matched_pattern")
             )
             scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+            caches.append(scored)
             n_admitted = scored.count()
 
         frontier = robots_ops.frontier_schedule(
@@ -1816,7 +1850,13 @@ def run_crawl_frontier_pipeline(
                 frontier.join(delays, site == F.col("_site"), "left")
                 .withColumn(
                     "eta_seconds",
-                    F.col("fetch_cycle")
+                    # the i-th delay-compliant fetch of a domain happens
+                    # after i waits: i = cycle*budget + slot (cycle alone
+                    # would let a whole cycle fire simultaneously)
+                    (
+                        F.col("fetch_cycle") * per_domain_budget
+                        + F.col("cycle_slot")
+                    )
                     * F.coalesce(F.col("_delay"), F.lit(default_crawl_delay)),
                 )
                 .drop("_site", "_delay")
@@ -1827,7 +1867,8 @@ def run_crawl_frontier_pipeline(
         n_scheduled = written.count()
         n_domains = written.select("domain").distinct().count()
     finally:
-        page_edges.unpersist()
+        for c in caches:
+            c.unpersist()
     stats = {
         "n_candidates": n_candidates,
         "n_scheduled": n_scheduled,

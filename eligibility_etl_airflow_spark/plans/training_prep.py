@@ -1637,12 +1637,13 @@ def pca_whiten_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin exists; tests/test_pca.py pins the math against numpy
     (moments, identity covariance after whitening, sign-pinned
     layout-stable basis). Emits the top-4 whitened coordinates rounded
-    to 4 dp plus the explained-variance share of the retained basis."""
+    to 4 dp plus the explained-variance share of the retained basis
+    (retained eigenvalue mass / full covariance trace, in [0,1])."""
     from eligibility_etl_airflow_spark.operators import pca as P
 
     e = Catalog(spark, sf_dir).embeddings
     model = P.fit_pca(e, "embedding", k=4)
-    total_var = float(model.eigvals.sum())
+    share = model.explained_share
     y = P.pca_transform(model, F.col("embedding"))
     return e.select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -1650,7 +1651,7 @@ def pca_whiten_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(y, 2), 4).alias("w2"),
         F.round(F.element_at(y, 3), 4).alias("w3"),
         F.round(F.element_at(y, 4), 4).alias("w4"),
-        F.lit(round(total_var, 6)).alias("retained_var"),
+        F.lit(round(share, 6)).alias("explained_share"),
     )
 
 

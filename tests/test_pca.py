@@ -35,6 +35,12 @@ def test_fit_matches_numpy_moments(anisotropic):
     np.testing.assert_allclose(m.mean, x.mean(axis=0), rtol=1e-9)
     evals = np.linalg.eigh(np.cov(x.T, bias=True))[0][::-1]
     np.testing.assert_allclose(m.eigvals, evals, rtol=1e-7, atol=1e-9)
+    # full basis retains everything; a truncated one retains a SHARE
+    assert abs(m.explained_share - 1.0) < 1e-9
+    m2 = pca.fit_pca(df, "embedding", k=2)
+    want = evals[:2].sum() / evals.sum()
+    assert abs(m2.explained_share - want) < 1e-9
+    assert 0 < m2.explained_share < 1
 
 
 def test_whitened_covariance_is_identity(anisotropic, spark):

@@ -890,6 +890,16 @@ def test_crawl_frontier_eta_scales_with_crawl_delay(spark, tmp_path):
     got = sorted((r["fetch_cycle"], r["eta_seconds"]) for r in rows)
     # one URL per cycle; each later cycle waits another 30 s
     assert got == [(0, 0.0), (1, 30.0), (2, 60.0)]
+    # budget > 1: every SLOT waits its own delay — i-th fetch at i*delay,
+    # never a whole cycle firing simultaneously
+    pipelines.run_crawl_frontier_pipeline(
+        spark, pages, str(tmp_path / "b2"), robots_df=robots, per_domain_budget=2
+    )
+    rows = spark.read.parquet(str(tmp_path / "b2" / "frontier.parquet")).collect()
+    got = sorted(
+        (r["fetch_cycle"], r["cycle_slot"], r["eta_seconds"]) for r in rows
+    )
+    assert got == [(0, 0, 0.0), (0, 1, 30.0), (1, 0, 60.0)]
 
 
 def test_incremental_crawl_ingest_recrawl_update_policy(spark, tmp_path):
@@ -1091,3 +1101,46 @@ def test_domain_quality_feedback_lowers_frontier_priority(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "frontier.parquet")).collect()
     }
     assert fr["https://www.goodsite.org/x"] > fr["https://www.junksite.net/x"] > 0
+
+
+def test_incremental_crawl_ingest_migrates_legacy_url_index(spark, tmp_path):
+    """A pre-update-era url index (no content_hash) is backfilled once
+    from the accepted docs' text before any append — appends never mix
+    parquet schemas, and update mode works immediately after."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    state = str(tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "https://m.example.com/a", "<p>legacy body alpha</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(spark, b1, state)
+    # simulate legacy state: strip the hash column off the url index
+    legacy = spark.read.parquet(f"{state}/index_urls").select(
+        "url_canonical", "doc_id"
+    ).toPandas()
+    import shutil
+
+    shutil.rmtree(f"{state}/index_urls")
+    spark.createDataFrame(legacy).write.parquet(f"{state}/index_urls")
+    assert "content_hash" not in spark.read.parquet(f"{state}/index_urls").columns
+
+    b2 = spark.createDataFrame(
+        [
+            (2, "https://m.example.com/a", "<p>REWRITTEN body alpha</p>"),
+            (3, "https://m.example.com/b", "<p>new page beta</p>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    s2 = pipelines.run_incremental_crawl_ingest(
+        spark, b2, state, recrawl_policy="update"
+    )
+    assert s2["n_updated"] == 1 and s2["n_accepted"] == 1
+    idx = spark.read.parquet(f"{state}/index_urls")
+    assert "content_hash" in idx.columns
+    assert idx.filter(idx.content_hash.isNull()).count() == 0
+    docs = {
+        r["url_canonical"]: r["text"]
+        for r in spark.read.parquet(f"{state}/accepted_docs").collect()
+    }
+    assert "REWRITTEN" in docs["https://m.example.com/a"]

@@ -394,7 +394,9 @@ def test_frontier_schedule_window_is_domain_partitioned(spark, sf_dir):
     assert "Window" in plan
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
-            assert "domain" in line, line
+            # partition key is the computed domain (_dom); an empty
+            # partitionBy would show 'windowspecdefinition(url' instead
+            assert "_dom" in line, line
             break
     else:
         raise AssertionError("row_number window not found")

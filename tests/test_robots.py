@@ -179,3 +179,28 @@ def test_robots_sitemaps_global_any_group(spark):
     df = spark.createDataFrame([(txt,)], "robots string")
     got = df.select(R.robots_sitemaps(F.col("robots")).alias("s")).collect()[0]["s"]
     assert got == ["https://ex.org/s1.xml", "https://ex.org/s2.xml"]
+
+
+def test_admission_host_root_url_matches_disallow_all(spark):
+    # RFC 9309: empty path is '/' — 'Disallow: /' must block the homepage
+    df = spark.createDataFrame(
+        [("blocked.example.com", "User-agent: *\nDisallow: /\n")],
+        "domain string, robots string",
+    )
+    rules = R.robots_rules(df, "domain", "robots")
+    assert _admit(spark, rules, "https://blocked.example.com") == (False, "/")
+    assert _admit(spark, rules, "https://blocked.example.com?a=1") == (False, "/")
+
+
+def test_frontier_schedule_with_precomputed_domain_column(spark):
+    fr = spark.createDataFrame(
+        [("u1", 2.0, "siteA"), ("u2", 1.0, "siteA"), ("u3", 3.0, "siteB")],
+        "url string, prio double, domain string",
+    )
+    out = R.frontier_schedule(fr, "url", "prio", per_domain_budget=1,
+                              domain_col="domain").collect()
+    assert sorted((r["domain"], r["url"], r["fetch_cycle"]) for r in out) == [
+        ("siteA", "u1", 0), ("siteA", "u2", 1), ("siteB", "u3", 0),
+    ]
+    # exactly one domain column in the output
+    assert [f for f in out[0].asDict()].count("domain") == 1
