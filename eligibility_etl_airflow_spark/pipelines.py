@@ -1910,3 +1910,51 @@ def domain_survival_rates(
             F.round(1.0 - F.col("n_dropped") / F.col("n_docs"), 6),
         )
     )
+
+
+def corpus_data_card(docs: DataFrame) -> DataFrame:
+    """One-stop corpus summary — the numbers a dataset card leads with:
+    (metric, value) rows for doc count, whitespace-token total, mean
+    length, exact-duplicate rate (content-fingerprint grain), and the
+    language / source mix shares. Two partial-agg passes (one scalar,
+    one per-facet) + broadcast share normalization; output is
+    facets-sized. Deeper cuts compose from the registered queries
+    (quality histograms, drift, dup clusters) — this is the cover page.
+    """
+    from eligibility_etl_airflow_spark.operators import text as text_ops
+
+    base = docs.select(
+        text_ops.token_count_ws(F.col("text")).alias("nt"),
+        F.length("text").cast("long").alias("nc"),
+        text_ops.fingerprint_md5(F.col("text")).alias("fp"),
+        "lang",
+        "source",
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nt").alias("t"),
+        F.avg("nc").alias("mc"),
+        F.count_distinct("fp").alias("df"),
+    )
+    scalars = tot.select(
+        F.explode(
+            F.create_map(
+                F.lit("n_docs"), F.col("n").cast("double"),
+                F.lit("total_ws_tokens"), F.col("t").cast("double"),
+                F.lit("mean_chars"), F.round(F.col("mc"), 6),
+                F.lit("exact_dup_rate"),
+                F.round(1.0 - F.col("df") / F.col("n"), 6),
+            )
+        ).alias("metric", "value")
+    )
+    def share(col: str) -> DataFrame:
+        return (
+            base.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .crossJoin(F.broadcast(tot.select("n")))
+            .select(
+                F.concat(F.lit(f"{col}_share:"), F.col(col)).alias("metric"),
+                F.round(F.col("c") / F.col("n"), 6).alias("value"),
+            )
+        )
+    return scalars.unionByName(share("lang")).unionByName(share("source"))

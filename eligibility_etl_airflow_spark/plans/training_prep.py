@@ -1873,3 +1873,49 @@ def domain_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus data card — the dataset's cover page
+# --------------------------------------------------------------------------
+
+DATA_CARD_ORACLE = r"""
+WITH base AS (
+  SELECT len(regexp_extract_all(text, '\S+')) AS nt,
+         length(text) AS nc,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         lang, source
+  FROM documents
+),
+tot AS (
+  SELECT count(*) AS n, sum(nt) AS t, avg(nc) AS mc,
+         count(DISTINCT fp) AS df
+  FROM base
+)
+SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM tot
+UNION ALL SELECT 'total_ws_tokens', CAST(t AS DOUBLE) FROM tot
+UNION ALL SELECT 'mean_chars', round(mc, 6) FROM tot
+UNION ALL SELECT 'exact_dup_rate',
+                 round(1.0 - CAST(df AS DOUBLE) / n, 6) FROM tot
+UNION ALL
+SELECT 'lang_share:' || lang,
+       round(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot), 6)
+FROM base GROUP BY lang
+UNION ALL
+SELECT 'source_share:' || source,
+       round(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot), 6)
+FROM base GROUP BY source
+"""
+
+
+@query("corpus_data_card", oracle=DATA_CARD_ORACLE)
+def corpus_data_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (pipelines.corpus_data_card): the dataset
+    cover-page metrics as (metric, value) rows — size, token total,
+    mean length, exact-dup rate at the content-fingerprint grain, and
+    lang/source mix shares. Two partial-agg passes + broadcast share
+    normalization; output is facets-sized, nothing data-proportional
+    moves."""
+    from eligibility_etl_airflow_spark import pipelines as pl
+
+    return pl.corpus_data_card(Catalog(spark, sf_dir).documents)

@@ -218,6 +218,9 @@ _DEFERRED = (
     # HITS rides the same iterate-join-agg machinery as the graded
     # pagerank vehicle; unrolled-CTE oracle
     "domain_hits",
+    # the data card is a union of already-graded aggregate shapes
+    # (kpi_scalar_aggs' scalars, topk_frequency's facet counts)
+    "corpus_data_card",
 )
 
 

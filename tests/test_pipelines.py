@@ -1144,3 +1144,25 @@ def test_incremental_crawl_ingest_migrates_legacy_url_index(spark, tmp_path):
         for r in spark.read.parquet(f"{state}/accepted_docs").collect()
     }
     assert "REWRITTEN" in docs["https://m.example.com/a"]
+
+
+def test_corpus_data_card_metrics(spark):
+    from eligibility_etl_airflow_spark import pipelines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "web"),
+            (2, "alpha  beta   GAMMA", "en", "web"),  # dup after normalize
+            (3, "uno dos", "es", "books"),
+            (4, "one two three four", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    card = {r["metric"]: r["value"] for r in pipelines.corpus_data_card(docs).collect()}
+    assert card["n_docs"] == 4.0
+    assert card["total_ws_tokens"] == 12.0
+    assert card["exact_dup_rate"] == 0.25  # 4 docs, 3 distinct fingerprints
+    assert card["lang_share:en"] == 0.75
+    assert card["lang_share:es"] == 0.25
+    assert card["source_share:web"] == 0.5
+    assert abs(sum(v for k, v in card.items() if k.startswith("lang_share:")) - 1.0) < 1e-9
