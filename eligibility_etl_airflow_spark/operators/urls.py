@@ -40,7 +40,11 @@ def url_part(col: Column, group: int) -> Column:
 
 
 def _host_port(col: Column) -> Column:
-    return F.lower(url_part(col, 2))
+    # authority = [userinfo@]host[:port]; userinfo is stripped everywhere
+    # downstream — it never addresses a different page, it leaks
+    # credentials into logs/state, and it would corrupt the domain grain
+    # (registered_domain('user:pass@ex.org') is garbage)
+    return F.regexp_replace(F.lower(url_part(col, 2)), "^[^@]*@", "")
 
 
 def url_host(col: Column) -> Column:

@@ -1689,6 +1689,7 @@ def run_crawl_frontier_pipeline(
     domain_quality_df: DataFrame | None = None,
     pagerank_init: DataFrame | None = None,
     pagerank_tol: float | None = None,
+    crawled_urls_df: DataFrame | None = None,
 ) -> dict:
     """Close the crawl loop: from the pages already fetched, decide
     WHAT to fetch next and in what order. The missing quarter of the
@@ -1763,6 +1764,13 @@ def run_crawl_frontier_pipeline(
                 candidates.unionByName(seeds)
                 .groupBy("url")
                 .agg(F.sum("n_inlinks").alias("n_inlinks"))
+            )
+        if crawled_urls_df is not None:
+            # continuous operation: the full crawl history lives in the
+            # ingest state's url index, not just in this batch's pages —
+            # anti-join it on the same canonical key
+            crawled = crawled.unionByName(
+                crawled_urls_df.select("url_canonical").distinct()
             )
         candidates = candidates.join(
             crawled, F.col("url") == F.col("url_canonical"), "left_anti"

@@ -1166,3 +1166,25 @@ def test_corpus_data_card_metrics(spark):
     assert card["lang_share:es"] == 0.25
     assert card["source_share:web"] == 0.5
     assert abs(sum(v for k, v in card.items() if k.startswith("lang_share:")) - 1.0) < 1e-9
+
+
+def test_crawl_frontier_respects_state_url_index(spark, tmp_path):
+    """Continuous operation: URLs already in the ingest state's url
+    index never re-enter the frontier, even if this batch links them."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    pages = spark.createDataFrame(
+        [(1, "https://hub.example.com/a",
+          '<p><a href="https://t.example.net/old">o</a>'
+          '<a href="https://t.example.net/new">n</a></p>')],
+        "doc_id long, url string, html string",
+    )
+    state_index = spark.createDataFrame(
+        [("https://t.example.net/old", 7)], "url_canonical string, doc_id long"
+    )
+    stats = pipelines.run_crawl_frontier_pipeline(
+        spark, pages, str(tmp_path), crawled_urls_df=state_index
+    )
+    assert stats["n_candidates"] == 1
+    out = spark.read.parquet(str(tmp_path / "frontier.parquet")).collect()
+    assert [r["url"] for r in out] == ["https://t.example.net/new"]
