@@ -516,3 +516,31 @@ def audio_neardup_pairs(
     return neardup.simhash_block_pairs(
         tab, id_col, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )
+
+
+def payload_triage(df, bin_col: str):
+    """Classify raw binary payloads (WARC bodies, scraped blobs) before
+    the text pipeline touches them: ``is_text`` (valid UTF-8 AND no NUL
+    byte — the classic binary-file tell), ``valid_utf8``,
+    ``has_nul``, ``n_bytes``, and ``text`` — the decoded string for
+    text payloads, with invalid sequences REPLACED (U+FFFD) via
+    ``make_valid_utf8`` so a stray mojibake byte demotes a page to
+    repairable rather than lost, NULL for binary payloads. All
+    built-in JVM expressions (Spark 4's UTF-8 validation family) —
+    map-only, codegen'd, composes into the ingest scan. Binary
+    payloads route to the media tier (metadata/decode seams in this
+    module); text payloads feed strip_html."""
+    from pyspark.sql import functions as F
+
+    b = F.col(bin_col)
+    valid = F.is_valid_utf8(b)
+    has_nul = F.contains(b, F.unhex(F.lit("00")))
+    is_text = valid & ~has_nul
+    return df.select(
+        "*",
+        valid.alias("valid_utf8"),
+        has_nul.alias("has_nul"),
+        is_text.alias("is_text"),
+        F.length(b).cast("long").alias("n_bytes"),
+        F.when(~has_nul, F.make_valid_utf8(b.cast("string"))).alias("text"),
+    )

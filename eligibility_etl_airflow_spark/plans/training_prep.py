@@ -1919,3 +1919,56 @@ def corpus_data_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eligibility_etl_airflow_spark import pipelines as pl
 
     return pl.corpus_data_card(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
+# Binary payload triage — the ingest gate ahead of the text pipeline
+# --------------------------------------------------------------------------
+
+PAYLOAD_TRIAGE_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(lower(substring(text, 1, 40)), '[^a-z ]', '', 'g') AS t
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       doc_id % 3 <> 1 AS valid_utf8,
+       doc_id % 3 = 2 AS has_nul,
+       doc_id % 3 = 0 AS is_text,
+       CAST(length(t) + CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
+            AS BIGINT) AS n_bytes,
+       CASE doc_id % 3
+            WHEN 0 THEN t
+            WHEN 1 THEN t || chr(65533)
+            ELSE NULL END AS text
+FROM base
+"""
+
+
+@query("payload_triage", oracle=PAYLOAD_TRIAGE_ORACLE)
+def payload_triage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload triage (operators/multimodal.py::payload_triage):
+    classify raw bytes before the text pipeline — valid UTF-8 + no NUL
+    = text; invalid sequences repair to U+FFFD (page demoted, not
+    lost); NUL byte = binary, routed to the media tier. The vehicle
+    plants all three shapes from doc-id arithmetic (clean / trailing
+    0xFF / NUL prefix) over ASCII-normalized text so the oracle
+    reconstructs every output including the repaired string. Built-in
+    JVM UTF-8 validation family, map-only."""
+    from eligibility_etl_airflow_spark.operators import multimodal as M
+
+    d = Catalog(spark, sf_dir).documents
+    t = F.regexp_replace(
+        F.lower(F.substring(F.col("text"), 1, 40)), "[^a-z ]", ""
+    )
+    payload = (
+        F.when(F.col("doc_id") % 3 == 1,
+               F.concat(F.encode(t, "UTF-8"), F.unhex(F.lit("FF"))))
+        .when(F.col("doc_id") % 3 == 2,
+              F.concat(F.unhex(F.lit("00")), F.encode(t, "UTF-8")))
+        .otherwise(F.encode(t, "UTF-8"))
+    )
+    rel = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), payload.alias("payload")
+    )
+    return M.payload_triage(rel, "payload").drop("payload")

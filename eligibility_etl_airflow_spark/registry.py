@@ -221,6 +221,9 @@ _DEFERRED = (
     # the data card is a union of already-graded aggregate shapes
     # (kpi_scalar_aggs' scalars, topk_frequency's facet counts)
     "corpus_data_card",
+    # triage rides the map-only column machinery; first-principles
+    # oracle incl. the U+FFFD-repaired string
+    "payload_triage",
 )
 
 

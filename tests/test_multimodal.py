@@ -310,3 +310,29 @@ def test_flat_images_do_not_cross_merge():
     # two blank frames of the same tone still merge (that IS a near-dup)
     white2 = multimodal.encode_bmp_rgb24(np.full((8, 8, 3), 250, dtype=np.uint8))
     assert multimodal.average_hash64(white2) == hw
+
+
+def test_payload_triage_three_way(spark):
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [("clean text", 0), ("mojibake", 1), ("binary", 2)], "t string, k int"
+    )
+    b = df.select(
+        "k",
+        F.when(F.col("k") == 1, F.concat(F.encode("t", "UTF-8"), F.unhex(F.lit("FF"))))
+        .when(F.col("k") == 2, F.concat(F.unhex(F.lit("00")), F.encode("t", "UTF-8")))
+        .otherwise(F.encode("t", "UTF-8"))
+        .alias("payload"),
+    )
+    got = {r["k"]: r for r in M.payload_triage(b, "payload").collect()}
+    assert (got[0]["valid_utf8"], got[0]["has_nul"], got[0]["is_text"]) == (
+        True, False, True,
+    )
+    assert got[0]["text"] == "clean text" and got[0]["n_bytes"] == 10
+    # invalid byte: demoted but REPAIRED, not lost
+    assert got[1]["is_text"] is False and got[1]["text"] == "mojibake�"
+    # NUL byte: binary — no text route
+    assert got[2]["has_nul"] is True and got[2]["text"] is None
