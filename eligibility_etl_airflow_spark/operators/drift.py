@@ -86,3 +86,84 @@ def js_divergence_by_slice(
             ),
         )
     )
+
+
+def js_divergence_pair(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence between TWO corpora (an incoming crawl
+    batch vs the accepted state, two snapshot versions, two sources) as
+    one scalar row: (n_tokens_a, n_tokens_b, vocab_a, vocab_b,
+    vocab_shared, js_divergence).
+
+    Same telescoping trick as the slice monitor, applied on both sides:
+    tokens present in only ONE distribution contribute exactly half
+    their mass (p=0 ⇒ the q term is q/2·log2(q/(q/2)) = q/2), so
+
+        JSD = Σ_{t∈A∩B} [p/2·log2(p/m) + q/2·log2(q/m)]
+              + (1 − Σ_{t∈A∩B} p)/2 + (1 − Σ_{t∈A∩B} q)/2
+
+    needs only the INNER join of the two vocabularies — the disjoint
+    tails never materialize as rows. Two explodes, two partial-agg
+    shuffles, one token-key join, one scalar aggregate. The natural
+    per-batch monitor beside run_incremental_crawl_ingest: a batch that
+    suddenly diverges (new spam pattern, encoding regression, topic
+    shift) shows up as one number before it pollutes the corpus."""
+
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                        lambda t: t != "",
+                    )
+                ).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ca, cb = counts(df_a), counts(df_b)
+    ta = ca.agg(F.sum("c").alias("na"), F.count(F.lit(1)).alias("va"))
+    tb = cb.agg(F.sum("c").alias("nb"), F.count(F.lit(1)).alias("vb"))
+    shared = (
+        ca.join(cb.withColumnRenamed("c", "c2"), "tok")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            (F.col("c") / F.col("na")).alias("p"),
+            (F.col("c2") / F.col("nb")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.col("p") / 2 * F.log2(F.col("p") / m)
+        + F.col("q") / 2 * F.log2(F.col("q") / m)
+    )
+    body = shared.agg(
+        F.coalesce(F.sum(term), F.lit(0.0)).alias("_body"),
+        F.coalesce(F.sum("p"), F.lit(0.0)).alias("_pcov"),
+        F.coalesce(F.sum("q"), F.lit(0.0)).alias("_qcov"),
+        F.count(F.lit(1)).alias("vocab_shared"),
+    )
+    return (
+        body.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.col("na").cast("long").alias("n_tokens_a"),
+            F.col("nb").cast("long").alias("n_tokens_b"),
+            F.col("va").cast("long").alias("vocab_a"),
+            F.col("vb").cast("long").alias("vocab_b"),
+            F.col("vocab_shared").cast("long").alias("vocab_shared"),
+            F.round(
+                F.col("_body")
+                + (1 - F.col("_pcov")) / 2
+                + (1 - F.col("_qcov")) / 2,
+                round_to,
+            ).alias("js_divergence"),
+        )
+    )

@@ -1972,3 +1972,54 @@ def payload_triage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"), payload.alias("payload")
     )
     return M.payload_triage(rel, "payload").drop("payload")
+
+
+PAIR_DRIFT_ORACLE = r"""
+WITH ta AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+    FROM documents WHERE doc_id % 2 = 0
+  ) WHERE tok <> '' GROUP BY tok
+), tb AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+    FROM documents WHERE doc_id % 2 = 1
+  ) WHERE tok <> '' GROUP BY tok
+), na AS (SELECT sum(c) AS n, count(*) AS v FROM ta),
+   nb AS (SELECT sum(c) AS n, count(*) AS v FROM tb),
+sh AS (
+  SELECT ta.c / (SELECT n FROM na) AS p,
+         tb.c / (SELECT n FROM nb) AS q
+  FROM ta JOIN tb USING (tok)
+), agg AS (
+  SELECT coalesce(sum(p / 2 * log2(p / ((p + q) / 2))
+                      + q / 2 * log2(q / ((p + q) / 2))), 0) AS body,
+         coalesce(sum(p), 0) AS pcov,
+         coalesce(sum(q), 0) AS qcov,
+         count(*) AS vocab_shared
+  FROM sh
+)
+SELECT CAST((SELECT n FROM na) AS BIGINT) AS n_tokens_a,
+       CAST((SELECT n FROM nb) AS BIGINT) AS n_tokens_b,
+       CAST((SELECT v FROM na) AS BIGINT) AS vocab_a,
+       CAST((SELECT v FROM nb) AS BIGINT) AS vocab_b,
+       CAST(vocab_shared AS BIGINT) AS vocab_shared,
+       round(body + (1 - pcov) / 2 + (1 - qcov) / 2, 6) AS js_divergence
+FROM agg
+"""
+
+
+@query("corpus_pair_drift", oracle=PAIR_DRIFT_ORACLE)
+def corpus_pair_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus drift (operators/drift.py::js_divergence_pair):
+    JSD between two corpora as one scalar row — the per-batch monitor
+    beside the continuous crawl ingest (incoming batch vs accepted
+    state). The two-sided telescoping closed form needs only the INNER
+    vocabulary join; disjoint tails never materialize. Vehicle: the
+    documents table split by doc-id parity."""
+    from eligibility_etl_airflow_spark.operators import drift
+
+    d = Catalog(spark, sf_dir).documents
+    return drift.js_divergence_pair(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )

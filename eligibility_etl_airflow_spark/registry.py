@@ -224,6 +224,9 @@ _DEFERRED = (
     # triage rides the map-only column machinery; first-principles
     # oracle incl. the U+FFFD-repaired string
     "payload_triage",
+    # pairwise drift rides the same explode-agg-join machinery as
+    # corpus_drift_js; full DuckDB twin of the two-sided closed form
+    "corpus_pair_drift",
 )
 
 

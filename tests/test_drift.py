@@ -76,3 +76,37 @@ def test_token_less_slice_emits_no_row(spark):
     got = _run(spark, rows)
     # a slice with zero tokens has no distribution — absent, not NaN
     assert set(got) == {"a"}
+
+
+def test_pairwise_jsd_matches_python_and_bounds(spark):
+    import itertools
+
+    a_texts = ["the quick brown fox", "the lazy dog sleeps", "the fox runs"]
+    b_texts = ["gradient descent converges", "the loss decreases", "the model trains"]
+
+    def cnt(ts):
+        return Counter(w for t in ts for w in re.split("[^a-z]+", t.lower()) if w)
+
+    pa, pb = cnt(a_texts), cnt(b_texts)
+    na, nb = sum(pa.values()), sum(pb.values())
+    want = 0.0
+    for w in set(pa) | set(pb):
+        p, q = pa.get(w, 0) / na, pb.get(w, 0) / nb
+        m = (p + q) / 2
+        if p:
+            want += p / 2 * math.log2(p / m)
+        if q:
+            want += q / 2 * math.log2(q / m)
+    da = spark.createDataFrame([(t,) for t in a_texts], "text string")
+    db = spark.createDataFrame([(t,) for t in b_texts], "text string")
+    got = drift.js_divergence_pair(da, db).collect()[0]
+    assert abs(got["js_divergence"] - want) < 1e-6
+    assert 0 <= got["js_divergence"] <= 1
+    assert got["vocab_shared"] == len(set(pa) & set(pb))
+    # identical corpora: zero divergence
+    same = drift.js_divergence_pair(da, da).collect()[0]
+    assert same["js_divergence"] == 0.0
+    # fully disjoint vocabularies: the maximum, exactly 1 bit
+    dc = spark.createDataFrame([("zzz qqq www",)], "text string")
+    disj = drift.js_divergence_pair(da, dc).collect()[0]
+    assert disj["js_divergence"] == 1.0 and disj["vocab_shared"] == 0
