@@ -1384,6 +1384,7 @@ def run_incremental_crawl_ingest(
     robots_agent: str = "*",
     robots_key: str = "host",
     recrawl_policy: str = "skip",
+    drift_report: bool = False,
 ) -> dict:
     """Ingest a NEW crawl batch against persisted crawl state — the
     continuous form of run_crawl_preprocess_pipeline, where re-crawls
@@ -1418,6 +1419,13 @@ def run_incremental_crawl_ingest(
     from some content keeps that content suppressed for future new
     URLs, the standard crawl-dedup semantics). Unchanged re-crawls are
     no-ops, so replaying a batch under either policy stays idempotent.
+    ``drift_report=True`` adds ``batch_js_divergence`` (plus token/vocab
+    counts) to the stats: the accepted batch's unigram JSD against the
+    corpus state BEFORE the append (operators/drift.py::
+    js_divergence_pair) — a batch that suddenly diverges (spam wave,
+    encoding regression, topic shift) surfaces as one number before it
+    pollutes the corpus.
+
     A url index written before the update-policy era (no content_hash
     column) is backfilled ONCE on the next ingest — hashes recomputed
     from the accepted docs' stored text, staged write + rename swap —
@@ -1585,6 +1593,21 @@ def run_incremental_crawl_ingest(
         )
         n_accepted = accepted.count()
 
+        # drift vs the PRE-append state — computed (and materialized)
+        # before any write below refreshes docs_path
+        drift_row = None
+        if drift_report and has_state and n_accepted:
+            from eligibility_etl_airflow_spark.operators import drift as drift_ops
+
+            drift_row = (
+                drift_ops.js_divergence_pair(
+                    accepted.select("text"),
+                    spark.read.parquet(docs_path).select("text"),
+                )
+                .collect()[0]
+                .asDict()
+            )
+
         # update path: re-crawled URLs whose CLEANED content changed
         # replace their accepted doc in place; computed (and _stable'd)
         # BEFORE any write below refreshes the state paths it reads
@@ -1665,6 +1688,9 @@ def run_incremental_crawl_ingest(
         stats["n_after_robots"] = n_after_robots
     if n_updated is not None:
         stats["n_updated"] = n_updated
+    if drift_row is not None:
+        stats["batch_js_divergence"] = drift_row["js_divergence"]
+        stats["batch_vocab_shared"] = drift_row["vocab_shared"]
     return stats
 
 

@@ -1188,3 +1188,35 @@ def test_crawl_frontier_respects_state_url_index(spark, tmp_path):
     assert stats["n_candidates"] == 1
     out = spark.read.parquet(str(tmp_path / "frontier.parquet")).collect()
     assert [r["url"] for r in out] == ["https://t.example.net/new"]
+
+
+def test_incremental_crawl_ingest_drift_report(spark, tmp_path):
+    """drift_report=True surfaces the batch-vs-state JSD before append:
+    an on-topic batch scores low, an off-vocabulary batch scores high."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    base_body = "the quick brown fox jumps over the lazy dog near the river"
+    b1 = spark.createDataFrame(
+        [(i, f"https://d.example.com/p{i}", f"<p>{base_body} v{i}</p>")
+         for i in range(4)],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(spark, b1, str(tmp_path))
+
+    similar = spark.createDataFrame(
+        [(10, "https://d.example.com/s", f"<p>{base_body} fresh page</p>")],
+        "doc_id long, url string, html string",
+    )
+    s_sim = pipelines.run_incremental_crawl_ingest(
+        spark, similar, str(tmp_path), drift_report=True
+    )
+    alien = spark.createDataFrame(
+        [(11, "https://d.example.com/z",
+          "<p>zorb qux flim wub grak tonk blip vex nur polt</p>")],
+        "doc_id long, url string, html string",
+    )
+    s_alien = pipelines.run_incremental_crawl_ingest(
+        spark, alien, str(tmp_path), drift_report=True
+    )
+    assert 0 <= s_sim["batch_js_divergence"] < s_alien["batch_js_divergence"] <= 1
+    assert s_alien["batch_vocab_shared"] == 0
