@@ -33,201 +33,123 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The grading harness oracle-checks the first 50 registered queries, so
 # ordering is part of the contract: oracle-backed queries must register
 # ahead of the rows-only ones or they silently lose their hash check.
-# With more oracle-backed queries than window slots, the excess must sit
-# past the window; these scalar-function/UDTF-shaped queries are the
-# deferral choice because their operator coverage (F1–F14
-# regex/split/explode, map→rows) is also exercised by graded queries
-# (eligibility_flagship, age_birthday_corrected, multi_format_date_parse,
-# struct_expand) and all keep local DuckDB parity via
-# tests/test_oracle_parity.py, which parametrizes every registered query.
-_DEFERRED = (
+# With more oracle-backed queries than window slots, the excess sits past
+# the window in _DEFERRED; every registered query (graded or deferred)
+# keeps local DuckDB parity via tests/test_oracle_parity.py, which mirrors
+# the driver's exact rows+schema+values contract on every pytest run.
+#
+# ROTATION POLICY (adopted round 6): the graded window ROTATES each round
+# rather than accreting. Queries that have held a green driver-graded row
+# for >=2 consecutive rounds and whose operator machinery is covered by at
+# least one other graded query are demotion candidates; never-driver-graded
+# oracle-backed queries are promotion candidates. Each round: demote ~N
+# stable queries into _ROTATED_OUT and promote ~N from _DEFERRED, keeping
+# the rank-0 (graded) count at exactly 50. This converts local-parity
+# claims into independent driver-graded confirmation at zero
+# implementation cost. NEW oracle-backed queries land in _DEFERRED first
+# and earn promotion in a later round.
+#
+# Round-6 rotation: 25 queries graded green in rounds 1-5 (flagship-join,
+# scalar-agg, window, date and dedup machinery each still held in-window
+# by eligibility_flagship, resubmission_flagship, latest_order_dense_rank,
+# percentile_stats, pricing_summary_sql, the stream_* family, and the
+# text/similarity rows) moved to _ROTATED_OUT; 25 never-graded queries
+# (crawl tier, link graph, pair mining, curation, retrieval) promoted.
+
+# Graded green rounds 1-5; demoted round 6 under the rotation policy.
+# Machinery each rides remains in-window per the mapping above.
+_ROTATED_OUT = (
+    "predicates_in_like_window",
+    "semi_join_key_set",
+    "anti_join_resume",
+    "coalesce_key_join",
+    "latest_order_row_number",
+    "string_agg_per_group",
+    "distinct_key_set",
+    "topk_frequency",
+    "kpi_scalar_aggs",
+    "date_rollup_daily",
+    "grouped_multi_agg",
+    "keep_last_dedup",
+    "duplicate_detection_label",
+    "global_topk_orders",
+    "multi_format_date_parse",
+    "age_birthday_corrected",
+    "json_field_extract",
+    "struct_expand",
+    "business_rule_updates",
+    "predictions_auto_reject",
+    "dedup_exact_hash",
+    "doc_fingerprint",
+    "dropna_filters",
+    "running_total_window",
+    "rollup_revenue",
+)
+
+# Oracle-backed queries currently outside the 50-slot window. All keep
+# local DuckDB parity via tests/test_oracle_parity.py. Promotion
+# candidates for future rotations (never-graded ones first).
+_DEFERRED = _ROTATED_OUT + (
     "regex_text_ops",
     "split_explode_keys",
     "map_explode_fields",
     # token accounting is already driver-graded inside
-    # llm_predictions_pipeline's input_tokens/output_tokens columns; the
-    # totals rollup keeps local parity via tests/test_oracle_parity.py
+    # llm_predictions_pipeline's input_tokens/output_tokens columns
     "llm_cost_metrics",
-    # component clustering composes the already-graded
-    # ngram_jaccard_pairs relation with connected_components; its
-    # recursive-CTE oracle runs in local parity + tests/test_components.py
-    "dedup_connected_components",
-    # window/join machinery of both is already graded (W1/W2 windows,
-    # coalesce_key_join's outer join); local parity covers the
-    # history-specific semantics
-    "scd2_user_status",
-    "snapshot_diff_cdc",
-    # incremental==batch equivalence is the query's own proof shape; the
-    # grouped-agg machinery it rides is graded via grouped_multi_agg
+    # incremental==batch equivalence is the query's own proof shape
     "incremental_rollup",
-    # the watermark/window family is graded by the four stream_* rows in
-    # the window; the two-stream join adds the stream-stream capability
-    # with stream==batch + local parity checks
+    # the watermark/window family is graded by the four stream_* rows
     "stream_interval_join",
-    # the blocked self-join shape is graded via ngram_jaccard_pairs;
-    # the Levenshtein measure keeps local parity + planted-typo units
+    # the blocked self-join shape is graded via ngram_jaccard_pairs
     "fuzzy_pairs_levenshtein",
-    # reshaping/sessionization analytics (plans/analytics.py): the window
-    # is saturated with the reference-derived surface; the underlying
-    # machinery is graded there (conditional aggregation via
-    # kpi_scalar_aggs, grouping sets via rollup_revenue, window frames
-    # via running_total_window, semi join via semi_join_key_set) and all
-    # five keep local DuckDB parity via tests/test_oracle_parity.py
+    # reshaping/sessionization analytics (plans/analytics.py)
     "pivot_status_matrix",
     "unpivot_measures",
     "cube_revenue",
     "session_gap_events",
     "bloom_semi_join_scan",
-    # corpus-hygiene additions (decontam/repetition): the documents-table
-    # explode/agg machinery is graded via tfidf_top_terms and
-    # text_quality_scores; both keep local DuckDB parity
-    "decontamination_overlap",
     "repetition_metrics",
-    # chunking: posexplode/window machinery graded via struct_expand and
-    # the streaming windows; local DuckDB parity covers the window math
-    "document_chunks",
-    # C4-style span dedup composes the chunker with a min-struct
-    # first-occurrence aggregate; exact-dedup semantics are graded via
-    # dedup_exact_hash / keep_last_dedup
+    # C4-style span dedup: exact-dedup semantics graded via the r6-promoted
+    # dedup_connected_components family; segment machinery also feeds the
+    # r6 duplicate_text_spans query
     "dedup_global_segments",
-    # split/ids: pure-function-of-key column logic and a window the
-    # graded W1/W2 rows already cover; local parity pins both
     "train_test_split_hash",
     "contiguous_row_ids",
-    # analytics completeness: window/agg machinery graded elsewhere
     "group_sample_deterministic",
     "price_histogram",
     "feature_correlations",
-    # quality suite: the null-count aggregate machinery is graded via
-    # eligibility_quality_gate; the suite form keeps local parity
     "data_quality_report",
     "column_profile",
-    # window-rank family + set algebra: same machinery as graded W1/W2
-    # and U-family rows
     "rank_family_windows",
     "set_ops_customers",
-    # weighted draw: top-k machinery graded via global_topk_orders
     "weighted_sample_docs",
-    # grid+LOCF composes graded window/join machinery
     "gap_fill_timeseries",
-    # funnel/cohort compose graded join+agg machinery
     "funnel_signup_click_purchase",
     "cohort_retention",
     "rolling_zscore_anomalies",
-    # exact set-similarity / BM25 / LM-fluency: the pair-join, explode-agg
-    # and window machinery are graded via ngram_jaccard_pairs,
-    # tfidf_top_terms and the W-family rows; all three keep local DuckDB
-    # parity (set_similarity_pairs' oracle is the brute-force all-pairs
-    # join, so parity also proves prefix pruning is lossless)
-    "set_similarity_pairs",
-    "bm25_search",
     "lm_fluency_scores",
     "lm_bigram_scores",
-    # centroid pooling / assignment: the posexplode-agg and broadcast
-    # machinery are graded via struct_expand and the ANN brute-force row
     "centroid_assignments",
-    # SemDeDup drop rule: rides the same centroid-assign machinery as
-    # centroid_assignments plus a capped per-cluster gram matrix; its
-    # full relational oracle keeps local DuckDB parity
-    "semantic_dedup_label",
-    # stream-static enrich: the broadcast-join machinery is graded via
-    # the flagship star joins; the stream side keeps stream==batch +
-    # local parity checks
     "stream_static_enrich",
-    # hot-key profile: count-agg + bounded top-k machinery graded via
-    # topk_frequency / global_topk_orders
     "skew_profile_events",
-    # round-5 training-prep additions (plans/training_prep.py): the
-    # machinery each rides is graded in-window (pandas-UDF text path via
-    # pii_redaction, bipartite cosine via similarity_topk_bruteforce /
-    # decontamination ladder, component labeling via the CC pairs shape,
-    # window cumsum via running_total_window, from_json+posexplode via
-    # fhir_extract_bundle / struct_expand); all five keep local DuckDB
-    # parity via tests/test_oracle_parity.py
     "unicode_nfc_normalize",
     "semantic_decontam_flags",
-    "cluster_representatives",
     "balanced_token_shards",
     "chat_turns_extract",
-    # DSIR rides the graded LM-join machinery (lm_fluency_scores'
-    # family) + the weighted_sample_docs hash-draw discipline
-    "dsir_selection",
-    # priority merge is the graded keep_last_dedup/exact-hash window
-    # machinery; novelty is tfidf_top_terms' doc-frequency machinery
-    "merge_corpora_priority",
     "ngram_novelty_scores",
-    # budget planning is one grouped agg + a literal join (machinery
-    # graded via kpi_scalar_aggs / the broadcast star joins)
     "data_budget_plan",
-    # RRF fusion composes the graded bm25_search and
-    # similarity_topk_bruteforce rankings; the fusion itself is a
-    # union + agg + window over two 20-row relations
-    "hybrid_retrieval_rrf",
-    # cluster-granular split rides the graded components closure
-    # (dedup_connected_components) + train_test_split_hash's md5 draw
-    "leakage_safe_split",
-    # rank fusion composes the graded quality signals
-    # (text_quality_scores) with percent_rank machinery graded via
-    # rank_family_windows
     "quality_rank_blend",
-    # epoch shuffle rides the graded contiguous_row_ids prefix-sum
-    # machinery + the md5 draw discipline
     "epoch_shuffle_order",
-    # exact-substring tier rides the graded decontam broadcast shape
-    # (decontamination_overlap) with a contains predicate
     "substring_decontam_flags",
-    # containment join rides set_similarity_pairs' prefix-filter
-    # machinery (shared _rarity_ordered_docsets staging)
-    "containment_pairs",
-    # line dedup rides the graded explode/agg + ordered-rebuild
-    # machinery (dedup_global_segments' reconstruction shape)
     "line_dedup_boilerplate",
-    # blocklist metrics are the graded text_quality_scores' regexp-count
-    # machinery with a parameterized term alternation
     "blocklist_filter",
-    # URL parse/canonicalize/rollup are regexp_extract + agg machinery
-    # already graded (regex paths in eligibility_flagship, pii_redaction)
-    "url_components_parse",
     "url_domain_stats",
-    # HTML strip + script profile are regexp_replace/length-diff
-    # machinery already graded (pii_redaction, text_quality_scores)
-    "html_text_extract",
     "script_profile_mixed",
-    # pagerank is the components-style iterative join/agg machinery
-    # (graded via dedup_connected_components' local parity family)
-    "domain_pagerank",
-    # link harvesting is regexp_extract_all + explode machinery already
-    # graded (split_explode_keys family); its oracle is an independent
-    # first-principles edge reconstruction
-    "link_graph_edges",
-    # anchor pairs ride the same harvest machinery with a text payload
     "anchor_text_pairs",
-    # crawl politeness tier: first-principles oracles over constructed
-    # robots/frontier vehicles
-    "robots_url_filter",
-    "frontier_schedule",
-    # manifest rides the graded grouped-agg machinery (grouped_multi_agg)
-    # with a commutative checksum the oracle reconstructs byte-for-byte
     "shard_manifest",
-    # drift rides the graded explode-agg machinery (tfidf_top_terms);
-    # the JSD closed form is pinned by a python cross-check test
     "corpus_drift_js",
-    # sitemap rides the same regexp-harvest machinery as the graded
-    # split/explode family; first-principles oracle
-    "sitemap_parse",
-    # HITS rides the same iterate-join-agg machinery as the graded
-    # pagerank vehicle; unrolled-CTE oracle
-    "domain_hits",
-    # the data card is a union of already-graded aggregate shapes
-    # (kpi_scalar_aggs' scalars, topk_frequency's facet counts)
-    "corpus_data_card",
-    # triage rides the map-only column machinery; first-principles
-    # oracle incl. the U+FFFD-repaired string
-    "payload_triage",
-    # pairwise drift rides the same explode-agg-join machinery as
-    # corpus_drift_js; full DuckDB twin of the two-sided closed form
-    "corpus_pair_drift",
 )
+
 
 
 def load_all() -> None:
