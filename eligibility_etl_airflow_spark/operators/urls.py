@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from eligibility_etl_airflow_spark.operators.psl_snapshot import (
+    SUFFIXES_2,
+    SUFFIXES_3,
+)
+
 # scheme://host[:port][path][?query][#fragment] — capture groups:
 #   1 scheme   2 host(:port)   3 path   4 query   5 fragment
 URL_REGEX = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
@@ -43,8 +48,13 @@ def _host_port(col: Column) -> Column:
     # authority = [userinfo@]host[:port]; userinfo is stripped everywhere
     # downstream — it never addresses a different page, it leaks
     # credentials into logs/state, and it would corrupt the domain grain
-    # (registered_domain('user:pass@ex.org') is garbage)
-    return F.regexp_replace(F.lower(url_part(col, 2)), "^[^@]*@", "")
+    # (registered_domain('user:pass@ex.org') is garbage). RFC 3986
+    # delimits userinfo at the LAST @ in the authority (userinfo itself
+    # may contain @), so the strip is greedy: 'a@b@ex.org' → 'ex.org',
+    # not 'b@ex.org' — a non-greedy strip would corrupt the host grain
+    # AND dodge the robots-rules host join (deny-by-exception admits
+    # what it cannot match).
+    return F.regexp_replace(F.lower(url_part(col, 2)), "^.*@", "")
 
 
 def url_host(col: Column) -> Column:
@@ -64,16 +74,40 @@ def url_port(col: Column) -> Column:
 
 
 def registered_domain(host: Column) -> Column:
-    """Last two dot-labels of the host — the eTLD+1 approximation
-    (a production deployment swaps in the public-suffix list as a
-    broadcast lookup table; the column shape stays identical). Hosts
-    with fewer than two labels pass through unchanged."""
+    """eTLD+1 of the host, backed by the vendored public-suffix
+    snapshot (operators/psl_snapshot.py): if the host's last three
+    labels form a known 3-label public suffix the registered domain is
+    the last FOUR labels; if the last two form a known 2-label suffix
+    (``co.uk``, ``github.io``, …) it is the last THREE; otherwise the
+    last-two-labels default applies. So ``a.example.co.uk`` and
+    ``b.example.co.uk`` resolve to one domain (``example.co.uk``)
+    while ``a.example.org`` / ``b.example.org`` keep resolving to
+    ``example.org``.
+
+    The suffix sets compile to literal ``IN``-set predicates —
+    JVM-side, codegen'd, no join, no shuffle; refresh the snapshot
+    from the full PSL with
+    ``[l for l in psl if '.' in l and not l.startswith(('*','!','/'))]``
+    split by label count. A host that IS exactly a public suffix has
+    no registrable part and passes through unchanged, as do
+    single-label hosts."""
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    return F.when(
-        n >= 2,
-        F.concat(F.element_at(parts, -2), F.lit("."), F.element_at(parts, -1)),
-    ).otherwise(host)
+    # try_element_at: NULL (not an ANSI error) when the label is absent,
+    # so the isin conditions below are safely false on short hosts
+    last2 = F.concat(
+        F.try_element_at(parts, F.lit(-2)),
+        F.lit("."),
+        F.try_element_at(parts, F.lit(-1)),
+    )
+    last3 = F.concat(F.try_element_at(parts, F.lit(-3)), F.lit("."), last2)
+    last4 = F.concat(F.try_element_at(parts, F.lit(-4)), F.lit("."), last3)
+    return (
+        F.when((n >= 4) & last3.isin(*SUFFIXES_3), last4)
+        .when((n >= 3) & last2.isin(*SUFFIXES_2), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
 
 
 def clean_query(col: Column) -> Column:

@@ -242,3 +242,46 @@ def test_userinfo_stripped_from_host_domain_and_canonical(spark):
     # explicit non-default port does
     assert got[0]["c"] == "https://ex.org:8080/p?q=1"
     assert got[1]["c"] == "http://site.net/x"
+
+
+def test_userinfo_strips_to_last_at_sign(spark):
+    # RFC 3986: userinfo ends at the LAST @ in the authority — an @ inside
+    # the userinfo (e.g. an email used as username) must not leave a
+    # corrupted 'b@ex.org' host that dodges the robots host join
+    df = spark.createDataFrame(
+        [("http://a@b@ex.org/x",), ("http://user:p@ss:w@rd@site.net/y",)],
+        "u string",
+    )
+    got = df.select(urls.url_host(F.col("u")).alias("h")).collect()
+    assert got[0]["h"] == "ex.org"
+    assert got[1]["h"] == "site.net"
+
+
+def test_registered_domain_public_suffix_snapshot(spark):
+    cases = [
+        # multi-label ICANN suffix: sibling hosts of ONE registrant merge,
+        # different registrants under the suffix do NOT
+        ("a.example.co.uk", "example.co.uk"),
+        ("b.example.co.uk", "example.co.uk"),
+        ("deep.sub.example.co.uk", "example.co.uk"),
+        ("other.co.uk", "other.co.uk"),
+        # single-label TLD keeps the last-two-labels default
+        ("a.example.org", "example.org"),
+        ("b.example.org", "example.org"),
+        # 3-label suffix registers at the fourth label
+        ("school.nsw.edu.au", "school.nsw.edu.au"),
+        ("www.school.nsw.edu.au", "school.nsw.edu.au"),
+        # private-section platform: each subdomain is its own grain
+        ("alice.github.io", "alice.github.io"),
+        ("bob.github.io", "bob.github.io"),
+        # a bare public suffix has no registrable part: pass through
+        ("co.uk", "co.uk"),
+        ("localhost", "localhost"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = df.select(
+        F.col("h"), urls.registered_domain(F.col("h")).alias("d")
+    ).collect()
+    want = dict(cases)
+    for r in got:
+        assert r["d"] == want[r["h"]], r["h"]
