@@ -278,3 +278,104 @@ def line_dedup(
             F.col("id").alias(id_col), "text_clean", "n_lines", "n_lines_dropped"
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 16,
+    hashed: bool = True,
+) -> DataFrame:
+    """Maximal duplicated token spans, Lee-et-al-2022 style ("Dedupli-
+    cating Training Data Makes Language Models Better"): every
+    ``min_tokens``-token window of every document (stride 1, whitespace
+    tokens of the ORIGINAL text — the chunker's convention) is finger-
+    printed; windows whose text occurs at ≥2 (doc, position) sites
+    corpus-wide are duplicate hits; per document, runs of CONSECUTIVE
+    hit positions chain into maximal spans. Returns one row per span:
+    (id, span_start, span_end, n_span_tokens, span_text) with 0-based
+    inclusive token offsets — a 40-token quote shared by two documents
+    comes back as ONE 40-token span in each, with exact offsets, even
+    when it straddles the fixed 16-token segment grid that
+    ``dedup_repeated_segments`` dedups at (that operator removes; this
+    one LOCATES, for span-level surgery or reporting).
+
+    Span semantics: within a span every k-window is duplicated some-
+    where, but different windows may match different partners, so a
+    span is the tight upper envelope of verbatim duplication — the
+    standard chaining approximation (a published suffix-array pass
+    computes the same envelope; pairs wanting a common partner verify
+    by joining span text, which stays exact because offsets are exact).
+
+    ``hashed=True`` (default) keys the corpus-wide occurrence count on
+    ``xxhash64`` of the window — 8 bytes per token through the shuffle
+    instead of the window text (~10× less at k=16), at the price of a
+    64-bit collision possibly merging two unrelated windows (P ≈ n²/2⁶⁴
+    — negligible below ~10⁹ windows, and a collision can only EXTEND a
+    span, never lose one). ``hashed=False`` keys on the text itself:
+    exact by construction, the oracle twin's form.
+
+    Scale shape: stride-1 windowing amplifies the token stream ×1 row
+    (hashed: fixed 8+8 bytes each), the occurrence count is a partial
+    aggregate (a window repeated a million times collapses map-side),
+    hits rejoin by key, and the chain is a per-document window function
+    — one shuffle on the window key, one on the doc id; no driver
+    participation, nothing corpus-sized collected."""
+    k = min_tokens
+    if k < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {k}")
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
+            "_toks"
+        ),
+    ).filter(F.size("_toks") >= k)
+    # windows staged as a projection alias referencing _toks (multi-
+    # referenced attribute — the HOF lambda must not re-split per
+    # element; see tests/test_plan_shape.py's lambdafunction guard)
+    wins = toked.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.array_join(F.slice("_toks", i + 1, k), " "),
+            )
+        ).alias("pos", "w"),
+    )
+    key = F.xxhash64("w") if hashed else F.col("w")
+    keyed = wins.select("id", "pos", key.alias("wk"))
+    dup_keys = (
+        keyed.groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("wk")
+    )
+    hits = keyed.join(dup_keys, "wk", "left_semi").select("id", "pos")
+    # gap-and-island: consecutive positions share (pos − row_number)
+    rn = F.row_number().over(Window.partitionBy("id").orderBy("pos"))
+    runs = hits.withColumn("_grp", F.col("pos") - rn)
+    spans = runs.groupBy("id", "_grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+    )
+    return (
+        spans.join(toked, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_span_tokens"),
+            F.array_join(
+                F.slice(
+                    "_toks",
+                    F.col("span_start") + 1,
+                    F.col("span_end") - F.col("span_start") + 1,
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+    )

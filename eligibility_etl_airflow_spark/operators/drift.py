@@ -112,22 +112,66 @@ def js_divergence_pair(
     per-batch monitor beside run_incremental_crawl_ingest: a batch that
     suddenly diverges (new spam pattern, encoding regression, topic
     shift) shows up as one number before it pollutes the corpus."""
+    return js_divergence_counts(
+        unigram_counts(df_a, text_col), unigram_counts(df_b, text_col),
+        round_to=round_to,
+    )
 
-    def counts(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
-                F.explode(
-                    F.filter(
-                        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
-                        lambda t: t != "",
-                    )
-                ).alias("tok")
-            )
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("c"))
+
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, c) unigram counts of a text relation — the sufficient
+    statistic every JSD form here consumes, and the thing a continuous
+    pipeline PERSISTS so drift against the accepted corpus never
+    re-reads accepted text (see token_index_merge). Explode + one
+    partial-agg shuffle; output is vocab-sized."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                    lambda t: t != "",
+                )
+            ).alias("tok")
         )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
-    ca, cb = counts(df_a), counts(df_b)
+
+def token_index_merge(
+    counts: DataFrame,
+    add: DataFrame | None = None,
+    subtract: DataFrame | None = None,
+) -> DataFrame:
+    """Merge incremental unigram counts into a persisted token index:
+    ``counts + add − subtract`` per token, rows whose count reaches 0
+    dropped (an updated-away document must not leave ghost vocabulary).
+    All three inputs are (tok, c) relations; cost is O(vocab + batch),
+    never O(corpus) — the whole point of keeping the index. The caller
+    owns the staged-rename write (the index path is also the read
+    source, so overwrite-in-place would clobber the lineage)."""
+    out = counts
+    if add is not None:
+        out = out.unionByName(add)
+    if subtract is not None:
+        out = out.unionByName(subtract.select("tok", (-F.col("c")).alias("c")))
+    return (
+        out.groupBy("tok")
+        .agg(F.sum("c").alias("c"))
+        .filter(F.col("c") > 0)
+        .select("tok", F.col("c").cast("long").alias("c"))
+    )
+
+
+def js_divergence_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    round_to: int = 6,
+) -> DataFrame:
+    """js_divergence_pair over pre-aggregated (tok, c) unigram counts —
+    the form the incremental-ingest monitor uses: side B is the
+    persisted token index, so the batch JSD costs O(batch + vocab) and
+    the accepted corpus text is never re-read."""
     ta = ca.agg(F.sum("c").alias("na"), F.count(F.lit(1)).alias("va"))
     tb = cb.agg(F.sum("c").alias("nb"), F.count(F.lit(1)).alias("vb"))
     shared = (

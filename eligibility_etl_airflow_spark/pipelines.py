@@ -120,6 +120,7 @@ def run_corpus_curation_pipeline(
     semantic_k: int = 16,
     quality_model: dict | None = None,
     quality_model_min: float = 0.5,
+    lang_model: dict | None = None,
     audit_path: str | None = None,
     documents: DataFrame | None = None,
 ) -> dict:
@@ -227,6 +228,27 @@ def run_corpus_curation_pipeline(
     # run_crawl_preprocess_pipeline's documents.parquet) or any
     # caller-built relation with (doc_id, text, lang) columns
     docs = documents if documents is not None else Catalog(spark, sf_dir).documents
+    # ``lang_model`` (a train_softmax_classifier dict) re-identifies the
+    # language from the TEXT — the learned char-n-gram classifier
+    # replaces whatever the source metadata claimed, which is the
+    # production posture (crawl-provided lang tags are unreliable). The
+    # language-mix filter below then runs on the predicted label. Pure
+    # column arithmetic + one broadcast weight join (score_softmax); a
+    # doc the scorer can't featurize keeps the model's prior.
+    if lang_model is not None:
+        from eligibility_etl_airflow_spark.operators import (
+            quality_model as _qm_ops,
+        )
+
+        pred = _qm_ops.score_softmax(docs, "doc_id", "text", lang_model).select(
+            F.col("id").alias("doc_id"),
+            F.col("pred_label").alias("_pred_lang"),
+        )
+        docs = (
+            docs.join(pred, "doc_id", "left")
+            .withColumn("lang", F.coalesce("_pred_lang", F.col("lang")))
+            .drop("_pred_lang")
+        )
     n_total = docs.count()
     # audit trail: (stage_name, surviving relation) snapshots; consecutive
     # anti-joins reconstruct which stage dropped each doc (opt-in)
@@ -676,6 +698,7 @@ def run_incremental_curation(
     semantic_eps: float | None = None,
     embedding_col: str = "embedding",
     semantic_k: int = 16,
+    drift_report: bool = False,
 ) -> dict:
     """Curate a NEW batch against a persisted corpus index — the
     production dedup shape at 100 TB, where re-scanning the accepted
@@ -709,6 +732,17 @@ def run_incremental_curation(
     re-scan state: the bipartite comparison is cluster-cogrouped,
     batch-side × state-side only (operators/semdedup.py). Within-batch
     semantic dedup runs under the same stored centroids.
+
+    ``drift_report=True`` adds ``batch_js_divergence`` /
+    ``batch_vocab_shared`` to the stats: the accepted batch's unigram
+    JSD against the corpus BEFORE the append, computed against a
+    persisted (token, count) index (``index_tokens``) maintained
+    incrementally from each accepted batch — O(batch + vocab) per
+    batch, the same no-state-re-read discipline as every other index
+    here (and as run_incremental_crawl_ingest's monitor). The index
+    stays in sync whenever it exists, even on later
+    ``drift_report=False`` calls; a pre-index state directory is
+    backfilled once (staged write + rename).
     """
     from pyspark import StorageLevel
 
@@ -719,6 +753,7 @@ def run_incremental_curation(
     hash_path = os.path.join(state_dir, "index_hashes")
     band_path = os.path.join(state_dir, "index_bands")
     shingle_path = os.path.join(state_dir, "index_shingles")
+    token_path = os.path.join(state_dir, "index_tokens")
     has_state = os.path.exists(hash_path)
 
     n_batch = batch.count()
@@ -960,6 +995,40 @@ def run_incremental_curation(
         if acc_vecs is not None:
             acc_vecs = _stable(acc_vecs)
 
+        # drift vs the PRE-append corpus via the persisted token index
+        # (backfilled once for a pre-index state) — O(batch + vocab),
+        # accepted text never re-read; same design as the crawl
+        # ingest's monitor (see run_incremental_crawl_ingest)
+        drift_row = None
+        batch_counts = None
+        maintain_tokens = drift_report or os.path.exists(token_path)
+        if maintain_tokens:
+            import uuid as _uuid
+
+            from eligibility_etl_airflow_spark.operators import drift as drift_ops
+
+            if os.path.exists(docs_path) and not os.path.exists(token_path):
+                backfill = drift_ops.unigram_counts(
+                    spark.read.parquet(docs_path).select("text")
+                )
+                tmp = f"{token_path}__backfill_{_uuid.uuid4().hex[:8]}"
+                backfill.write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, token_path)
+            if n_accepted:
+                batch_counts = _stable(
+                    drift_ops.unigram_counts(accepted.select("text"))
+                )
+            if drift_report and batch_counts is not None and os.path.exists(
+                token_path
+            ):
+                drift_row = (
+                    drift_ops.js_divergence_counts(
+                        batch_counts, spark.read.parquet(token_path)
+                    )
+                    .collect()[0]
+                    .asDict()
+                )
+
         # idempotent index + corpus maintenance (doc_id-keyed appends)
         sinks.append_dedup(
             spark, docs_path, accepted.drop("content_hash"), ["doc_id"]
@@ -983,6 +1052,28 @@ def run_incremental_curation(
                 acc_vecs,
                 ["id"],
             )
+
+        # fold the accepted batch into the token index LAST (staged
+        # write + rename: the path is also the read source); a replayed
+        # batch accepts nothing and skips, keeping the index as
+        # idempotent as the other four relations
+        if maintain_tokens and batch_counts is not None:
+            import shutil as _shutil
+
+            if os.path.exists(token_path):
+                current_counts = spark.read.parquet(token_path)
+            else:
+                current_counts = spark.createDataFrame([], "tok string, c long")
+            merged = drift_ops.token_index_merge(current_counts, add=batch_counts)
+            tmp = f"{token_path}__merge_{_uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(token_path):
+                old_dir = f"{token_path}__old_{_uuid.uuid4().hex[:8]}"
+                os.rename(token_path, old_dir)
+                os.rename(tmp, token_path)
+                _shutil.rmtree(old_dir)
+            else:
+                os.rename(tmp, token_path)
     finally:
         for c in caches:
             c.unpersist()
@@ -1006,6 +1097,9 @@ def run_incremental_curation(
         # frozen per corpus lifetime by design, so a hot cluster cannot
         # be split without retraining)
         stats["n_semantic_capped"] = n_semantic_capped
+    if drift_row is not None:
+        stats["batch_js_divergence"] = drift_row["js_divergence"]
+        stats["batch_vocab_shared"] = drift_row["vocab_shared"]
     return stats
 
 
@@ -1421,10 +1515,17 @@ def run_incremental_crawl_ingest(
     no-ops, so replaying a batch under either policy stays idempotent.
     ``drift_report=True`` adds ``batch_js_divergence`` (plus token/vocab
     counts) to the stats: the accepted batch's unigram JSD against the
-    corpus state BEFORE the append (operators/drift.py::
-    js_divergence_pair) — a batch that suddenly diverges (spam wave,
-    encoding regression, topic shift) surfaces as one number before it
-    pollutes the corpus.
+    corpus state BEFORE the append. The corpus side comes from a THIRD
+    state relation, ``index_tokens`` — persisted (token, count) unigram
+    counts maintained incrementally from each accepted/updated batch —
+    so the per-batch drift cost is O(batch + vocab), never O(corpus):
+    accepted text is not re-read for the monitor either. The index is
+    kept in sync whenever it exists, even on later drift_report=False
+    calls; a pre-index state directory is backfilled once on the first
+    drift_report=True ingest (staged write + rename, like the url-index
+    migration). A batch that suddenly diverges (spam wave, encoding
+    regression, topic shift) surfaces as one number before it pollutes
+    the corpus.
 
     A url index written before the update-policy era (no content_hash
     column) is backfilled ONCE on the next ingest — hashes recomputed
@@ -1447,6 +1548,7 @@ def run_incremental_crawl_ingest(
     docs_path = os.path.join(state_dir, "accepted_docs")
     url_index = os.path.join(state_dir, "index_urls")
     hash_index = os.path.join(state_dir, "index_hashes")
+    token_index = os.path.join(state_dir, "index_tokens")
     has_state = os.path.exists(url_index)
 
     n_batch = batch.count()
@@ -1593,20 +1695,45 @@ def run_incremental_crawl_ingest(
         )
         n_accepted = accepted.count()
 
-        # drift vs the PRE-append state — computed (and materialized)
-        # before any write below refreshes docs_path
+        # drift vs the PRE-append state, via the persisted token index —
+        # the batch's unigram counts join the vocab-sized index, so the
+        # per-batch drift cost is O(batch + vocab) and accepted text is
+        # NEVER re-read (the function's core invariant). The index is
+        # maintained whenever it exists OR drift_report is on, so a
+        # later flag-off call cannot silently let it go stale. A state
+        # built before the token-index era is backfilled ONCE from the
+        # accepted docs (the only O(corpus) token pass the index ever
+        # costs) — same staged write + rename swap as the url-index
+        # migration above.
         drift_row = None
-        if drift_report and has_state and n_accepted:
+        batch_counts = None
+        maintain_tokens = drift_report or os.path.exists(token_index)
+        if maintain_tokens:
+            import uuid as _uuid
+
             from eligibility_etl_airflow_spark.operators import drift as drift_ops
 
-            drift_row = (
-                drift_ops.js_divergence_pair(
-                    accepted.select("text"),
-                    spark.read.parquet(docs_path).select("text"),
+            if has_state and not os.path.exists(token_index):
+                backfill = drift_ops.unigram_counts(
+                    spark.read.parquet(docs_path).select("text")
                 )
-                .collect()[0]
-                .asDict()
-            )
+                tmp = f"{token_index}__backfill_{_uuid.uuid4().hex[:8]}"
+                backfill.write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, token_index)
+            if n_accepted:
+                batch_counts = _stable(
+                    drift_ops.unigram_counts(accepted.select("text"))
+                )
+            if drift_report and batch_counts is not None and os.path.exists(
+                token_index
+            ):
+                drift_row = (
+                    drift_ops.js_divergence_counts(
+                        batch_counts, spark.read.parquet(token_index)
+                    )
+                    .collect()[0]
+                    .asDict()
+                )
 
         # update path: re-crawled URLs whose CLEANED content changed
         # replace their accepted doc in place; computed (and _stable'd)
@@ -1635,6 +1762,29 @@ def run_incremental_crawl_ingest(
                 )
             )
             n_updated = updated.count()
+
+        # token-count deltas for the update path, materialized BEFORE
+        # merge_upsert rewrites docs_path: the replaced documents' OLD
+        # text leaves the corpus, so its counts must leave the index
+        # (else the index accretes ghost vocabulary). The old-text read
+        # piggybacks on the update path, which already rewrites
+        # docs_path wholesale — no new asymptotic cost.
+        upd_add = upd_sub = None
+        if maintain_tokens and n_updated:
+            upd_add = _stable(
+                drift_ops.unigram_counts(updated.select("text"))
+            )
+            upd_sub = _stable(
+                drift_ops.unigram_counts(
+                    spark.read.parquet(docs_path)
+                    .join(
+                        updated.select("url_canonical"),
+                        "url_canonical",
+                        "left_semi",
+                    )
+                    .select("text")
+                )
+            )
 
         # appends AFTER the _stable: each write refreshes its path, and
         # an un-checkpointed lineage reading these paths would lazily
@@ -1675,6 +1825,37 @@ def run_incremental_crawl_ingest(
                 updated.select("content_hash", "doc_id"),
                 keys=["content_hash"],
             )
+
+        # fold the batch into the token index LAST, mirroring exactly
+        # what the writes above did to docs_path (accepted appended,
+        # updated replaced) — counts + accepted + new_updated − old_updated,
+        # zero-count rows dropped. O(vocab + batch) work; staged write +
+        # rename swap because the index path is also the read source. A
+        # replayed batch reaches here with nothing accepted and nothing
+        # updated and skips — the index is as idempotent as the state.
+        if maintain_tokens and (batch_counts is not None or n_updated):
+            import shutil as _shutil
+            import uuid as _uuid
+
+            if os.path.exists(token_index):
+                current_counts = spark.read.parquet(token_index)
+            else:
+                current_counts = spark.createDataFrame([], "tok string, c long")
+            adds = batch_counts
+            if upd_add is not None:
+                adds = upd_add if adds is None else adds.unionByName(upd_add)
+            merged = drift_ops.token_index_merge(
+                current_counts, add=adds, subtract=upd_sub
+            )
+            tmp = f"{token_index}__merge_{_uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(token_index):
+                old_dir = f"{token_index}__old_{_uuid.uuid4().hex[:8]}"
+                os.rename(token_index, old_dir)
+                os.rename(tmp, token_index)
+                _shutil.rmtree(old_dir)
+            else:
+                os.rename(tmp, token_index)
     finally:
         for c in caches:
             c.unpersist()
@@ -1950,10 +2131,14 @@ def corpus_data_card(docs: DataFrame) -> DataFrame:
     """One-stop corpus summary — the numbers a dataset card leads with:
     (metric, value) rows for doc count, whitespace-token total, mean
     length, exact-duplicate rate (content-fingerprint grain), and the
-    language / source mix shares. Two partial-agg passes (one scalar,
-    one per-facet) + broadcast share normalization; output is
-    facets-sized. Deeper cuts compose from the registered queries
-    (quality histograms, drift, dup clusters) — this is the cover page.
+    language / source mix shares. Exactly TWO scans of the corpus: one
+    scalar partial-agg pass (its single row is collected and becomes a
+    local relation, so the scalar metrics and the share denominators
+    never re-trigger the scan) and one facet pass that counts BOTH
+    facets in a single shuffle via an exploded (facet, value) pair.
+    Output is facets-sized. Deeper cuts compose from the registered
+    queries (quality histograms, drift, dup clusters) — this is the
+    cover page.
     """
     from eligibility_etl_airflow_spark.operators import text as text_ops
 
@@ -1970,7 +2155,15 @@ def corpus_data_card(docs: DataFrame) -> DataFrame:
         F.avg("nc").alias("mc"),
         F.count_distinct("fp").alias("df"),
     )
-    scalars = tot.select(
+    # scan 1: collect the 4 scalar totals (one row) and rebuild them as
+    # a local relation — the rounding arithmetic stays IN Spark (same
+    # F.round semantics as before) but its input is now literal, so
+    # neither the scalar rows nor the share denominator below re-scan
+    # the corpus
+    trow = tot.first()
+    spark = docs.sparkSession
+    tot_local = spark.createDataFrame([trow], tot.schema)
+    scalars = tot_local.select(
         F.explode(
             F.create_map(
                 F.lit("n_docs"), F.col("n").cast("double"),
@@ -1981,14 +2174,23 @@ def corpus_data_card(docs: DataFrame) -> DataFrame:
             )
         ).alias("metric", "value")
     )
-    def share(col: str) -> DataFrame:
-        return (
-            base.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .crossJoin(F.broadcast(tot.select("n")))
-            .select(
-                F.concat(F.lit(f"{col}_share:"), F.col(col)).alias("metric"),
-                F.round(F.col("c") / F.col("n"), 6).alias("value"),
-            )
+    # scan 2: both facet histograms in ONE pass — explode each doc into
+    # (facet, value) pairs (map-side 2× row fan-out, partial-agg
+    # combined before the single facets-sized shuffle)
+    shares = (
+        base.select(
+            F.explode(
+                F.create_map(
+                    F.lit("lang"), F.col("lang"),
+                    F.lit("source"), F.col("source"),
+                )
+            ).alias("facet", "val")
         )
-    return scalars.unionByName(share("lang")).unionByName(share("source"))
+        .groupBy("facet", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.concat("facet", F.lit("_share:"), F.col("val")).alias("metric"),
+            F.round(F.col("c") / F.lit(trow["n"]), 6).alias("value"),
+        )
+    )
+    return scalars.unionByName(shares)

@@ -1058,6 +1058,57 @@ def dedup_global_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_repeated_segments(d, segment_tokens=16)
 
 
+DUP_SPANS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 16
+), pos_t AS (
+  SELECT doc_id, t, unnest(range(1, n - 14)) AS i FROM sized
+), wins AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+15], ' ') AS w
+  FROM pos_t
+), dups AS (
+  SELECT w FROM wins GROUP BY w HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, pos FROM wins JOIN dups USING (w)
+), runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+), spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end
+  FROM runs GROUP BY doc_id, grp
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS n_span_tokens,
+       array_to_string(t[span_start + 1 : span_end + 1], ' ') AS span_text
+FROM spans s JOIN sized USING (doc_id)
+"""
+
+
+@query("duplicate_text_spans", oracle=DUP_SPANS_ORACLE)
+def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans (operators/dedup.py::
+    duplicate_spans), the last tier of the dedup ladder: stride-1
+    16-token windows, corpus-wide occurrence count, per-doc
+    gap-and-island chaining into maximal (start, end) spans with exact
+    0-based token offsets. Completes what dedup_global_segments'
+    fixed grid only approximates — a quote straddling segment
+    boundaries reports as ONE span. hashed=False here so the result is
+    exact text equality, byte-identical to the oracle's window-chain
+    reconstruction; hashed=True is the 8-bytes-per-token scale path
+    (equality of the two modes is test-pinned)."""
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    d = Catalog(spark, sf_dir).documents
+    return dedup_ops.duplicate_spans(d, min_tokens=16, hashed=False)
+
+
 @query("fuzzy_decontamination")
 def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-based fuzzy decontamination (operators/neardup.py::

@@ -113,6 +113,9 @@ _DEFERRED = _ROTATED_OUT + (
     # dedup_connected_components family; segment machinery also feeds the
     # r6 duplicate_text_spans query
     "dedup_global_segments",
+    # NEW round 6 (lands deferred per the rotation policy): maximal
+    # duplicated token spans — window-chain oracle, planted-offset tests
+    "duplicate_text_spans",
     "train_test_split_hash",
     "contiguous_row_ids",
     "group_sample_deterministic",

@@ -1220,3 +1220,141 @@ def test_incremental_crawl_ingest_drift_report(spark, tmp_path):
     )
     assert 0 <= s_sim["batch_js_divergence"] < s_alien["batch_js_divergence"] <= 1
     assert s_alien["batch_vocab_shared"] == 0
+
+
+def test_incremental_drift_token_index_matches_full_recompute(spark, tmp_path):
+    """The persisted (token, count) index makes the drift monitor
+    incremental: across a 3-batch sequence the per-batch JSD equals the
+    full batch-vs-state recompute, the index equals a from-scratch
+    recount of the accepted corpus after every batch, and — the core
+    invariant — the monitor never re-reads accepted TEXT: tampering the
+    stored docs' text between batches does not move the reported JSD."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.operators import drift
+
+    state = str(tmp_path)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(i, f"https://d.example.com/p{i}", f"<p>{body}</p>")
+             for i, body in rows],
+            "doc_id long, url string, html string",
+        )
+
+    def docs_texts():
+        return [
+            r["text"]
+            for r in spark.read.parquet(f"{state}/accepted_docs").collect()
+        ]
+
+    def as_df(texts):
+        return spark.createDataFrame([(t,) for t in texts], "text string")
+
+    b1 = batch([(1, "the quick brown fox jumps over the lazy dog"),
+                (2, "a fast auburn fox vaults a sleepy hound")])
+    pipelines.run_incremental_crawl_ingest(spark, b1, state,
+                                           drift_report=True)
+    # fresh state: no pre-existing corpus to diverge from, but the
+    # index must exist and equal a full recount of the accepted docs
+    assert os.path.exists(f"{state}/index_tokens")
+    snap1 = docs_texts()
+
+    def assert_index_matches(texts):
+        got = {
+            r["tok"]: r["c"]
+            for r in spark.read.parquet(f"{state}/index_tokens").collect()
+        }
+        want = {
+            r["tok"]: r["c"]
+            for r in drift.unigram_counts(as_df(texts)).collect()
+        }
+        assert got == want
+
+    assert_index_matches(snap1)
+
+    b2 = batch([(3, "foxes and hounds share the meadow at dawn"),
+                (4, "the dog naps while the fox patrols the fence")])
+    s2 = pipelines.run_incremental_crawl_ingest(spark, b2, state,
+                                                drift_report=True)
+    snap2 = docs_texts()
+    new2 = [t for t in snap2 if t not in snap1]
+    expected2 = drift.js_divergence_pair(as_df(new2), as_df(snap1)).collect()[0]
+    assert s2["batch_js_divergence"] == expected2["js_divergence"]
+    assert s2["batch_vocab_shared"] == expected2["vocab_shared"]
+    assert_index_matches(snap2)
+
+    # tamper the stored text: if the monitor re-read accepted text the
+    # batch-3 JSD would move; riding the index it must not
+    docs_dir = f"{state}/accepted_docs"
+    tbl = pq.read_table(docs_dir)
+    garbled = tbl.set_column(
+        tbl.schema.get_field_index("text"),
+        "text",
+        pa.array(["zzz qqq xxx"] * tbl.num_rows, pa.string()),
+    )
+    for f in glob.glob(f"{docs_dir}/*.parquet"):
+        os.remove(f)
+    pq.write_table(garbled, f"{docs_dir}/part-00000.parquet")
+
+    b3 = batch([(5, "a new fox essay about the meadow and the fence")])
+    s3 = pipelines.run_incremental_crawl_ingest(spark, b3, state,
+                                                drift_report=True)
+    new3_clean = "a new fox essay about the meadow and the fence"
+    expected3 = drift.js_divergence_pair(
+        as_df([new3_clean]), as_df(snap2)
+    ).collect()[0]
+    assert s3["batch_js_divergence"] == expected3["js_divergence"]
+
+    # replay of batch 3 is a no-op for the index too (same file set)
+    files_before = sorted(glob.glob(f"{state}/index_tokens/*.parquet"))
+    s_replay = pipelines.run_incremental_crawl_ingest(
+        spark, b3, state, drift_report=True
+    )
+    assert s_replay["n_accepted"] == 0
+    assert sorted(glob.glob(f"{state}/index_tokens/*.parquet")) == files_before
+
+
+def test_incremental_drift_index_tracks_update_policy(spark, tmp_path):
+    """recrawl_policy='update' replaces a doc's text in place; the token
+    index must shed the OLD text's counts and gain the NEW ones — no
+    ghost vocabulary — and keep matching a from-scratch recount."""
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.operators import drift
+
+    state = str(tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "https://u.example.com/a", "<p>ephemeral draft wording here</p>"),
+         (2, "https://u.example.com/b", "<p>stable reference page text</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(spark, b1, state, drift_report=True)
+
+    b2 = spark.createDataFrame(
+        [(10, "https://u.example.com/a", "<p>final published wording now</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(
+        spark, b2, state, recrawl_policy="update", drift_report=True
+    )
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{state}/accepted_docs").collect()
+    ]
+    got = {
+        r["tok"]: r["c"]
+        for r in spark.read.parquet(f"{state}/index_tokens").collect()
+    }
+    want = {
+        r["tok"]: r["c"]
+        for r in drift.unigram_counts(
+            spark.createDataFrame([(t,) for t in texts], "text string")
+        ).collect()
+    }
+    assert got == want
+    assert "ephemeral" not in got and "final" in got

@@ -379,3 +379,61 @@ def test_stream_crawl_ingest_vs_state_and_replay(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(f"{state}/accepted_docs").collect()
     ) == [1, 2, 12]
+
+
+def test_stream_incremental_curation_drift_per_batch_and_restart(spark, tmp_path):
+    """drift_report flows through the stream wrapper: every micro-batch
+    after the first surfaces batch_js_divergence computed against the
+    persisted token index, and the numbers survive a restart (checkpoint
+    wiped, same source: replays accept nothing, so no drift stat and no
+    index movement)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eligibility_etl_airflow_spark.operators import drift
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon additional words here",
+        "totally disjoint vocabulary spark shuffle broadcast window",
+    ]
+    for i, t in enumerate(texts, start=1):
+        p = str(src / f"b{i}.parquet")
+        pq.write_table(pa.table({"doc_id": [i], "text": [t]}), p)
+        os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
+    stats = ops.stream_incremental_curation(
+        stream, state, str(tmp_path / "ck1"), drift_report=True
+    )
+    assert len(stats) == 3
+    assert "batch_js_divergence" not in stats[0]  # nothing to diverge from
+    assert "batch_js_divergence" in stats[1]
+    assert "batch_js_divergence" in stats[2]
+    # the disjoint batch diverges more than the overlapping one
+    assert stats[1]["batch_js_divergence"] < stats[2]["batch_js_divergence"]
+    # index equals a from-scratch recount of the accepted corpus
+    docs = spark.read.parquet(f"{state}/accepted_docs").select("text")
+    want = {r["tok"]: r["c"] for r in drift.unigram_counts(docs).collect()}
+    got = {
+        r["tok"]: r["c"]
+        for r in spark.read.parquet(f"{state}/index_tokens").collect()
+    }
+    assert got == want
+
+    # restart: full replay accepts nothing, emits no drift stat, and
+    # leaves the token index untouched
+    stream2 = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
+    stats2 = ops.stream_incremental_curation(
+        stream2, state, str(tmp_path / "ck2"), drift_report=True
+    )
+    assert all(s["n_accepted"] == 0 for s in stats2)
+    assert all("batch_js_divergence" not in s for s in stats2)
+    got2 = {
+        r["tok"]: r["c"]
+        for r in spark.read.parquet(f"{state}/index_tokens").collect()
+    }
+    assert got2 == want
