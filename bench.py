@@ -71,7 +71,12 @@ def main() -> None:
                     "across queries, so per-query lines are not "
                     "standalone costs (whichever neardup query runs "
                     "first alphabetically pays the shingle build) — "
-                    "only the suite total is comparable across rounds"
+                    "only the suite total is comparable across rounds. "
+                    "contrastive_triplets is the suite's largest single "
+                    "line by design: its cost is quadratic in the LSH "
+                    "bucket cap (cap=32 here; cap=200 is ~5x slower at "
+                    "~10% more triplet yield — the knob is documented "
+                    "in operators/contrastive.py)"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -164,3 +164,200 @@ def score_quality(
             ).alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-class generalization: learned language ID over hashed char-n-grams
+# --------------------------------------------------------------------------
+
+def hashed_char_features(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 2048, n: int = 3
+) -> DataFrame:
+    """(id, bucket, cnt) sparse hashed bag of character n-grams — the
+    language-ID feature space (word features generalize poorly across
+    morphology; char n-grams are the published standard, e.g. the
+    fastText/langid.py families). Text is lowercased with whitespace
+    runs folded to '_' and '_' sentinels added at both ends, so word
+    boundaries participate in the grams. Stays JVM-side: the padded
+    string and the gram array are staged projection aliases
+    (re-evaluation discipline), F.substr peels each gram, one
+    partial-agg groupBy counts buckets."""
+    padded = F.concat(
+        F.lit("_"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "_"),
+        F.lit("_"),
+    )
+    staged = df.select(F.col(id_col).alias("id"), padded.alias("_s"))
+    grams = F.when(
+        F.length("_s") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length("_s") - (n - 1)),
+            lambda i: F.substr(F.col("_s"), i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.select("id", F.explode(grams).alias("g"))
+        .select("id", _bucket_of(F.col("g"), dim).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+
+
+def train_softmax_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    dim: int = 2048,
+    n: int = 3,
+    sample_size: int = 4096,
+    iters: int = 300,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+    max_classes: int = 64,
+) -> dict:
+    """Multi-class softmax regression on hashed char-n-gram features —
+    the :func:`train_quality_classifier` solver generalized from a
+    sigmoid to K classes (learned language ID being the canonical use).
+    Returns ``{"classes": [K labels], "weights": [K][dim], "bias": [K],
+    "dim": dim, "n": n}``.
+
+    Same discipline as the binary solver: the label set is collected
+    (bounded by ``max_classes`` — a label explosion fails loudly, it is
+    a modeling bug, not data), the training sample is md5-ranked
+    layout-stable, featurization runs DISTRIBUTED with the same JVM
+    hash used at score time, and the driver solves deterministic
+    full-batch gradient descent from zero init — same sample, same
+    model, bit for bit."""
+    import numpy as np
+
+    labeled = df.where(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.col(label_col).cast("string").alias("y"),
+    )
+    classes = sorted(r["y"] for r in labeled.select("y").distinct().collect())
+    if not classes:
+        raise ValueError("no labeled rows to train on")
+    if len(classes) > max_classes:
+        raise ValueError(
+            f"{len(classes)} distinct labels exceeds max_classes="
+            f"{max_classes} — not a classification label column"
+        )
+    cls_idx = {c: k for k, c in enumerate(classes)}
+    sample_ids = (
+        labeled.select("id")
+        .orderBy(F.md5(F.concat(F.lit("sm-sample-v1|"), F.col("id").cast("string"))))
+        .limit(sample_size)
+    )
+    sample = labeled.join(sample_ids, "id", "left_semi")
+    feats = hashed_char_features(sample, "id", "text", dim, n)
+    rows = (
+        sample.select("id", "y")
+        .join(
+            feats.groupBy("id").agg(
+                F.collect_list(F.struct("bucket", "cnt")).alias("bc")
+            ),
+            "id",
+            "left",
+        )
+        .select("bc", "y")
+        .collect()
+    )
+    m = len(rows)
+    K = len(classes)
+    X = np.zeros((m, dim), dtype=np.float64)
+    Y = np.zeros((m, K), dtype=np.float64)
+    for i, r in enumerate(rows):
+        Y[i, cls_idx[r["y"]]] = 1.0
+        for s in r["bc"] or ():
+            X[i, s["bucket"]] = np.log1p(s["cnt"])
+    W = np.zeros((K, dim), dtype=np.float64)
+    b = np.zeros(K, dtype=np.float64)
+    for _ in range(iters):
+        Z = X @ W.T + b
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        G = (P - Y).T @ X / m + l2 * W
+        gb = (P - Y).mean(axis=0)
+        W -= lr * G
+        b -= lr * gb
+    return {
+        "classes": classes,
+        "weights": W.tolist(),
+        "bias": b.tolist(),
+        "dim": dim,
+        "n": n,
+    }
+
+
+def score_softmax(
+    df: DataFrame, id_col: str, text_col: str, model: dict
+) -> DataFrame:
+    """(id, pred_label, confidence) per document under a
+    :func:`train_softmax_classifier` model — pure relational arithmetic
+    end to end: hashed char-n-gram features, one broadcast join against
+    the (bucket, class, weight) relation (dim × K rows by
+    construction), a per-(doc, class) partial-agg dot product, argmax
+    by max(struct) with a deterministic alphabetical tie-break, and a
+    second per-doc aggregate for the softmax denominator (shifted by
+    the winning logit, so exp never overflows). No UDF anywhere; at
+    100 TB this is two map-side-combined aggregates over the gram
+    stream. Documents with no grams (shorter than n chars) score the
+    bias-only softmax — absence of evidence is the prior."""
+    import math
+
+    spark = df.sparkSession
+    classes = list(model["classes"])
+    dim = int(model["dim"])
+    n = int(model["n"])
+    bias = [float(x) for x in model["bias"]]
+    wtab = spark.createDataFrame(
+        [
+            (bkt, k, float(w))
+            for k, row in enumerate(model["weights"])
+            for bkt, w in enumerate(row)
+            if w != 0.0
+        ],
+        "bucket int, cls int, w double",
+    )
+    ctab = spark.createDataFrame(
+        [(k, c, bias[k]) for k, c in enumerate(classes)],
+        "cls int, label string, b double",
+    )
+    feats = hashed_char_features(df, id_col, text_col, dim, n)
+    z = (
+        feats.withColumn("x", F.log1p(F.col("cnt")))
+        .join(F.broadcast(wtab), "bucket")
+        .groupBy("id", "cls")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+        .join(F.broadcast(ctab), "cls")
+        .select("id", "cls", "label", (F.col("dot") + F.col("b")).alias("z"))
+    )
+    # argmax with alphabetical-first tie-break (classes are sorted, so
+    # the LOWEST cls index wins ties -> negate it inside the max struct)
+    win = z.groupBy("id").agg(F.max(F.struct(F.col("z"), (-F.col("cls")).alias("nc"))).alias("m"))
+    scored = (
+        z.join(win, "id")
+        .groupBy("id", F.col("m.z").alias("zstar"), (-F.col("m.nc")).alias("wcls"))
+        .agg(F.sum(F.exp(F.col("z") - F.col("m.z"))).alias("denom"))
+        .join(F.broadcast(ctab.select(F.col("cls").alias("wcls"), "label")), "wcls")
+        .select(
+            "id",
+            F.col("label").alias("pred_label"),
+            F.round(F.lit(1.0) / F.col("denom"), 6).alias("confidence"),
+        )
+    )
+    # gram-less docs: bias-only prediction, computed once on the driver
+    zmax = max(bias)
+    exps = [math.exp(v - zmax) for v in bias]
+    prior_label = classes[bias.index(zmax)]
+    prior_conf = round(exps[bias.index(zmax)] / sum(exps), 6)
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("pred_label", F.lit(prior_label)).alias("pred_label"),
+        F.coalesce("confidence", F.lit(prior_conf)).alias("confidence"),
+    )

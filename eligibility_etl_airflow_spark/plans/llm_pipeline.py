@@ -188,6 +188,30 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("lang_id_learned")
+def lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned language ID (operators/quality_model.py::
+    train_softmax_classifier + score_softmax): multi-class softmax over
+    hashed char-3-gram features, self-distilled from the corpus' own
+    lang labels on an md5-ranked bounded sample, then scored as pure
+    column arithmetic (broadcast weight join + two partial-agg passes —
+    zero UDF). Rows-only: the driver-side deterministic GD solve is not
+    SQL-expressible; the planted multilingual accuracy floor vs
+    lang_id_heuristic is pinned in tests/test_quality_model.py (the
+    synthetic corpus' own lang labels are uncorrelated with its text,
+    so THIS vehicle only exercises the machinery; the planted test is
+    where accuracy is meaningful)."""
+    from eligibility_etl_airflow_spark.operators import quality_model as qm
+
+    d = Catalog(spark, sf_dir).documents
+    model = qm.train_softmax_classifier(
+        d, "doc_id", "text", "lang", dim=1024, sample_size=512, iters=100
+    )
+    return qm.score_softmax(d, "doc_id", "text", model).select(
+        F.col("id").alias("doc_id"), "pred_label", "confidence"
+    )
+
+
 # --------------------------------------------------------------------------
 # Document fingerprinting
 # --------------------------------------------------------------------------

@@ -436,3 +436,44 @@ def test_pca_moment_aggregation_is_one_generic_aggregate(spark, sf_dir):
     plan = rel._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_duplicate_spans_plan_no_resplit_and_partial_count(spark, sf_dir):
+    """The occurrence count must be a partial-aggregatable groupBy on
+    the window key (a hot window collapses map-side), the tokens array
+    must be an attribute inside the HOF lambda (no per-element
+    re-split), and the only Window is the per-doc gap-and-island
+    chain."""
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    d = Catalog(spark, sf_dir).documents
+    df = dedup_ops.duplicate_spans(d)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.split("\n"):
+        if "lambdafunction" in line:
+            lam = line.split("lambdafunction", 1)[1]
+            assert "split(" not in lam and "regexp" not in lam, line
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Window") == 1          # the per-doc chain only
+    assert phys.count("HashAggregate") >= 4   # partial+final count pairs
+
+
+def test_softmax_lang_scoring_is_broadcast_and_partial(spark, sf_dir):
+    """score_softmax: the (bucket, class, weight) relation joins
+    BROADCAST (dim x K rows by construction — never a shuffled join),
+    and both per-doc aggregates are partial-aggregated."""
+    from eligibility_etl_airflow_spark.operators import quality_model as qm
+
+    d = Catalog(spark, sf_dir).documents.limit(200)
+    model = qm.train_softmax_classifier(
+        d, "doc_id", "text", "lang", dim=256, sample_size=64, iters=10
+    )
+    plan = (
+        qm.score_softmax(Catalog(spark, sf_dir).documents, "doc_id", "text", model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4

@@ -142,3 +142,152 @@ def test_curation_learned_quality_stage(spark, sf_dir, tmp_path):
     )
     assert lax["n_after_learned_quality"] == base["n_after_quality_lang"]
     assert lax["n_curated"] == base["n_curated"]
+
+
+def _multilingual_corpus(spark):
+    """Real function-word-laden snippets in four languages — the planted
+    vehicle for the learned-vs-heuristic language-ID comparison."""
+    en = ["the cat sat on the mat and the dog was there",
+          "this is a story about the people who lived in the town",
+          "we went to the market and bought some bread and milk",
+          "it was the best of times and it was the worst of times",
+          "she walked along the road and saw the old house by the lake"]
+    fr = ["le chat est sur le tapis et le chien est dans la maison",
+          "c'est une histoire sur les gens qui vivaient dans la ville",
+          "nous sommes allés au marché et avons acheté du pain",
+          "c'était le meilleur des temps et c'était le pire des temps",
+          "elle marchait le long de la route et voyait la vieille maison"]
+    de = ["die katze sitzt auf der matte und der hund ist im haus",
+          "das ist eine geschichte über die menschen die in der stadt lebten",
+          "wir gingen zum markt und kauften brot und milch",
+          "es war die beste zeit und es war die schlimmste zeit",
+          "sie ging die straße entlang und sah das alte haus am see"]
+    es = ["el gato está en la alfombra y el perro está en la casa",
+          "esta es una historia sobre la gente que vivía en el pueblo",
+          "fuimos al mercado y compramos pan y leche",
+          "era el mejor de los tiempos y era el peor de los tiempos",
+          "ella caminaba por el camino y veía la casa vieja junto al lago"]
+    rows, i = [], 0
+    for lang, texts in (("en", en), ("fr", fr), ("de", de), ("es", es)):
+        for t in texts:
+            rows.append((i, t, lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_learned_lang_id_beats_heuristic_on_planted_multilingual(spark):
+    """Accuracy floor: the learned char-n-gram classifier must reach
+    >= 0.9 on the planted multilingual corpus (train + unseen holdout)
+    and must not trail the marker-word heuristic."""
+    from eligibility_etl_airflow_spark.operators import text as text_ops
+
+    docs = _multilingual_corpus(spark)
+    model = quality_model.train_softmax_classifier(
+        docs, "doc_id", "text", "lang", dim=1024, sample_size=64, iters=300
+    )
+    assert model["classes"] == ["de", "en", "es", "fr"]
+
+    def acc(pred_df):
+        rows = pred_df.collect()
+        return sum(1 for r in rows if r["pred"] == r["lang"]) / len(rows)
+
+    learned = quality_model.score_softmax(docs, "doc_id", "text", model).join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    ).select(F.col("pred_label").alias("pred"), "lang")
+    heur = docs.select(
+        text_ops.lang_id(F.col("text")).alias("pred"), "lang"
+    )
+    a_learned, a_heur = acc(learned), acc(heur)
+    assert a_learned >= 0.9
+    assert a_learned >= a_heur
+
+    holdout = spark.createDataFrame(
+        [
+            (100, "the rain in the valley was heavy and the river rose", "en"),
+            (101, "le soleil brille sur la montagne et les oiseaux chantent", "fr"),
+            (102, "der regen im tal war stark und der fluss stieg", "de"),
+            (103, "el sol brilla sobre la montaña y los pájaros cantan", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    hp = quality_model.score_softmax(holdout, "doc_id", "text", model).join(
+        holdout.select(F.col("doc_id").alias("id"), "lang"), "id"
+    ).select(F.col("pred_label").alias("pred"), "lang")
+    assert acc(hp) >= 0.75
+
+
+def test_softmax_training_deterministic_and_confidence_valid(spark):
+    docs = _multilingual_corpus(spark)
+    kw = dict(dim=512, sample_size=64, iters=100)
+    m1 = quality_model.train_softmax_classifier(docs, "doc_id", "text", "lang", **kw)
+    m2 = quality_model.train_softmax_classifier(docs, "doc_id", "text", "lang", **kw)
+    assert m1 == m2
+    scored = quality_model.score_softmax(docs, "doc_id", "text", m1).collect()
+    k = len(m1["classes"])
+    for r in scored:
+        assert 1.0 / k - 1e-9 <= r["confidence"] <= 1.0
+
+
+def test_softmax_scoring_path_has_no_python_udf_and_gramless_prior(spark):
+    docs = _multilingual_corpus(spark)
+    model = quality_model.train_softmax_classifier(
+        docs, "doc_id", "text", "lang", dim=256, sample_size=64, iters=50
+    )
+    plan = (
+        quality_model.score_softmax(docs, "doc_id", "text", model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # a doc too short to yield a single 3-gram gets the bias-only prior
+    tiny = spark.createDataFrame([(1, "x"), (2, "")], "doc_id long, text string")
+    rows = quality_model.score_softmax(tiny, "doc_id", "text", model).collect()
+    assert len(rows) == 2
+    assert all(r["pred_label"] in model["classes"] for r in rows)
+
+
+def test_softmax_label_explosion_raises(spark):
+    df = spark.createDataFrame(
+        [(i, f"text {i}", f"label{i}") for i in range(80)],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="max_classes"):
+        quality_model.train_softmax_classifier(
+            df, "doc_id", "text", "lang", max_classes=64, sample_size=80
+        )
+
+
+def test_curation_lang_model_flag_relabel(spark, tmp_path):
+    """lang_model= re-identifies language from TEXT: metadata that lies
+    (an 'en' label on French text) is overridden, so the language-mix
+    filter keeps/drops on the predicted label."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    train = _multilingual_corpus(spark)
+    model = quality_model.train_softmax_classifier(
+        train, "doc_id", "text", "lang", dim=1024, sample_size=64, iters=300
+    )
+    # two docs, metadata says 'en' for both; one is actually French
+    docs = spark.createDataFrame(
+        [
+            (1, "the sun shines on the mountain and the birds sing "
+                "while the people walk to the market in the morning", "en"),
+            (2, "le soleil brille sur la montagne et les oiseaux chantent "
+                "pendant que les gens marchent vers le marché le matin", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    stats = pipelines.run_corpus_curation_pipeline(
+        spark,
+        sf_dir="unused",
+        out_dir=str(tmp_path / "out"),
+        min_quality=0.0,
+        langs=("en",),
+        lang_model=model,
+        documents=docs,
+    )
+    kept = spark.read.parquet(str(tmp_path / "out" / "curated_docs"))
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1]  # the disguised French doc dropped from the en mix
+    assert stats["n_after_quality_lang"] == 1
