@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
         "previous stage's curated_docs)",
     )
     pp.add_argument(
+        "--span-dedup",
+        action="store_true",
+        help="training-prep only: exact-substring span removal before "
+        "chunking — duplicated 16-token-window spans keep only their "
+        "corpus-first copy, cut at exact offsets (Lee et al. 2022)",
+    )
+    pp.add_argument(
         "--min-latin-fraction",
         type=float,
         default=None,
@@ -332,6 +339,8 @@ def main(argv: list[str] | None = None) -> int:
                 kwargs["semantic_k"] = args.semantic_k
             if args.audit_path:
                 kwargs["audit_path"] = args.audit_path
+        if args.name == "training-prep" and args.span_dedup:
+            kwargs["span_dedup"] = True
         if args.docs_parquet and args.name in ("corpus-curation", "training-prep"):
             kwargs["documents"] = spark.read.parquet(args.docs_parquet)
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir, **kwargs), default=str))

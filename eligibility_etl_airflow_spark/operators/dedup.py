@@ -379,3 +379,95 @@ def duplicate_spans(
             ).alias("span_text"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 16,
+    hashed: bool = True,
+) -> DataFrame:
+    """The removal step over :func:`duplicate_spans`' location step —
+    Lee et al. 2022's actual intervention: for every duplicated
+    ``min_tokens``-token window the corpus-FIRST occurrence (lowest
+    (doc, position)) is canonical and stays; every other occurrence is
+    removable, removable positions chain per document into maximal
+    islands, and the island's tokens are cut at exact offsets. Returns
+    (id, clean_text, n_tokens, n_tokens_removed) for EVERY input row —
+    untouched docs pass through with n_tokens_removed = 0.
+
+    Compare ``dedup_repeated_segments``: that removes at a fixed
+    16-token grid (a duplicated span straddling the grid survives in
+    part); this cuts the exact maximal span, and keeps exactly one
+    verbatim copy corpus-wide. clean_text is whitespace-normalized
+    (tokens re-joined with single spaces — the segment operator's
+    contract too).
+
+    Scale shape = duplicate_spans plus one `min(struct(id, pos))`
+    partial aggregate on the window key (the skew-resistant
+    first-occurrence shape of dedup_repeated_segments — a window
+    repeated a million times collapses map-side, no row_number over a
+    hot partition), and the rebuild is a per-token filter against the
+    doc's own (small) removal-span array — map-only after the joins."""
+    k = min_tokens
+    if k < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {k}")
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
+            "_toks"
+        ),
+    )
+    wins = toked.filter(F.size("_toks") >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.array_join(F.slice("_toks", i + 1, k), " "),
+            )
+        ).alias("pos", "w"),
+    )
+    key = F.xxhash64("w") if hashed else F.col("w")
+    keyed = wins.select("id", "pos", key.alias("wk"))
+    firsts = keyed.groupBy("wk").agg(
+        F.min(F.struct("id", "pos")).alias("f"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    removable = (
+        keyed.join(firsts.filter(F.col("n") >= 2), "wk")
+        .filter(~((F.col("id") == F.col("f.id")) & (F.col("pos") == F.col("f.pos"))))
+        .select("id", "pos")
+    )
+    rn = F.row_number().over(Window.partitionBy("id").orderBy("pos"))
+    spans = (
+        removable.withColumn("_grp", F.col("pos") - rn)
+        .groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k - 1)).alias("e"),
+        )
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("cuts"))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("cuts"), lambda c: (i >= c["s"]) & (i <= c["e"])
+        ),
+    )
+    return (
+        toked.join(spans, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("cuts").isNull(), F.array_join("_toks", " "))
+            .otherwise(F.array_join(kept, " "))
+            .alias("clean_text"),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.when(F.col("cuts").isNull(), F.lit(0))
+            .otherwise(F.size("_toks") - F.size(kept))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -1117,3 +1117,60 @@ def containment_join(
             F.round(F.col("inter_size") / F.col("len_b"), 6).alias("containment_b"),
         )
     )
+
+
+def choose_lsh_bands(
+    jaccard_threshold: float,
+    num_perm: int = 64,
+    *,
+    beta: float = 1.0,
+) -> tuple[int, int]:
+    """Pick the (bands, rows_per_band) split of a ``num_perm`` MinHash
+    signature for a target Jaccard threshold — the standard S-curve
+    tuning (Mining of Massive Datasets §3.4): with b bands of r rows,
+    P(candidate | similarity s) = 1 − (1 − s^r)^b, and the curve's
+    steepest point sits near (1/b)^(1/r). Enumerating the divisor
+    splits of ``num_perm`` (there are only log-many), each is scored by
+    the integrated error against the ideal step function at the
+    threshold:
+
+        fn = ∫₀..t  ...probability a BELOW-threshold pair collides
+        fp = ∫t..1  ...probability an ABOVE-threshold pair is missed
+
+    and the split minimizing ``fp + beta·fn`` wins (``beta`` > 1 biases
+    toward fewer false candidates — cheaper verify stage; < 1 toward
+    recall). Returns (bands, rows_per_band) with bands · rows ==
+    num_perm exactly, so the result always satisfies
+    signature_band_table's divisibility contract.
+
+    Driver-side pure math over ≤ d(num_perm) splits — call it once and
+    pass the result to minhash_lsh_pairs/signature_band_table instead
+    of hand-picking bands. The integral is evaluated on a fixed 1000-
+    point grid, deterministic across platforms."""
+    if not 0.0 < jaccard_threshold < 1.0:
+        raise ValueError(
+            f"jaccard_threshold must be in (0, 1), got {jaccard_threshold}"
+        )
+    if num_perm < 1:
+        raise ValueError(f"num_perm must be >= 1, got {num_perm}")
+    t = jaccard_threshold
+    grid = [i / 1000.0 for i in range(1001)]
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        fn = fp = 0.0
+        for s in grid:
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < t:
+                fn += p / 1000.0       # collides although below threshold
+            else:
+                fp += (1.0 - p) / 1000.0  # missed although above threshold
+        score = fp + beta * fn
+        # deterministic tie-break: prefer more bands (higher recall)
+        key = (score, -b)
+        if best is None or key < (best[0], -best[1]):
+            best = (score, b, r)
+    assert best is not None
+    return best[1], best[2]

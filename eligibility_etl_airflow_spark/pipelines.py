@@ -595,6 +595,8 @@ def run_training_prep_pipeline(
     budget: int = 512,
     test_frac: float = 0.1,
     cluster_labels: DataFrame | None = None,
+    span_dedup: bool = False,
+    span_min_tokens: int = 16,
     documents: DataFrame | None = None,
 ) -> dict:
     """From curated documents to packed training examples: chunk →
@@ -619,6 +621,13 @@ def run_training_prep_pipeline(
     contains near-dups. Docs missing from the labels get a null cluster
     and fall to train (an unlabeled doc cannot be leakage-checked).
 
+    ``span_dedup=True`` runs exact-substring span removal first
+    (remove_duplicate_spans): every duplicated ``span_min_tokens``-token
+    window keeps only its corpus-first copy, cut at exact offsets — the
+    Lee et al. 2022 intervention, applied before example construction
+    so a popular quote trains once, not once per containing document.
+    Stats gain ``n_span_tokens_removed``.
+
     Scale shape: every stage is an already-argued operator (chunking is
     a scan-stage map; the split is map-only; packing is one shuffle into
     hash shards); the only new cost here is the final partitioned write.
@@ -631,6 +640,31 @@ def run_training_prep_pipeline(
     # ``documents`` overrides the catalog table — chains this stage onto
     # a curation/preprocess output relation instead of the raw corpus
     docs = documents if documents is not None else Catalog(spark, sf_dir).documents
+    # span_dedup: the Lee-et-al position for exact-substring dedup —
+    # BEFORE example construction, so a duplicated quote enters the
+    # training set exactly once (the corpus-first copy) instead of once
+    # per containing document. Doc-level curation upstream can only
+    # drop whole docs; this rewrites text at exact token offsets
+    # (operators/dedup.py::remove_duplicate_spans, hashed scale path).
+    n_span_tokens_removed = None
+    if span_dedup:
+        from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+        cleaned = dedup_ops.remove_duplicate_spans(
+            docs, "doc_id", "text", min_tokens=span_min_tokens
+        )
+        n_span_tokens_removed = (
+            cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+        )
+        docs = (
+            docs.drop("text")
+            .join(
+                cleaned.select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+        )
     chunks = chunking.chunk_documents(
         docs, chunk_tokens=chunk_tokens, overlap=overlap
     ).withColumn(
@@ -678,12 +712,15 @@ def run_training_prep_pipeline(
         for r in written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     n_packs = written.select("split", "pack_id").distinct().count()
-    return {
+    stats = {
         "n_docs": docs.count(),
         "n_chunks_train": counts.get("train", 0),
         "n_chunks_test": counts.get("test", 0),
         "n_packs": n_packs,
     }
+    if n_span_tokens_removed is not None:
+        stats["n_span_tokens_removed"] = int(n_span_tokens_removed)
+    return stats
 
 
 def run_incremental_curation(

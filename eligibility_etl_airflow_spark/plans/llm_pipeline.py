@@ -1133,6 +1133,70 @@ def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.duplicate_spans(d, min_tokens=16, hashed=False)
 
 
+SPAN_REMOVAL_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+), pos_t AS (
+  SELECT doc_id, t, unnest(range(1, n - 14)) AS i FROM sized WHERE n >= 16
+), wins AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+15], ' ') AS w
+  FROM pos_t
+), marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY w) AS cnt,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+  FROM wins
+), removable AS (
+  SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1
+), runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM removable
+), cuts AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 15 AS e
+  FROM runs GROUP BY doc_id, grp
+), tokv AS (
+  SELECT doc_id, unnest(range(1, n + 1)) - 1 AS ti, t FROM sized
+), keptpos AS (
+  SELECT tp.doc_id, tp.t[tp.ti + 1] AS tok, tp.ti
+  FROM tokv tp
+  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                    WHERE c.doc_id = tp.doc_id
+                      AND tp.ti BETWEEN c.s AND c.e)
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+         count(*) AS n_kept
+  FROM keptpos GROUP BY doc_id
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(s.n AS BIGINT) AS n_tokens,
+       CAST(s.n - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM sized s LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@query("dedup_span_removal", oracle=SPAN_REMOVAL_ORACLE)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal step over duplicate_text_spans' location step
+    (operators/dedup.py::remove_duplicate_spans): the corpus-first
+    occurrence of every duplicated 16-token window stays canonical,
+    every later occurrence's positions chain into maximal islands and
+    are cut at exact token offsets — exactly one verbatim copy survives
+    corpus-wide, with no fixed-grid straddle loss. hashed=False keys on
+    window text so the result is byte-identical to the oracle's
+    windowed-rank reconstruction; hashed=True is the 8-bytes-per-token
+    scale path (mode equality test-pinned)."""
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    d = Catalog(spark, sf_dir).documents
+    return dedup_ops.remove_duplicate_spans(d, min_tokens=16, hashed=False)
+
+
 @query("fuzzy_decontamination")
 def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-based fuzzy decontamination (operators/neardup.py::

@@ -116,6 +116,9 @@ _DEFERRED = _ROTATED_OUT + (
     # NEW round 6 (lands deferred per the rotation policy): maximal
     # duplicated token spans — window-chain oracle, planted-offset tests
     "duplicate_text_spans",
+    # NEW round 6: the removal step over the span locator — windowed-rank
+    # reconstruction oracle, first-copy-survives planted tests
+    "dedup_span_removal",
     "train_test_split_hash",
     "contiguous_row_ids",
     "group_sample_deterministic",

@@ -256,3 +256,56 @@ def test_duplicate_spans_no_false_positives_and_short_docs(spark):
 
     with _pytest.raises(ValueError, match="min_tokens"):
         dedup_ops.duplicate_spans(df, min_tokens=1)
+
+
+def test_remove_duplicate_spans_first_copy_survives(spark):
+    """Removal is the Lee-et-al intervention: the corpus-first
+    occurrence stays verbatim, every later occurrence is cut at exact
+    offsets, untouched docs pass through whole."""
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    quote = " ".join(f"q{i}" for i in range(40))
+    doc_a = "intro unique words here " + quote + " tail alpha"
+    doc_b = "different opening text sequence now " + quote + " ending beta"
+    doc_c = "totally unrelated filler " + " ".join(f"c{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    for hashed in (True, False):
+        out = {
+            r["doc_id"]: r
+            for r in dedup_ops.remove_duplicate_spans(df, hashed=hashed).collect()
+        }
+        assert out[1]["clean_text"] == doc_a and out[1]["n_tokens_removed"] == 0
+        assert out[2]["clean_text"] == "different opening text sequence now ending beta"
+        assert out[2]["n_tokens_removed"] == 40
+        assert out[3]["n_tokens_removed"] == 0
+        assert out[2]["n_tokens"] == 47
+
+
+def test_remove_duplicate_spans_whole_doc_duplicate_and_short(spark):
+    """A document that IS a later copy empties out entirely; short and
+    empty docs pass through; within-doc second copies are cut."""
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    block = " ".join(f"b{i}" for i in range(20))
+    sep = " ".join(f"u{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [
+            (1, block),                       # first occurrence (lowest doc)
+            (2, block),                       # whole-doc later copy -> empty
+            (3, block + " " + sep + " " + block),  # BOTH copies later than doc 1
+            (4, "short doc"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_ops.remove_duplicate_spans(df).collect()}
+    assert out[1]["clean_text"] == block and out[1]["n_tokens_removed"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_tokens_removed"] == 20
+    # doc 1 holds the corpus-first copy, so BOTH of doc 3's copies cut
+    assert out[3]["clean_text"] == sep
+    assert out[3]["n_tokens_removed"] == 40
+    assert out[4]["clean_text"] == "short doc"
+    assert out[4]["n_tokens_removed"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_tokens"] == 0

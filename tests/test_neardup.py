@@ -572,3 +572,31 @@ def test_pq_topk_raises_past_chunk_ceiling(spark):
     e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="max_chunks"):
         similarity.pq_topk(e, e, k=2, m=4, codes_k=8, max_queries=5, max_chunks=2)
+
+
+def test_choose_lsh_bands_divisibility_monotonicity_validation():
+    """Band auto-tuning: always divides num_perm exactly, moves toward
+    fewer/wider bands as the threshold rises (the S-curve midpoint
+    (1/b)^(1/r) must track the threshold), and validates inputs."""
+    from eligibility_etl_airflow_spark.operators.neardup import choose_lsh_bands
+
+    prev_bands = None
+    for t in (0.2, 0.5, 0.8, 0.95):
+        b, r = choose_lsh_bands(t, 64)
+        assert b * r == 64
+        if prev_bands is not None:
+            assert b <= prev_bands  # higher threshold -> fewer bands
+        prev_bands = b
+    # the engine's own defaults land where the queries run them
+    assert choose_lsh_bands(0.8, 64) == (4, 16)
+    # beta > 1 biases toward precision (fewer/wider bands, not more)
+    b_hi, _ = choose_lsh_bands(0.5, 64, beta=4.0)
+    b_lo, _ = choose_lsh_bands(0.5, 64, beta=0.25)
+    assert b_hi <= b_lo
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="jaccard_threshold"):
+        choose_lsh_bands(1.0)
+    with _pt.raises(ValueError, match="num_perm"):
+        choose_lsh_bands(0.5, 0)

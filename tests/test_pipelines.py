@@ -1358,3 +1358,54 @@ def test_incremental_drift_index_tracks_update_policy(spark, tmp_path):
     }
     assert got == want
     assert "ephemeral" not in got and "final" in got
+
+
+def test_training_prep_span_dedup_quote_trains_once(spark, tmp_path):
+    """span_dedup=True: a 40-token quote shared by two documents enters
+    the packed training examples exactly once (the corpus-first copy);
+    without the flag it appears once per containing document."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    quote = " ".join(f"q{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro unique words here " + quote + " tail alpha", "en"),
+            (2, "different opening text sequence now " + quote + " end", "en"),
+            (3, "plain control document with its own tokens only", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+    def quote_hits(out_dir):
+        chunks = spark.read.parquet(f"{out_dir}/packed_chunks")
+        # count docs whose reassembled text still contains the quote;
+        # chunks overlap, so reassemble per doc before searching
+        from pyspark.sql import functions as F
+
+        joined = (
+            chunks.orderBy("doc_id", "chunk_idx")
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("chunk_idx", "chunk_text")).alias("c"))
+            .select(
+                "doc_id",
+                F.array_join(
+                    F.transform(F.array_sort("c"), lambda s: s["chunk_text"]), " "
+                ).alias("t"),
+            )
+        )
+        return joined.filter(F.col("t").contains(quote)).count()
+
+    s0 = pipelines.run_training_prep_pipeline(
+        spark, "unused", str(tmp_path / "plain"),
+        chunk_tokens=16, overlap=0, test_frac=0.0, documents=docs,
+    )
+    assert "n_span_tokens_removed" not in s0
+    assert quote_hits(str(tmp_path / "plain")) == 2
+
+    s1 = pipelines.run_training_prep_pipeline(
+        spark, "unused", str(tmp_path / "deduped"),
+        chunk_tokens=16, overlap=0, test_frac=0.0,
+        span_dedup=True, documents=docs,
+    )
+    assert s1["n_span_tokens_removed"] == 40
+    assert quote_hits(str(tmp_path / "deduped")) == 1
