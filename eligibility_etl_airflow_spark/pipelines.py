@@ -640,6 +640,10 @@ def run_training_prep_pipeline(
     # ``documents`` overrides the catalog table — chains this stage onto
     # a curation/preprocess output relation instead of the raw corpus
     docs = documents if documents is not None else Catalog(spark, sf_dir).documents
+    # counted BEFORE the optional span rewrite: the count is the same
+    # (removal rewrites text, never drops rows) and counting afterwards
+    # would re-run the whole span pipeline just for the stat
+    n_docs = docs.count()
     # span_dedup: the Lee-et-al position for exact-substring dedup —
     # BEFORE example construction, so a duplicated quote enters the
     # training set exactly once (the corpus-first copy) instead of once
@@ -649,9 +653,15 @@ def run_training_prep_pipeline(
     n_span_tokens_removed = None
     if span_dedup:
         from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+        from eligibility_etl_airflow_spark.operators.components import _stable
 
-        cleaned = dedup_ops.remove_duplicate_spans(
-            docs, "doc_id", "text", min_tokens=span_min_tokens
+        # eager checkpoint: the stats aggregate below AND the chunking
+        # join both consume this relation — without truncation the whole
+        # span pipeline (window shuffle + count shuffle) would run twice
+        cleaned = _stable(
+            dedup_ops.remove_duplicate_spans(
+                docs, "doc_id", "text", min_tokens=span_min_tokens
+            ).select("doc_id", "clean_text", "n_tokens_removed")
         )
         n_span_tokens_removed = (
             cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
@@ -713,7 +723,7 @@ def run_training_prep_pipeline(
     }
     n_packs = written.select("split", "pack_id").distinct().count()
     stats = {
-        "n_docs": docs.count(),
+        "n_docs": n_docs,
         "n_chunks_train": counts.get("train", 0),
         "n_chunks_test": counts.get("test", 0),
         "n_packs": n_packs,

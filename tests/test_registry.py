@@ -22,18 +22,40 @@ def test_window_is_all_oracle_backed():
     assert not missing, f"window slots without an oracle: {missing}"
 
 
-def test_window_matches_last_graded_set():
-    """The 50 in-window queries must be exactly the set the driver graded
-    green last round — adding queries may only land PAST the window
-    (via _DEFERRED) unless the displacement is deliberate, in which case
-    update this pin together with the registry comment."""
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
-    graded = set(json.load(open(path)))
+# The round-6 rotation's 25 deliberate promotions (never driver-graded
+# before; all held local DuckDB parity through rounds 4-5). Update this
+# pin together with registry._ROTATED_OUT when the next rotation runs.
+PROMOTED_R6 = {
+    "bm25_search", "cluster_representatives", "containment_pairs",
+    "corpus_data_card", "corpus_pair_drift", "decontamination_overlap",
+    "dedup_connected_components", "document_chunks", "domain_hits",
+    "domain_pagerank", "dsir_selection", "frontier_schedule",
+    "html_text_extract", "hybrid_retrieval_rrf", "leakage_safe_split",
+    "link_graph_edges", "merge_corpora_priority", "payload_triage",
+    "robots_url_filter", "scd2_user_status", "semantic_dedup_label",
+    "set_similarity_pairs", "sitemap_parse", "snapshot_diff_cdc",
+    "url_components_parse",
+}
+
+
+def test_window_matches_rotated_graded_set():
+    """The 50 in-window queries must be exactly (last round's graded set
+    − the deliberate _ROTATED_OUT demotions) ∪ the pinned promotions —
+    an ACCIDENTAL displacement (registering a new oracle-backed query
+    without updating _DEFERRED) still fails loudly, while the rotation
+    policy's deliberate swaps are recorded here."""
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
+    graded_r5 = set(json.load(open(path)))
+    expected = (graded_r5 - set(registry._ROTATED_OUT)) | PROMOTED_R6
     window = set(list(registry.QUERIES)[:WINDOW])
-    assert window == graded, (
-        f"window gained {sorted(window - graded)}, "
-        f"lost {sorted(graded - window)}"
+    assert window == expected, (
+        f"window gained {sorted(window - expected)}, "
+        f"lost {sorted(expected - window)}"
     )
+    # rotation hygiene: every demotion really was graded last round, and
+    # every promotion really was NOT
+    assert set(registry._ROTATED_OUT) <= graded_r5
+    assert not (PROMOTED_R6 & graded_r5)
 
 
 def test_every_deferred_query_exists_and_has_coverage():
