@@ -98,6 +98,13 @@ def main(argv: list[str] | None = None) -> int:
         "corpus-first copy, cut at exact offsets (Lee et al. 2022)",
     )
     pp.add_argument(
+        "--span-exact",
+        action="store_true",
+        help="training-prep only: key span removal on window TEXT "
+        "instead of xxhash64 — required past ~1e9 windows, where a "
+        "64-bit collision would cut never-duplicated text",
+    )
+    pp.add_argument(
         "--min-latin-fraction",
         type=float,
         default=None,
@@ -341,6 +348,8 @@ def main(argv: list[str] | None = None) -> int:
                 kwargs["audit_path"] = args.audit_path
         if args.name == "training-prep" and args.span_dedup:
             kwargs["span_dedup"] = True
+            if args.span_exact:
+                kwargs["span_exact"] = True
         if args.docs_parquet and args.name in ("corpus-curation", "training-prep"):
             kwargs["documents"] = spark.read.parquet(args.docs_parquet)
         print(json.dumps(fn(spark, args.sf_dir, args.out_dir, **kwargs), default=str))

@@ -405,6 +405,17 @@ def remove_duplicate_spans(
     (tokens re-joined with single spaces — the segment operator's
     contract too).
 
+    ``hashed`` caveat — STRONGER here than in duplicate_spans: for the
+    locator a hash collision merely extends a reported span, but for
+    removal it CUTS text that was never duplicated (the colliding
+    window is treated as a later occurrence of someone else's text).
+    P ≈ n²/2⁶⁴ stays negligible through ~10⁹ windows; a 100 TB corpus
+    is ~10¹³ windows, where thousands of collisions are expected — at
+    that scale run ``hashed=False`` (window text through the shuffle,
+    ~10× heavier, exact by construction) or shard the corpus so each
+    removal domain stays under the bound. The training-prep pipeline
+    exposes this as ``span_exact=``.
+
     Scale shape = duplicate_spans plus one `min(struct(id, pos))`
     partial aggregate on the window key (the skew-resistant
     first-occurrence shape of dedup_repeated_segments — a window

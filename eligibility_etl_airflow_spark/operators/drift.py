@@ -211,3 +211,146 @@ def js_divergence_counts(
             ).alias("js_divergence"),
         )
     )
+
+
+def token_index_pending_write(
+    index_path: str,
+    key: str,
+    add: DataFrame | None = None,
+    subtract: DataFrame | None = None,
+    ids: DataFrame | None = None,
+) -> None:
+    """Stage a batch's token-count deltas as a WRITE-AHEAD intent at
+    ``<index_path>__pending`` — called BEFORE the corpus/state writes so
+    a crash between those writes and the index fold is recoverable: the
+    next ingest finds the pending directory and completes the fold
+    (:func:`token_index_fold`), instead of the index silently going
+    permanently stale (the replay accepts nothing, so the fold input
+    would otherwise be lost). ``key`` identifies the batch (any
+    deterministic content digest); it gates fold idempotency via the
+    ``_folded`` marker inside the index directory. ``ids`` (a doc_id
+    relation of the batch) lets the recovery fold verify the batch
+    actually REACHED the state before applying its counts — a crash
+    before any state write followed by a different next batch must
+    discard the intent, not fold phantom counts. Re-writing a pending
+    set for the same key (a replay that crashed before the state
+    writes) just replaces it."""
+    import os
+    import shutil
+    import uuid
+
+    pend = f"{index_path}__pending"
+    tmp = f"{pend}__tmp_{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    if add is not None:
+        add.write.mode("overwrite").parquet(os.path.join(tmp, "add"))
+    if subtract is not None:
+        subtract.write.mode("overwrite").parquet(os.path.join(tmp, "sub"))
+    if ids is not None:
+        ids.write.mode("overwrite").parquet(os.path.join(tmp, "ids"))
+    with open(os.path.join(tmp, "_key"), "w") as f:
+        f.write(key)
+    if os.path.exists(pend):
+        shutil.rmtree(pend)
+    os.rename(tmp, pend)
+
+
+def token_index_fold(
+    spark,
+    index_path: str,
+    docs_path: str | None = None,
+    verify_landed: bool = False,
+) -> bool:
+    """Fold the pending deltas (if any) into the token index, exactly
+    once: the ``_folded`` marker inside the index directory records the
+    last applied batch key, so replaying the fold after a crash between
+    the index swap and the pending cleanup is a no-op. Parquet readers
+    ignore underscore-prefixed files, so the marker rides inside the
+    index directory and swaps atomically WITH the data. Staged write +
+    rename, same discipline as every other state mutation.
+    ``verify_landed=True`` (the RECOVERY call, where the intent may
+    predate a crash that happened before any state write) checks that
+    at least one of the pending set's ``ids`` is present in the
+    accepted docs — the docs append is the FIRST state write in both
+    pipelines, so presence means the batch reached the state; an intent
+    whose batch never landed is discarded instead of folding phantom
+    counts. The in-process fold right after a successful append skips
+    the check (the writes are known to have happened), so the normal
+    path never pays the corpus id-column scan. With at-least-once
+    replay of the same batch (the streaming wrappers' contract) a
+    partially-landed batch heals on replay and the staged counts then
+    match the healed state. Returns True when a fold was applied."""
+    import os
+    import shutil
+    import uuid
+
+    pend = f"{index_path}__pending"
+    if not os.path.exists(pend):
+        return False
+    with open(os.path.join(pend, "_key")) as f:
+        key = f.read()
+    marker = os.path.join(index_path, "_folded")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == key:
+                shutil.rmtree(pend)  # crash landed between swap + cleanup
+                return False
+    ids_path = os.path.join(pend, "ids")
+    if verify_landed and os.path.exists(ids_path):
+        if docs_path is None or not os.path.exists(docs_path):
+            shutil.rmtree(pend)  # batch never reached the state
+            return False
+        landed = (
+            spark.read.parquet(ids_path)
+            .join(
+                spark.read.parquet(docs_path).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if not landed:
+            shutil.rmtree(pend)
+            return False
+    if os.path.exists(index_path):
+        current = spark.read.parquet(index_path)
+    else:
+        current = spark.createDataFrame([], "tok string, c long")
+    add_path = os.path.join(pend, "add")
+    sub_path = os.path.join(pend, "sub")
+    merged = token_index_merge(
+        current,
+        add=spark.read.parquet(add_path) if os.path.exists(add_path) else None,
+        subtract=(
+            spark.read.parquet(sub_path) if os.path.exists(sub_path) else None
+        ),
+    )
+    tmp = f"{index_path}__merge_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_folded"), "w") as f:
+        f.write(key)
+    if os.path.exists(index_path):
+        old_dir = f"{index_path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(index_path, old_dir)
+        os.rename(tmp, index_path)
+        shutil.rmtree(old_dir)
+    else:
+        os.rename(tmp, index_path)
+    shutil.rmtree(pend)
+    return True
+
+
+def batch_content_key(*relations: tuple[str, DataFrame]) -> str:
+    """Deterministic content digest of one or more (tag, df-with-doc_id)
+    relations — the batch key for the pending-fold protocol. One scalar
+    aggregate per relation (count + xxhash64 sum over the id), nothing
+    collected beyond two numbers."""
+    parts = []
+    for tag, df in relations:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.col("doc_id").cast("string"))).alias("h"),
+        ).first()
+        parts.append(f"{tag}:{row['n']}:{row['h']}")
+    return "|".join(parts)

@@ -255,7 +255,7 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | None = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 1000,
@@ -266,8 +266,15 @@ def minhash_lsh_pairs(
     than ``max_bucket_size`` are dropped (boilerplate guard — at corpus
     scale one degenerate bucket is a quadratic bomb). Verification joins
     the shingle sets back and computes exact Jaccard.
+
+    ``bands=None`` auto-tunes the band split for ``jaccard_threshold``
+    via :func:`choose_lsh_bands` (S-curve integrated-error minimizer)
+    instead of the hand-picked default.
     """
     from pyspark import StorageLevel
+
+    if bands is None:
+        bands, _ = choose_lsh_bands(jaccard_threshold, num_perm)
 
     # Pairs come from collect_list per bucket, not a self-join: the LSH
     # index is computed ONCE (one shuffle on the bucket key), buckets over
@@ -1134,10 +1141,11 @@ def choose_lsh_bands(
     the integrated error against the ideal step function at the
     threshold:
 
-        fn = ∫₀..t  ...probability a BELOW-threshold pair collides
-        fp = ∫t..1  ...probability an ABOVE-threshold pair is missed
+        false_positive = ∫₀..t  P(a BELOW-threshold pair collides)
+        false_negative = ∫t..1  P(an ABOVE-threshold pair is missed)
 
-    and the split minimizing ``fp + beta·fn`` wins (``beta`` > 1 biases
+    and the split minimizing ``false_negative + beta·false_positive``
+    wins (``beta`` > 1 biases
     toward fewer false candidates — cheaper verify stage; < 1 toward
     recall). Returns (bands, rows_per_band) with bands · rows ==
     num_perm exactly, so the result always satisfies
@@ -1160,14 +1168,18 @@ def choose_lsh_bands(
         if num_perm % b:
             continue
         r = num_perm // b
-        fn = fp = 0.0
+        false_positive = false_negative = 0.0
         for s in grid:
             p = 1.0 - (1.0 - s**r) ** b
             if s < t:
-                fn += p / 1000.0       # collides although below threshold
+                # a below-threshold pair that collides = FALSE POSITIVE
+                # (wasted verify work)
+                false_positive += p / 1000.0
             else:
-                fp += (1.0 - p) / 1000.0  # missed although above threshold
-        score = fp + beta * fn
+                # an above-threshold pair that never collides = FALSE
+                # NEGATIVE (lost recall)
+                false_negative += (1.0 - p) / 1000.0
+        score = false_negative + beta * false_positive
         # deterministic tie-break: prefer more bands (higher recall)
         key = (score, -b)
         if best is None or key < (best[0], -best[1]):

@@ -107,6 +107,11 @@ def train_quality_classifier(
             "id",
             "left",
         )
+        # orderBy before collect: the gradient sums over samples in row
+        # order, so without a pinned order the float summation (and so
+        # the learned weights' low bits) would depend on the physical
+        # layout — the md5 discipline pins membership, this pins order
+        .orderBy("id")
         .select("bc", "y")
         .collect()
     )
@@ -262,6 +267,10 @@ def train_softmax_classifier(
             "id",
             "left",
         )
+        # orderBy pins the float-summation order of the gradient — see
+        # train_quality_classifier; bit-determinism needs order, not
+        # just membership
+        .orderBy("id")
         .select("bc", "y")
         .collect()
     )
@@ -305,10 +314,13 @@ def score_softmax(
     second per-doc aggregate for the softmax denominator (shifted by
     the winning logit, so exp never overflows). No UDF anywhere; at
     100 TB this is two map-side-combined aggregates over the gram
-    stream. Documents with no grams (shorter than n chars) score the
-    bias-only softmax — absence of evidence is the prior."""
-    import math
-
+    stream, plus a K-row-per-doc class expansion (K = number of
+    classes, small by the trainer's ``max_classes`` contract). Every
+    doc gets a logit for EVERY class — a class with no weight on the
+    doc's buckets (sparse/pruned model) still competes at its bias,
+    and a doc with no grams at all (shorter than n chars) scores the
+    bias-only softmax through the same path — absence of evidence is
+    the prior, never a dropped class."""
     spark = df.sparkSession
     classes = list(model["classes"])
     dim = int(model["dim"])
@@ -328,18 +340,30 @@ def score_softmax(
         "cls int, label string, b double",
     )
     feats = hashed_char_features(df, id_col, text_col, dim, n)
-    z = (
+    dots = (
         feats.withColumn("x", F.log1p(F.col("cnt")))
         .join(F.broadcast(wtab), "bucket")
         .groupBy("id", "cls")
         .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-        .join(F.broadcast(ctab), "cls")
-        .select("id", "cls", "label", (F.col("dot") + F.col("b")).alias("z"))
+    )
+    # complete (id x class) logit grid: the broadcast cross join costs
+    # K rows per doc and keeps zero-evidence classes in both the argmax
+    # and the softmax denominator
+    z = (
+        df.select(F.col(id_col).alias("id"))
+        .crossJoin(F.broadcast(ctab))
+        .join(dots, ["id", "cls"], "left")
+        .select(
+            "id",
+            "cls",
+            "label",
+            (F.coalesce(F.col("dot"), F.lit(0.0)) + F.col("b")).alias("z"),
+        )
     )
     # argmax with alphabetical-first tie-break (classes are sorted, so
     # the LOWEST cls index wins ties -> negate it inside the max struct)
     win = z.groupBy("id").agg(F.max(F.struct(F.col("z"), (-F.col("cls")).alias("nc"))).alias("m"))
-    scored = (
+    return (
         z.join(win, "id")
         .groupBy("id", F.col("m.z").alias("zstar"), (-F.col("m.nc")).alias("wcls"))
         .agg(F.sum(F.exp(F.col("z") - F.col("m.z"))).alias("denom"))
@@ -349,15 +373,4 @@ def score_softmax(
             F.col("label").alias("pred_label"),
             F.round(F.lit(1.0) / F.col("denom"), 6).alias("confidence"),
         )
-    )
-    # gram-less docs: bias-only prediction, computed once on the driver
-    zmax = max(bias)
-    exps = [math.exp(v - zmax) for v in bias]
-    prior_label = classes[bias.index(zmax)]
-    prior_conf = round(exps[bias.index(zmax)] / sum(exps), 6)
-    ids = df.select(F.col(id_col).alias("id"))
-    return ids.join(scored, "id", "left").select(
-        "id",
-        F.coalesce("pred_label", F.lit(prior_label)).alias("pred_label"),
-        F.coalesce("confidence", F.lit(prior_conf)).alias("confidence"),
     )

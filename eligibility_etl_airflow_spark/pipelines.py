@@ -235,6 +235,7 @@ def run_corpus_curation_pipeline(
     # language-mix filter below then runs on the predicted label. Pure
     # column arithmetic + one broadcast weight join (score_softmax); a
     # doc the scorer can't featurize keeps the model's prior.
+    lang_scored = None
     if lang_model is not None:
         from eligibility_etl_airflow_spark.operators import (
             quality_model as _qm_ops,
@@ -244,11 +245,17 @@ def run_corpus_curation_pipeline(
             F.col("id").alias("doc_id"),
             F.col("pred_label").alias("_pred_lang"),
         )
+        # persisted: the scoring subtree (char-gram explode + two aggs +
+        # broadcast weight join) would otherwise re-run for n_total, the
+        # quality/lang filter, AND every audit-snapshot anti-join — the
+        # same one-scan discipline as `filtered` below
         docs = (
             docs.join(pred, "doc_id", "left")
             .withColumn("lang", F.coalesce("_pred_lang", F.col("lang")))
             .drop("_pred_lang")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        lang_scored = docs
     n_total = docs.count()
     # audit trail: (stage_name, surviving relation) snapshots; consecutive
     # anti-joins reconstruct which stage dropped each doc (opt-in)
@@ -524,6 +531,8 @@ def run_corpus_curation_pipeline(
             cached.unpersist()
         if exact_kept is not None:
             exact_kept.unpersist()
+        if lang_scored is not None:
+            lang_scored.unpersist()
     stats = {
         "n_total": n_total,
         "n_after_quality_lang": n_filtered,
@@ -597,6 +606,7 @@ def run_training_prep_pipeline(
     cluster_labels: DataFrame | None = None,
     span_dedup: bool = False,
     span_min_tokens: int = 16,
+    span_exact: bool = False,
     documents: DataFrame | None = None,
 ) -> dict:
     """From curated documents to packed training examples: chunk →
@@ -626,7 +636,11 @@ def run_training_prep_pipeline(
     window keeps only its corpus-first copy, cut at exact offsets — the
     Lee et al. 2022 intervention, applied before example construction
     so a popular quote trains once, not once per containing document.
-    Stats gain ``n_span_tokens_removed``.
+    Stats gain ``n_span_tokens_removed``. Window keys are hashed
+    (xxhash64) by default — fine through ~10⁹ windows; set
+    ``span_exact=True`` past that bound, where a collision would cut
+    never-duplicated text (remove_duplicate_spans' documented caveat —
+    removal, unlike location, is harmed by collisions).
 
     Scale shape: every stage is an already-argued operator (chunking is
     a scan-stage map; the split is map-only; packing is one shuffle into
@@ -660,7 +674,9 @@ def run_training_prep_pipeline(
         # span pipeline (window shuffle + count shuffle) would run twice
         cleaned = _stable(
             dedup_ops.remove_duplicate_spans(
-                docs, "doc_id", "text", min_tokens=span_min_tokens
+                docs, "doc_id", "text",
+                min_tokens=span_min_tokens,
+                hashed=not span_exact,
             ).select("doc_id", "clean_text", "n_tokens_removed")
         )
         n_span_tokens_removed = (
@@ -1048,11 +1064,21 @@ def run_incremental_curation(
         # ingest's monitor (see run_incremental_crawl_ingest)
         drift_row = None
         batch_counts = None
-        maintain_tokens = drift_report or os.path.exists(token_path)
+        maintain_tokens = (
+            drift_report
+            or os.path.exists(token_path)
+            or os.path.exists(f"{token_path}__pending")
+        )
         if maintain_tokens:
             import uuid as _uuid
 
             from eligibility_etl_airflow_spark.operators import drift as drift_ops
+
+            # recovery: complete a crashed prior run's staged fold before
+            # this batch's JSD reads the index (see the crawl twin)
+            drift_ops.token_index_fold(
+                spark, token_path, docs_path=docs_path, verify_landed=True
+            )
 
             if os.path.exists(docs_path) and not os.path.exists(token_path):
                 backfill = drift_ops.unigram_counts(
@@ -1075,6 +1101,17 @@ def run_incremental_curation(
                     .collect()[0]
                     .asDict()
                 )
+
+        # write-ahead token-delta intent BEFORE any state write (crash
+        # between the appends and the fold stays recoverable — see the
+        # crawl twin's rationale)
+        if maintain_tokens and batch_counts is not None:
+            drift_ops.token_index_pending_write(
+                token_path,
+                drift_ops.batch_content_key(("acc", accepted)),
+                add=batch_counts,
+                ids=accepted.select("doc_id"),
+            )
 
         # idempotent index + corpus maintenance (doc_id-keyed appends)
         sinks.append_dedup(
@@ -1100,27 +1137,12 @@ def run_incremental_curation(
                 ["id"],
             )
 
-        # fold the accepted batch into the token index LAST (staged
-        # write + rename: the path is also the read source); a replayed
-        # batch accepts nothing and skips, keeping the index as
-        # idempotent as the other four relations
-        if maintain_tokens and batch_counts is not None:
-            import shutil as _shutil
-
-            if os.path.exists(token_path):
-                current_counts = spark.read.parquet(token_path)
-            else:
-                current_counts = spark.createDataFrame([], "tok string, c long")
-            merged = drift_ops.token_index_merge(current_counts, add=batch_counts)
-            tmp = f"{token_path}__merge_{_uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(tmp)
-            if os.path.exists(token_path):
-                old_dir = f"{token_path}__old_{_uuid.uuid4().hex[:8]}"
-                os.rename(token_path, old_dir)
-                os.rename(tmp, token_path)
-                _shutil.rmtree(old_dir)
-            else:
-                os.rename(tmp, token_path)
+        # fold the staged intent into the token index LAST; the batch
+        # key inside the index directory makes the fold exactly-once
+        # across crash/replay (see the crawl twin); landed check skipped
+        # in-process
+        if maintain_tokens:
+            drift_ops.token_index_fold(spark, token_path)
     finally:
         for c in caches:
             c.unpersist()
@@ -1754,11 +1776,24 @@ def run_incremental_crawl_ingest(
         # migration above.
         drift_row = None
         batch_counts = None
-        maintain_tokens = drift_report or os.path.exists(token_index)
+        maintain_tokens = (
+            drift_report
+            or os.path.exists(token_index)
+            or os.path.exists(f"{token_index}__pending")
+        )
         if maintain_tokens:
             import uuid as _uuid
 
             from eligibility_etl_airflow_spark.operators import drift as drift_ops
+
+            # recovery first: a prior run that crashed between the state
+            # writes and the index fold left a __pending intent — fold it
+            # now so the index is caught up BEFORE this batch's JSD reads
+            # it (idempotent via the _folded key marker; applied only if
+            # that batch actually reached the docs state)
+            drift_ops.token_index_fold(
+                spark, token_index, docs_path=docs_path, verify_landed=True
+            )
 
             if has_state and not os.path.exists(token_index):
                 backfill = drift_ops.unigram_counts(
@@ -1833,6 +1868,32 @@ def run_incremental_crawl_ingest(
                 )
             )
 
+        # write-ahead token-delta intent BEFORE any state write: a crash
+        # between the appends below and the fold is then recoverable on
+        # the next ingest (the replay accepts nothing, so without this
+        # staging the fold input would be lost and the index permanently
+        # stale — the same crash window the vector index closes with
+        # write ordering)
+        if maintain_tokens and (batch_counts is not None or n_updated):
+            fold_adds = batch_counts
+            if upd_add is not None:
+                fold_adds = (
+                    upd_add if fold_adds is None
+                    else fold_adds.unionByName(upd_add)
+                )
+            key_rels = [("acc", accepted)]
+            ids_rel = accepted.select("doc_id")
+            if n_updated:
+                key_rels.append(("upd", updated))
+                ids_rel = ids_rel.unionByName(updated.select("doc_id"))
+            drift_ops.token_index_pending_write(
+                token_index,
+                drift_ops.batch_content_key(*key_rels),
+                add=fold_adds,
+                subtract=upd_sub,
+                ids=ids_rel,
+            )
+
         # appends AFTER the _stable: each write refreshes its path, and
         # an un-checkpointed lineage reading these paths would lazily
         # recompute against the just-updated state (append_dedup's
@@ -1873,36 +1934,18 @@ def run_incremental_crawl_ingest(
                 keys=["content_hash"],
             )
 
-        # fold the batch into the token index LAST, mirroring exactly
-        # what the writes above did to docs_path (accepted appended,
-        # updated replaced) — counts + accepted + new_updated − old_updated,
-        # zero-count rows dropped. O(vocab + batch) work; staged write +
-        # rename swap because the index path is also the read source. A
-        # replayed batch reaches here with nothing accepted and nothing
-        # updated and skips — the index is as idempotent as the state.
-        if maintain_tokens and (batch_counts is not None or n_updated):
-            import shutil as _shutil
-            import uuid as _uuid
-
-            if os.path.exists(token_index):
-                current_counts = spark.read.parquet(token_index)
-            else:
-                current_counts = spark.createDataFrame([], "tok string, c long")
-            adds = batch_counts
-            if upd_add is not None:
-                adds = upd_add if adds is None else adds.unionByName(upd_add)
-            merged = drift_ops.token_index_merge(
-                current_counts, add=adds, subtract=upd_sub
-            )
-            tmp = f"{token_index}__merge_{_uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(tmp)
-            if os.path.exists(token_index):
-                old_dir = f"{token_index}__old_{_uuid.uuid4().hex[:8]}"
-                os.rename(token_index, old_dir)
-                os.rename(tmp, token_index)
-                _shutil.rmtree(old_dir)
-            else:
-                os.rename(tmp, token_index)
+        # fold the staged deltas into the token index LAST, mirroring
+        # exactly what the writes above did to docs_path (accepted
+        # appended, updated replaced): counts + accepted + new_updated −
+        # old_updated, zero-count rows dropped. O(vocab + batch) work;
+        # the fold consumes the __pending intent written above, staged
+        # write + rename with the batch key recorded inside the index
+        # directory — so a crash anywhere in this window is healed by
+        # the recovery fold at the next ingest, exactly once. A replayed
+        # batch stages nothing and the fold is a no-op (the in-process
+        # fold skips the landed check — the appends above just ran)
+        if maintain_tokens:
+            drift_ops.token_index_fold(spark, token_index)
     finally:
         for c in caches:
             c.unpersist()

@@ -160,8 +160,9 @@ _DEFERRED = _ROTATED_OUT + (
 
 def load_all() -> None:
     """Import every plans module so registrations run, then order the
-    registry: oracle-backed queries first (minus the two deferred ones),
-    deferred oracle-backed next, rows-only queries last."""
+    registry: oracle-backed queries outside _DEFERRED first (exactly the
+    50 graded slots), the deferred oracle-backed next, rows-only queries
+    last."""
     from eligibility_etl_airflow_spark.plans import (  # noqa: F401
         eligibility,
         relational,

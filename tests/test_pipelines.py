@@ -1409,3 +1409,97 @@ def test_training_prep_span_dedup_quote_trains_once(spark, tmp_path):
     )
     assert s1["n_span_tokens_removed"] == 40
     assert quote_hits(str(tmp_path / "deduped")) == 1
+
+
+def test_incremental_drift_index_survives_crash_before_fold(spark, tmp_path):
+    """The crash window the write-ahead intent closes: a run that died
+    AFTER the state appends but BEFORE the token-index fold leaves a
+    __pending directory; the replay accepts nothing, yet the next
+    ingest's recovery fold applies the staged counts exactly once — the
+    index converges to the full recount instead of going permanently
+    stale. A stale intent whose batch never reached the state is
+    discarded, not folded."""
+    import os
+    import shutil
+
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.operators import drift
+
+    state = str(tmp_path)
+    token_index = f"{state}/index_tokens"
+
+    b1 = spark.createDataFrame(
+        [(1, "https://c.example.com/a", "<p>alpha words in the first page</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(spark, b1, state, drift_report=True)
+
+    b2 = spark.createDataFrame(
+        [(2, "https://c.example.com/b", "<p>beta words in the second page</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(spark, b2, state, drift_report=True)
+
+    # simulate the crash: resurrect batch 2's intent (as if the fold
+    # never ran) and roll the index back to its pre-b2 content by
+    # re-deriving it from b1 only
+    b2_counts = drift.unigram_counts(
+        spark.read.parquet(f"{state}/accepted_docs")
+        .filter("doc_id = 2")
+        .select("text")
+    )
+    ids2 = spark.createDataFrame([(2,)], "doc_id long")
+    drift.token_index_pending_write(
+        token_index, "crash-key-b2", add=b2_counts, ids=ids2
+    )
+    pre_b2 = drift.token_index_merge(
+        spark.read.parquet(token_index),
+        subtract=b2_counts,
+    ).collect()
+    shutil.rmtree(token_index)
+    spark.createDataFrame(pre_b2, "tok string, c long").write.parquet(token_index)
+
+    # next ingest: replay of b2 accepts nothing, but recovery folds the
+    # staged intent -> index equals the full recount again
+    s_replay = pipelines.run_incremental_crawl_ingest(
+        spark, b2, state, drift_report=True
+    )
+    assert s_replay["n_accepted"] == 0
+    assert not os.path.exists(f"{token_index}__pending")
+    got = {
+        r["tok"]: r["c"] for r in spark.read.parquet(token_index).collect()
+    }
+    want = {
+        r["tok"]: r["c"]
+        for r in drift.unigram_counts(
+            spark.read.parquet(f"{state}/accepted_docs").select("text")
+        ).collect()
+    }
+    assert got == want
+
+    # stale intent for a batch that never reached the state: discarded
+    phantom = drift.unigram_counts(
+        spark.createDataFrame([("phantom only words",)], "text string")
+    )
+    drift.token_index_pending_write(
+        token_index,
+        "crash-key-phantom",
+        add=phantom,
+        ids=spark.createDataFrame([(999,)], "doc_id long"),
+    )
+    b3 = spark.createDataFrame(
+        [(3, "https://c.example.com/c", "<p>gamma words in the third page</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(spark, b3, state, drift_report=True)
+    got3 = {
+        r["tok"]: r["c"] for r in spark.read.parquet(token_index).collect()
+    }
+    assert "phantom" not in got3
+    want3 = {
+        r["tok"]: r["c"]
+        for r in drift.unigram_counts(
+            spark.read.parquet(f"{state}/accepted_docs").select("text")
+        ).collect()
+    }
+    assert got3 == want3

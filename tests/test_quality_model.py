@@ -291,3 +291,29 @@ def test_curation_lang_model_flag_relabel(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert ids == [1]  # the disguised French doc dropped from the en mix
     assert stats["n_after_quality_lang"] == 1
+
+
+def test_softmax_sparse_model_classes_compete_at_bias(spark):
+    """A hand-built sparse model where one class has NO bucket weights:
+    it must still enter the argmax and the softmax denominator at its
+    bias (review finding: the old inner join dropped it entirely)."""
+    model = {
+        "classes": ["aa", "bb", "zz"],
+        # aa/bb have tiny weights on a couple of buckets; zz has NONE
+        "weights": [
+            [0.01] + [0.0] * 255,
+            [0.0, 0.01] + [0.0] * 254,
+            [0.0] * 256,
+        ],
+        "bias": [0.0, 0.0, 5.0],  # zz dominates on bias alone
+        "dim": 256,
+        "n": 3,
+    }
+    docs = spark.createDataFrame(
+        [(1, "some ordinary text that hits a few buckets")],
+        "doc_id long, text string",
+    )
+    rows = quality_model.score_softmax(docs, "doc_id", "text", model).collect()
+    assert rows[0]["pred_label"] == "zz"
+    # denominator includes all three classes: confidence < 1
+    assert 0.5 < rows[0]["confidence"] < 1.0

@@ -437,3 +437,53 @@ def test_stream_incremental_curation_drift_per_batch_and_restart(spark, tmp_path
         for r in spark.read.parquet(f"{state}/index_tokens").collect()
     }
     assert got2 == want
+
+
+def test_stream_crawl_ingest_drift_per_batch(spark, tmp_path):
+    """drift_report flows through the crawl stream wrapper too: batches
+    after the first surface batch_js_divergence against the persisted
+    token index, and the index tracks the accepted corpus across the
+    whole stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eligibility_etl_airflow_spark.operators import drift
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    state = str(tmp_path / "cstate")
+    pages = [
+        (1, "https://s1.example.com/a",
+         "<p>alpha beta gamma delta epsilon zeta</p>"),
+        (2, "https://s1.example.com/b",
+         "<p>alpha beta gamma with extra words</p>"),
+        (3, "https://s1.example.com/c",
+         "<p>disjoint vocabulary spark shuffle broadcast</p>"),
+    ]
+    for i, (doc_id, url, html) in enumerate(pages, start=1):
+        p = str(src / f"b{i}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": [doc_id], "url": [url], "html": [html]}), p
+        )
+        os.utime(p, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
+    stats = ops.stream_crawl_ingest(
+        stream, state, str(tmp_path / "ck"), drift_report=True
+    )
+    assert len(stats) == 3
+    assert "batch_js_divergence" not in stats[0]
+    assert "batch_js_divergence" in stats[1]
+    assert "batch_js_divergence" in stats[2]
+    assert stats[1]["batch_js_divergence"] < stats[2]["batch_js_divergence"]
+    got = {
+        r["tok"]: r["c"]
+        for r in spark.read.parquet(f"{state}/index_tokens").collect()
+    }
+    want = {
+        r["tok"]: r["c"]
+        for r in drift.unigram_counts(
+            spark.read.parquet(f"{state}/accepted_docs").select("text")
+        ).collect()
+    }
+    assert got == want
