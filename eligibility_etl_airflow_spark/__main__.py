@@ -208,6 +208,35 @@ def main(argv: list[str] | None = None) -> int:
         "persisted vector index (SemDeDup incremental form)",
     )
     ip.add_argument("--semantic-k", type=int, default=16)
+    ip.add_argument(
+        "--drift-report",
+        action="store_true",
+        help="surface the batch-vs-corpus unigram JSD (computed against "
+        "the persisted token index — O(batch + vocab), accepted text "
+        "never re-read)",
+    )
+
+    cip = sub.add_parser(
+        "crawl-ingest",
+        help="ingest a new raw-crawl batch (doc_id, url, html) against "
+        "the persisted crawl state: URL + content dedup vs indexes, "
+        "preprocessing, idempotent appends",
+    )
+    cip.add_argument("--batch-parquet", required=True,
+                     help="parquet path of the raw batch (doc_id, url, html)")
+    cip.add_argument("--state-dir", required=True,
+                     help="crawl state directory (accepted docs + indexes)")
+    cip.add_argument(
+        "--recrawl-policy", choices=["skip", "update"], default="skip",
+        help="skip: drop already-seen canonical URLs; update: replace "
+        "accepted docs whose re-crawled content changed",
+    )
+    cip.add_argument(
+        "--drift-report",
+        action="store_true",
+        help="surface the batch-vs-corpus unigram JSD via the persisted "
+        "token index",
+    )
 
     dp = sub.add_parser(
         "dag", help="run a task-graph orchestration (the Airflow-DAG analog)"
@@ -361,8 +390,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.semantic_eps is not None:
             inc_kwargs["semantic_eps"] = args.semantic_eps
             inc_kwargs["semantic_k"] = args.semantic_k
+        if args.drift_report:
+            inc_kwargs["drift_report"] = True
         stats = pipelines.run_incremental_curation(
             spark, batch, args.state_dir, **inc_kwargs
+        )
+        print(json.dumps(stats, default=str))
+        return 0
+
+    if args.cmd == "crawl-ingest":
+        batch = spark.read.parquet(args.batch_parquet)
+        stats = pipelines.run_incremental_crawl_ingest(
+            spark,
+            batch,
+            args.state_dir,
+            recrawl_policy=args.recrawl_policy,
+            drift_report=args.drift_report,
         )
         print(json.dumps(stats, default=str))
         return 0

@@ -2023,3 +2023,71 @@ def corpus_pair_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.js_divergence_pair(
         d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
     )
+
+
+# --------------------------------------------------------------------------
+# Frequent-phrase mining — corpus-wide top-k word n-grams
+# --------------------------------------------------------------------------
+
+FREQUENT_NGRAMS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         array_to_string(t[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        FROM toks WHERE len(t) >= 5)
+), counted AS (
+  SELECT g AS ngram,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM grams GROUP BY 1
+)
+SELECT ngram, n_occurrences, n_docs
+FROM counted
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 40
+"""
+
+
+@query("frequent_ngrams", oracle=FREQUENT_NGRAMS_ORACLE)
+def frequent_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent-phrase table: the top-40 5-word n-grams by
+    total occurrence count, with document frequency — the boilerplate
+    DISCOVERY surface (line_dedup and blocklist_filter act on phrases;
+    this is where an operator finds which phrases to act on, and the
+    data-card companion for 'what does this corpus repeat'). Ties break
+    lexicographically so the table is fully deterministic.
+
+    Scale shape: stride-1 word windows (staged token-array projection,
+    no lambda re-split), ONE partial-agg shuffle on the gram — a phrase
+    repeated a million times collapses map-side — then
+    TakeOrderedAndProject for the top-k: no global sort, driver traffic
+    bounded at k rows. count_distinct(doc_id) rides the same aggregate."""
+    d = Catalog(spark, sf_dir).documents
+    toked = d.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("_t"),
+    ).filter(F.size("_t") >= 5)
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - 5),
+                lambda i: F.array_join(F.slice("_t", i + 1, 5), " "),
+            )
+        ).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(40)
+    )

@@ -119,6 +119,9 @@ _DEFERRED = _ROTATED_OUT + (
     # NEW round 6: the removal step over the span locator — windowed-rank
     # reconstruction oracle, first-copy-survives planted tests
     "dedup_span_removal",
+    # NEW round 6: boilerplate-phrase discovery — top-k 5-word n-grams,
+    # deterministic tie-break, TakeOrderedAndProject top-k
+    "frequent_ngrams",
     "train_test_split_hash",
     "contiguous_row_ids",
     "group_sample_deterministic",

@@ -142,3 +142,61 @@ def test_cli_crawl_frontier_requires_raw_crawl(spark, tmp_path, capsys):
     rc = main(["pipeline", "crawl-frontier", "--out-dir", str(tmp_path / "x")])
     assert rc == 2
     assert "requires --raw-crawl" in capsys.readouterr().err
+
+
+def test_cli_crawl_ingest_with_drift(spark, tmp_path, capsys):
+    """crawl-ingest subcommand: two batches against one state dir; the
+    second surfaces the drift stat (token index built by the first) and
+    a replay accepts nothing."""
+    from eligibility_etl_airflow_spark.__main__ import main
+
+    def batch(path, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, url string, html string"
+        ).write.parquet(path)
+        return path
+
+    b1 = batch(str(tmp_path / "b1"), [
+        (1, "https://s1.example.com/a", "<p>alpha beta gamma delta words</p>"),
+    ])
+    b2 = batch(str(tmp_path / "b2"), [
+        (2, "https://s1.example.com/b", "<p>epsilon zeta different words</p>"),
+    ])
+    state = str(tmp_path / "state")
+
+    rc = main(["crawl-ingest", "--batch-parquet", b1,
+               "--state-dir", state, "--drift-report"])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["n_accepted"] == 1 and "batch_js_divergence" not in s1
+
+    rc = main(["crawl-ingest", "--batch-parquet", b2,
+               "--state-dir", state, "--drift-report"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["n_accepted"] == 1 and "batch_js_divergence" in s2
+
+    rc = main(["crawl-ingest", "--batch-parquet", b2, "--state-dir", state])
+    assert rc == 0
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s3["n_accepted"] == 0
+
+
+def test_cli_incremental_curation_drift_flag(spark, tmp_path, capsys):
+    from eligibility_etl_airflow_spark.__main__ import main
+
+    def batch(path, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+        return path
+
+    b1 = batch(str(tmp_path / "c1"), [(1, "alpha beta gamma delta words")])
+    b2 = batch(str(tmp_path / "c2"), [(2, "epsilon zeta other words here")])
+    state = str(tmp_path / "cstate")
+    main(["incremental-curation", "--batch-parquet", b1,
+          "--state-dir", state, "--drift-report"])
+    capsys.readouterr()
+    rc = main(["incremental-curation", "--batch-parquet", b2,
+               "--state-dir", state, "--drift-report"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "batch_js_divergence" in s2

@@ -626,3 +626,42 @@ def test_script_profile_fractions(spark):
     assert r["frac_other"] == round(1 / 11, 6)
     # empty doc: all-zero, no divide-by-zero
     assert all(out[2][c] == 0.0 for c in out[2].asDict() if c.startswith("frac_"))
+
+
+def test_frequent_ngrams_planted_boilerplate_and_ties(spark):
+    """A planted boilerplate phrase dominates the table with the right
+    occurrence and doc counts; equal-count phrases order
+    lexicographically (fully deterministic output)."""
+    from eligibility_etl_airflow_spark.plans.training_prep import frequent_ngrams_q
+    from eligibility_etl_airflow_spark.registry import QUERIES
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"{boiler} plus article one body text here"),
+        (2, f"{boiler} plus another piece of writing"),
+        (3, f"intro then {boiler} at the middle"),
+        (4, f"{boiler} {boiler} twice in one doc"),
+        (5, "completely unrelated document with its own words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import unittest.mock as mock
+
+    with mock.patch(
+        "eligibility_etl_airflow_spark.plans.training_prep.Catalog"
+    ) as cat:
+        cat.return_value.documents = df
+        out = frequent_ngrams_q(spark, "unused").collect()
+    top = out[0]
+    # the full 6-word boilerplate yields two 5-gram windows; the leading
+    # window "subscribe to our newsletter for" occurs once per phrase
+    # occurrence: docs 1,2,3 once + doc 4 twice (+1 straddle) = planted
+    assert top["ngram"].startswith("subscribe to our newsletter")
+    assert top["n_occurrences"] >= 5
+    assert top["n_docs"] == 4
+    # determinism: ties sort lexicographically
+    for a, b in zip(out, out[1:]):
+        assert (a["n_occurrences"], a["ngram"]) >= (
+            b["n_occurrences"], a["ngram"]
+        ) or a["n_occurrences"] > b["n_occurrences"]
+        if a["n_occurrences"] == b["n_occurrences"]:
+            assert a["ngram"] < b["ngram"]
