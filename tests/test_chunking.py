@@ -309,3 +309,63 @@ def test_remove_duplicate_spans_whole_doc_duplicate_and_short(spark):
     assert out[4]["clean_text"] == "short doc"
     assert out[4]["n_tokens_removed"] == 0
     assert out[5]["clean_text"] == "" and out[5]["n_tokens"] == 0
+
+
+def _pure_duplicate_spans(docs, k=4):
+    """Pure-Python reference model of duplicate_spans: window counts,
+    hit chaining, exact offsets — the oracle the Spark operator must
+    agree with on arbitrary corpora."""
+    from collections import Counter
+
+    toks = {d: [t for t in text.split() if t] for d, text in docs}
+    wins = {
+        d: [" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)]
+        for d, ts in toks.items() if len(ts) >= k
+    }
+    counts = Counter(w for ws in wins.values() for w in ws)
+    spans = []
+    for d, ws in wins.items():
+        hits = [i for i, w in enumerate(ws) if counts[w] >= 2]
+        run = []
+        for i in hits:
+            if run and i == run[-1] + 1:
+                run.append(i)
+            else:
+                if run:
+                    spans.append((d, run[0], run[-1] + k - 1))
+                run = [i]
+        if run:
+            spans.append((d, run[0], run[-1] + k - 1))
+    return sorted(
+        (d, s, e, e - s + 1, " ".join(toks[d][s:e + 1])) for d, s, e in spans
+    )
+
+
+def test_duplicate_spans_agrees_with_pure_model_on_random_docs(spark):
+    """Bridge: the Spark operator and the pure reference produce
+    identical spans on seeded random corpora over a small vocabulary
+    (small vocab => dense window collisions, worst case for chaining),
+    in both hashed and exact modes."""
+    import random
+
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    rng = random.Random(42)
+    for trial in range(3):
+        docs = []
+        for d in range(12):
+            n = rng.choice([0, 2, 3, 4, 7, 12, 20, 35])
+            docs.append(
+                (d, " ".join(f"w{rng.randrange(6)}" for _ in range(n)))
+            )
+        want = _pure_duplicate_spans(docs, k=4)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for hashed in (True, False):
+            got = sorted(
+                (r["doc_id"], r["span_start"], r["span_end"],
+                 r["n_span_tokens"], r["span_text"])
+                for r in dedup_ops.duplicate_spans(
+                    df, min_tokens=4, hashed=hashed
+                ).collect()
+            )
+            assert got == want, (trial, hashed)

@@ -110,3 +110,52 @@ def test_pairwise_jsd_matches_python_and_bounds(spark):
     dc = spark.createDataFrame([("zzz qqq www",)], "text string")
     disj = drift.js_divergence_pair(da, dc).collect()[0]
     assert disj["js_divergence"] == 1.0 and disj["vocab_shared"] == 0
+
+
+def test_token_index_merge_fold_equals_recount_random_sequences(spark):
+    """Property over random batch sequences: folding unigram counts
+    forward (adds for arriving text, subtracts for replaced text) lands
+    exactly on a from-scratch recount of the surviving corpus — the
+    invariant the continuous pipelines' index_tokens relation rides."""
+    import random
+
+    from eligibility_etl_airflow_spark.operators import drift
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(8)]
+
+    def text():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 12)))
+
+    def counts(texts):
+        if not texts:
+            return spark.createDataFrame([], "tok string, c long")
+        return drift.unigram_counts(
+            spark.createDataFrame([(t,) for t in texts], "text string")
+        )
+
+    for _ in range(3):
+        corpus: dict[int, str] = {}
+        index = spark.createDataFrame([], "tok string, c long")
+        next_id = 0
+        for _step in range(4):
+            arriving = {next_id + i: text() for i in range(rng.randrange(1, 4))}
+            next_id += len(arriving)
+            replaced = {
+                d: text()
+                for d in rng.sample(sorted(corpus), k=min(len(corpus), 1))
+            }
+            add = counts(list(arriving.values()) + list(replaced.values()))
+            sub = counts([corpus[d] for d in replaced]) if replaced else None
+            index = spark.createDataFrame(
+                drift.token_index_merge(index, add=add, subtract=sub).collect(),
+                "tok string, c long",
+            )
+            corpus.update(arriving)
+            corpus.update(replaced)
+            got = {r["tok"]: r["c"] for r in index.collect()}
+            want = {
+                r["tok"]: r["c"]
+                for r in counts(list(corpus.values())).collect()
+            }
+            assert got == want
