@@ -109,7 +109,15 @@ def main(argv: list[str] | None = None) -> int:
         type=float,
         default=None,
         help="crawl-preprocess only: drop docs below this Latin character "
-        "fraction (mixed-script/mojibake gate)",
+        "fraction (mixed-script gate)",
+    )
+    pp.add_argument(
+        "--max-mojibake-per-kchar",
+        type=float,
+        default=None,
+        help="crawl-preprocess only: drop docs whose cp1252 double-"
+        "encoding signature density exceeds this many hits per 1000 "
+        "chars (valid-UTF-8 wrong-text the byte triage cannot see)",
     )
     pp.add_argument(
         "--neardup-removal",
@@ -335,6 +343,8 @@ def main(argv: list[str] | None = None) -> int:
             kwargs.update(robots_kwargs)
             if args.min_latin_fraction is not None:
                 kwargs["min_latin_fraction"] = args.min_latin_fraction
+            if args.max_mojibake_per_kchar is not None:
+                kwargs["max_mojibake_per_kchar"] = args.max_mojibake_per_kchar
             if args.quarantine_path:
                 kwargs["quarantine_path"] = args.quarantine_path
             raw = pages

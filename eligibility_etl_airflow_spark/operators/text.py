@@ -316,3 +316,66 @@ def script_profile(col: Column) -> list[Column]:
         covered = n if covered is None else covered + n
     cols.append(F.round((total - covered) / safe_total, 6).alias("frac_other"))
     return cols
+
+
+# Mojibake signatures: UTF-8 bytes mis-decoded as cp1252 and re-encoded
+# leave characteristic multi-char sequences (the "\u00c3\u00a9" family).
+# Derived, not hand-written: each target character's UTF-8 bytes decoded
+# as cp1252 IS the signature, so the table can never drift from the
+# encoding math. Targets whose bytes hit cp1252's undefined slots (e.g.
+# \u201d whose 0x9d has no cp1252 mapping) are skipped. Every derived
+# sequence is literal text with no regex metacharacters, so the same
+# alternation runs identically in Java regex and RE2/DuckDB.
+_MOJIBAKE_TARGETS = (
+    "\u00e9\u00e8\u00e4\u00f6\u00fc\u00f1\u00e7\u00e0"  # accented latin
+    "\u2018\u2019\u201c\u2013\u2014\u2026"              # smart quotes/dashes
+    "\u00ab\u00bb\u00a0"                                # guillemets, NBSP
+    "\ufeff\ufffd"                                      # BOM, replacement char
+)
+
+
+def _cp1252_signature(ch: str) -> str | None:
+    try:
+        return ch.encode("utf-8").decode("cp1252")
+    except UnicodeDecodeError:
+        return None
+
+
+MOJIBAKE_SEQUENCES = tuple(
+    s for s in (_cp1252_signature(c) for c in _MOJIBAKE_TARGETS) if s
+)
+
+
+def mojibake_count(col: Column) -> Column:
+    """Occurrences of classic double-encoding signatures (UTF-8 read as
+    cp1252 and re-encoded). One regexp alternation of literal sequences
+    over the text -- map-only, codegen'd. Complements payload triage
+    (operators/multimodal.py), which gates invalid BYTES: mojibake is
+    VALID UTF-8 carrying wrong text, so it sails through byte checks."""
+    pattern = "|".join(MOJIBAKE_SEQUENCES)
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast(
+        "long"
+    )
+
+
+def mojibake_metrics(df, id_col: str, text_col: str,
+                     max_per_kchar: float = 2.0):
+    """(id, n_mojibake, chars, mojibake_per_kchar, keep) per document --
+    the crawl-hygiene gate for double-encoded text. ``keep`` is False
+    when signature density exceeds ``max_per_kchar`` per 1000 chars
+    (density, not absolute count, so long documents are not punished).
+    Pure column arithmetic over one scan; empty docs keep."""
+    n = mojibake_count(F.col(text_col))
+    chars = F.length(F.col(text_col)).cast("long")
+    density = F.round(
+        n.cast("double") * 1000.0
+        / F.greatest(chars, F.lit(1)).cast("double"),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_mojibake"),
+        chars.alias("chars"),
+        density.alias("mojibake_per_kchar"),
+        (density <= max_per_kchar).alias("keep"),
+    )

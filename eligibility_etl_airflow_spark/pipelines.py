@@ -1286,6 +1286,7 @@ def run_crawl_preprocess_pipeline(
     blocklist_terms: tuple[str, ...] | None = None,
     blocklist_max_fraction: float = 0.0,
     min_latin_fraction: float | None = None,
+    max_mojibake_per_kchar: float | None = None,
     line_max_df: int = 10,
     nfc: bool = True,
     robots_df: DataFrame | None = None,
@@ -1323,10 +1324,14 @@ def run_crawl_preprocess_pipeline(
          byte form per string (skippable with ``nfc=False``).
       5. Optional blocklist gate (text.blocklist_metrics).
       6. Optional script gate: docs whose Latin character fraction
-         falls below ``min_latin_fraction`` drop (the mixed-script/
-         mojibake net; swap thresholds per target language mix).
+         falls below ``min_latin_fraction`` drop (the mixed-script
+         net; swap thresholds per target language mix).
+      7. Optional mojibake gate: docs whose cp1252 double-encoding
+         signature density exceeds ``max_mojibake_per_kchar`` drop —
+         valid-UTF-8 wrong-text the byte triage cannot see
+         (text.mojibake_metrics).
 
-    Scale shape: stages 2/4/5/6 are map-only column work fused into
+    Scale shape: stages 2/4/5/6/7 are map-only column work fused into
     one pass over the deduped relation; the only shuffles are the
     URL-dedup aggregate (canonical key), line_dedup's two (line key,
     id key), all partial-aggregated. Same persist-before-count funnel
@@ -1485,6 +1490,26 @@ def run_crawl_preprocess_pipeline(
                     drops(current, before_script, "script_gate")
                 )
 
+        # 7. mojibake gate (optional): double-encoded text is valid
+        # UTF-8, so the byte-level triage upstream cannot catch it —
+        # the derived cp1252-signature density does (operators/text.py)
+        n_after_mojibake = None
+        if max_mojibake_per_kchar is not None:
+            ok = text.mojibake_metrics(
+                current, id_col, "text",
+                max_per_kchar=max_mojibake_per_kchar,
+            ).filter(F.col("keep")).select(F.col("id").alias(id_col))
+            before_moji = current
+            current = current.join(ok, id_col, "left_semi").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            caches.append(current)
+            n_after_mojibake = current.count()
+            if quarantine_path is not None:
+                quarantine_parts.append(
+                    drops(current, before_moji, "mojibake_gate")
+                )
+
         # the output IS a documents table: curation-compatible columns
         # (lang via the marker heuristic, source = registered domain,
         # n_chars) written under documents.parquet so this stage's
@@ -1526,6 +1551,8 @@ def run_crawl_preprocess_pipeline(
         stats["n_after_blocklist"] = n_after_blocklist
     if n_after_script is not None:
         stats["n_after_script"] = n_after_script
+    if n_after_mojibake is not None:
+        stats["n_after_mojibake"] = n_after_mojibake
     return stats
 
 

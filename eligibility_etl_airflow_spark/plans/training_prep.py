@@ -2091,3 +2091,75 @@ def frequent_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(40)
     )
+
+
+
+# --------------------------------------------------------------------------
+# Mojibake (double-encoding) detection -- crawl hygiene the byte-level
+# payload triage cannot see (mojibake is valid UTF-8 carrying wrong text)
+# --------------------------------------------------------------------------
+
+def _mojibake_oracle() -> str:
+    from eligibility_etl_airflow_spark.operators.text import (
+        MOJIBAKE_SEQUENCES,
+        _cp1252_signature,
+    )
+
+    pattern = "|".join(MOJIBAKE_SEQUENCES)
+    sig_e = _cp1252_signature("\u00e9")
+    sig_q = _cp1252_signature("\u2019")
+    return f"""
+WITH vehicle AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' caf{sig_e} it{sig_q}s broken'
+                      ELSE '' END AS t
+  FROM documents
+), m AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t, '{pattern}')) AS n
+  FROM vehicle
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(n AS BIGINT) AS n_mojibake,
+       CAST(length(t) AS BIGINT) AS chars,
+       round(n * 1000.0 / greatest(length(t), 1), 6) AS mojibake_per_kchar,
+       (round(n * 1000.0 / greatest(length(t), 1), 6) <= 2.0) AS keep
+FROM m
+"""
+
+
+MOJIBAKE_ORACLE = _mojibake_oracle()
+
+
+@query("mojibake_metrics", oracle=MOJIBAKE_ORACLE)
+def mojibake_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-encoding (mojibake) detection (operators/text.py::
+    mojibake_metrics): density of derived cp1252-round-trip signatures
+    per document, with the keep gate at 2 hits per 1000 chars. The
+    corpus is clean by construction, so both engines inject the same
+    deterministic mojibake into every fifth document (the construct-
+    then-process vehicle discipline of the NFC/URL queries); the
+    signature table itself is DERIVED from the encoding math
+    (utf-8 bytes read as cp1252), never hand-typed, and contains only
+    literal sequences so the identical alternation runs in Java regex
+    and RE2. Map-only, one scan."""
+    from eligibility_etl_airflow_spark.operators.text import (
+        _cp1252_signature,
+        mojibake_metrics,
+    )
+
+    sig_e = _cp1252_signature("\u00e9")
+    sig_q = _cp1252_signature("\u2019")
+    d = Catalog(spark, sf_dir).documents
+    vehicle = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(f" caf{sig_e} it{sig_q}s broken"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return mojibake_metrics(vehicle, "doc_id", "text", max_per_kchar=2.0)

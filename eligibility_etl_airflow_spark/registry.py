@@ -122,6 +122,9 @@ _DEFERRED = _ROTATED_OUT + (
     # NEW round 6: boilerplate-phrase discovery — top-k 5-word n-grams,
     # deterministic tie-break, TakeOrderedAndProject top-k
     "frequent_ngrams",
+    # NEW round 6: mojibake density gate — cp1252-round-trip-derived
+    # signature alternation, constructed-vehicle oracle
+    "mojibake_metrics",
     "train_test_split_hash",
     "contiguous_row_ids",
     "group_sample_deterministic",

@@ -1503,3 +1503,41 @@ def test_incremental_drift_index_survives_crash_before_fold(spark, tmp_path):
         ).collect()
     }
     assert got3 == want3
+
+
+def test_crawl_preprocess_mojibake_gate(spark, tmp_path):
+    """max_mojibake_per_kchar drops the double-encoded doc, keeps both
+    the clean-accented and plain docs, and attributes the drop in the
+    quarantine trail."""
+    from eligibility_etl_airflow_spark import pipelines
+
+    moji = ("caf" + "é".encode("utf-8").decode("cp1252") + " it"
+            + "’".encode("utf-8").decode("cp1252") + "s ") * 8
+    rows = [
+        (1, "https://g.example.com/a",
+         f"<p>{moji} short page body here</p>"),
+        (2, "https://g.example.com/b",
+         "<p>café it’s a café with naïve charm and many clean words</p>"),
+        (3, "https://g.example.com/c",
+         "<p>plain ascii page body with enough words to survive</p>"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    q = str(tmp_path / "quarantine")
+    stats = pipelines.run_crawl_preprocess_pipeline(
+        spark, raw, str(tmp_path / "out"),
+        max_mojibake_per_kchar=2.0,
+        quarantine_path=q,
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / "documents.parquet")
+        ).collect()
+    )
+    assert kept == [2, 3]
+    assert stats["n_after_mojibake"] == 2
+    quar = {
+        r["doc_id"]: r["reason"]
+        for r in spark.read.parquet(q).collect()
+    }
+    assert quar[1] == "mojibake_gate"

@@ -665,3 +665,33 @@ def test_frequent_ngrams_planted_boilerplate_and_ties(spark):
         ) or a["n_occurrences"] > b["n_occurrences"]
         if a["n_occurrences"] == b["n_occurrences"]:
             assert a["ngram"] < b["ngram"]
+
+
+def test_mojibake_detection_planted_and_clean(spark):
+    """Derived cp1252 signatures fire on classic double-encoded text,
+    stay silent on clean accented text (the real characters, not their
+    mojibake forms), and the density gate drops only the dirty doc."""
+    from eligibility_etl_airflow_spark.operators import text as text_ops
+
+    dirty = (
+        "caf" + "é".encode("utf-8").decode("cp1252")
+        + " it" + "’".encode("utf-8").decode("cp1252")
+        + "s a caf" + "é".encode("utf-8").decode("cp1252")
+    )
+    clean = "café it’s a café with naïve charm"
+    df = spark.createDataFrame(
+        [(1, dirty), (2, clean), (3, "plain ascii text only"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in text_ops.mojibake_metrics(df, "doc_id", "text").collect()
+    }
+    assert out[1]["n_mojibake"] == 3 and not out[1]["keep"]
+    assert out[2]["n_mojibake"] == 0 and out[2]["keep"]
+    assert out[3]["n_mojibake"] == 0 and out[3]["keep"]
+    assert out[4]["n_mojibake"] == 0 and out[4]["keep"]
+    # the signature table is derived, never hand-typed: every entry is
+    # the cp1252 read of some target's utf-8 bytes
+    for sig in text_ops.MOJIBAKE_SEQUENCES:
+        assert sig.encode("cp1252").decode("utf-8") in text_ops._MOJIBAKE_TARGETS
