@@ -385,6 +385,14 @@ def main(argv: list[str] | None = None) -> int:
                 kwargs["semantic_k"] = args.semantic_k
             if args.audit_path:
                 kwargs["audit_path"] = args.audit_path
+        if args.span_exact and not args.span_dedup:
+            print(
+                "--span-exact requires --span-dedup (exact mode is a "
+                "property OF span removal; without the stage nothing "
+                "would run and the flag would silently lie)",
+                file=sys.stderr,
+            )
+            return 2
         if args.name == "training-prep" and args.span_dedup:
             kwargs["span_dedup"] = True
             if args.span_exact:

@@ -219,27 +219,35 @@ def token_index_pending_write(
     add: DataFrame | None = None,
     subtract: DataFrame | None = None,
     ids: DataFrame | None = None,
+    kind: str = "main",
 ) -> None:
     """Stage a batch's token-count deltas as a WRITE-AHEAD intent at
-    ``<index_path>__pending`` — called BEFORE the corpus/state writes so
-    a crash between those writes and the index fold is recoverable: the
-    next ingest finds the pending directory and completes the fold
-    (:func:`token_index_fold`), instead of the index silently going
-    permanently stale (the replay accepts nothing, so the fold input
-    would otherwise be lost). ``key`` identifies the batch (any
-    deterministic content digest); it gates fold idempotency via the
-    ``_folded`` marker inside the index directory. ``ids`` (a doc_id
-    relation of the batch) lets the recovery fold verify the batch
-    actually REACHED the state before applying its counts — a crash
-    before any state write followed by a different next batch must
-    discard the intent, not fold phantom counts. Re-writing a pending
-    set for the same key (a replay that crashed before the state
-    writes) just replaces it."""
+    ``<index_path>__pending_<kind>`` — called BEFORE the state write the
+    deltas describe, so a crash between that write and the index fold
+    is recoverable: the next ingest finds the pending directory and
+    completes the fold (:func:`token_index_fold`) instead of the index
+    silently going permanently stale (the replay accepts nothing, so
+    the fold input would otherwise be lost).
+
+    ``kind`` separates intents for state mutations that land at
+    DIFFERENT times (the crawl pipeline's accepted appends vs its
+    update merge): one combined intent cannot be landed-verified —
+    a crash between the two writes would fold the un-landed half's
+    deltas and then fold them again on replay. Each kind gets its own
+    pending directory, its own ``_folded_<kind>`` idempotency marker,
+    and its own ``ids`` landed check.
+
+    ``key`` must digest the batch CONTENT (see :func:`batch_content_key`
+    — ids plus content hashes), not just ids: a later batch updating
+    the same documents to different text must produce a different key,
+    or its fold would be skipped as an already-applied replay.
+    Re-writing a pending set for the same key (a replay that crashed
+    before the state writes) just replaces it."""
     import os
     import shutil
     import uuid
 
-    pend = f"{index_path}__pending"
+    pend = f"{index_path}__pending_{kind}"
     tmp = f"{pend}__tmp_{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
     if add is not None:
@@ -260,59 +268,75 @@ def token_index_fold(
     index_path: str,
     docs_path: str | None = None,
     verify_landed: bool = False,
+    kind: str = "main",
 ) -> bool:
-    """Fold the pending deltas (if any) into the token index, exactly
-    once: the ``_folded`` marker inside the index directory records the
-    last applied batch key, so replaying the fold after a crash between
-    the index swap and the pending cleanup is a no-op. Parquet readers
-    ignore underscore-prefixed files, so the marker rides inside the
-    index directory and swaps atomically WITH the data. Staged write +
-    rename, same discipline as every other state mutation.
+    """Fold the ``kind`` pending deltas (if any) into the token index,
+    exactly once: the ``_folded_<kind>`` marker inside the index
+    directory records the last applied batch key for that kind, so
+    replaying the fold after a crash between the index swap and the
+    pending cleanup is a no-op. Markers for OTHER kinds are carried
+    across the swap. Parquet readers ignore underscore-prefixed files,
+    so markers ride inside the index directory and swap atomically WITH
+    the data. Staged write + rename, same discipline as every other
+    state mutation.
+
     ``verify_landed=True`` (the RECOVERY call, where the intent may
-    predate a crash that happened before any state write) checks that
-    at least one of the pending set's ``ids`` is present in the
-    accepted docs — the docs append is the FIRST state write in both
-    pipelines, so presence means the batch reached the state; an intent
-    whose batch never landed is discarded instead of folding phantom
-    counts. The in-process fold right after a successful append skips
-    the check (the writes are known to have happened), so the normal
-    path never pays the corpus id-column scan. With at-least-once
-    replay of the same batch (the streaming wrappers' contract) a
-    partially-landed batch heals on replay and the staged counts then
-    match the healed state. Returns True when a fold was applied."""
+    predate a crash that happened before the state write it describes)
+    checks that at least one of the pending set's ``ids`` is present in
+    the accepted docs — presence means that mutation reached the state;
+    an intent whose mutation never landed is discarded instead of
+    folding phantom counts. If the INDEX ITSELF is missing during
+    recovery (a crash between the swap's two renames), the pending is
+    discarded too: folding onto an empty base would build a one-batch
+    index, whereas discarding lets the caller's backfill path recount
+    the whole corpus — the O(corpus) price of that crash window, paid
+    once. The in-process fold right after a successful write skips the
+    landed check (the write is known to have happened). With
+    at-least-once replay of the same batch (the streaming wrappers'
+    contract) a partially-landed mutation heals on replay and the
+    staged counts then match the healed state. Returns True when a
+    fold was applied."""
+    import glob
     import os
     import shutil
     import uuid
 
-    pend = f"{index_path}__pending"
+    pend = f"{index_path}__pending_{kind}"
     if not os.path.exists(pend):
         return False
     with open(os.path.join(pend, "_key")) as f:
         key = f.read()
-    marker = os.path.join(index_path, "_folded")
+    marker = os.path.join(index_path, f"_folded_{kind}")
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == key:
                 shutil.rmtree(pend)  # crash landed between swap + cleanup
                 return False
-    ids_path = os.path.join(pend, "ids")
-    if verify_landed and os.path.exists(ids_path):
-        if docs_path is None or not os.path.exists(docs_path):
-            shutil.rmtree(pend)  # batch never reached the state
-            return False
-        landed = (
-            spark.read.parquet(ids_path)
-            .join(
-                spark.read.parquet(docs_path).select("doc_id"),
-                "doc_id",
-                "left_semi",
-            )
-            .limit(1)
-            .count()
-        )
-        if not landed:
+    if verify_landed:
+        if not os.path.exists(index_path):
+            # mid-swap crash: the backfill recount (which includes any
+            # landed mutation) is the correct recovery, not a fold onto
+            # an empty base
             shutil.rmtree(pend)
             return False
+        ids_path = os.path.join(pend, "ids")
+        if os.path.exists(ids_path):
+            if docs_path is None or not os.path.exists(docs_path):
+                shutil.rmtree(pend)  # mutation never reached the state
+                return False
+            landed = (
+                spark.read.parquet(ids_path)
+                .join(
+                    spark.read.parquet(docs_path).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
+            )
+            if not landed:
+                shutil.rmtree(pend)
+                return False
     if os.path.exists(index_path):
         current = spark.read.parquet(index_path)
     else:
@@ -328,7 +352,12 @@ def token_index_fold(
     )
     tmp = f"{index_path}__merge_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, "_folded"), "w") as f:
+    # carry the OTHER kinds' idempotency markers across the swap, then
+    # stamp this kind's
+    if os.path.exists(index_path):
+        for m in glob.glob(os.path.join(index_path, "_folded_*")):
+            shutil.copy(m, os.path.join(tmp, os.path.basename(m)))
+    with open(os.path.join(tmp, f"_folded_{kind}"), "w") as f:
         f.write(key)
     if os.path.exists(index_path):
         old_dir = f"{index_path}__old_{uuid.uuid4().hex[:8]}"
@@ -341,16 +370,28 @@ def token_index_fold(
     return True
 
 
+def token_index_has_pending(index_path: str) -> bool:
+    """True when any kind's write-ahead intent exists beside the index."""
+    import glob
+
+    return bool(glob.glob(f"{index_path}__pending_*"))
+
+
 def batch_content_key(*relations: tuple[str, DataFrame]) -> str:
-    """Deterministic content digest of one or more (tag, df-with-doc_id)
-    relations — the batch key for the pending-fold protocol. One scalar
-    aggregate per relation (count + xxhash64 sum over the id), nothing
-    collected beyond two numbers."""
+    """Deterministic CONTENT digest of one or more (tag, df) relations —
+    the batch key for the pending-fold protocol. Digests doc_id AND
+    content_hash when the relation carries one (two batches updating
+    the same ids to different text MUST key differently, or the second
+    fold is skipped as a replay); one scalar aggregate per relation,
+    nothing collected beyond two numbers."""
     parts = []
     for tag, df in relations:
+        basis = F.col("doc_id").cast("string")
+        if "content_hash" in df.columns:
+            basis = F.concat_ws("|", basis, F.col("content_hash"))
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(F.col("doc_id").cast("string"))).alias("h"),
+            F.sum(F.xxhash64(basis)).alias("h"),
         ).first()
         parts.append(f"{tag}:{row['n']}:{row['h']}")
     return "|".join(parts)

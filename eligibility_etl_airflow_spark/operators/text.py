@@ -364,9 +364,11 @@ def mojibake_metrics(df, id_col: str, text_col: str,
     the crawl-hygiene gate for double-encoded text. ``keep`` is False
     when signature density exceeds ``max_per_kchar`` per 1000 chars
     (density, not absolute count, so long documents are not punished).
-    Pure column arithmetic over one scan; empty docs keep."""
-    n = mojibake_count(F.col(text_col))
-    chars = F.length(F.col(text_col)).cast("long")
+    Pure column arithmetic over one scan; empty AND null-text docs keep
+    with zero counts (the codebase's null-text-survives contract — a
+    null must never be silently dropped by a keep-side filter)."""
+    n = F.coalesce(mojibake_count(F.col(text_col)), F.lit(0))
+    chars = F.coalesce(F.length(F.col(text_col)).cast("long"), F.lit(0))
     density = F.round(
         n.cast("double") * 1000.0
         / F.greatest(chars, F.lit(1)).cast("double"),

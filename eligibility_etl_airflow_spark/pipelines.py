@@ -1064,20 +1064,23 @@ def run_incremental_curation(
         # ingest's monitor (see run_incremental_crawl_ingest)
         drift_row = None
         batch_counts = None
+        from eligibility_etl_airflow_spark.operators import drift as drift_ops
+
         maintain_tokens = (
             drift_report
             or os.path.exists(token_path)
-            or os.path.exists(f"{token_path}__pending")
+            or drift_ops.token_index_has_pending(token_path)
         )
         if maintain_tokens:
             import uuid as _uuid
 
-            from eligibility_etl_airflow_spark.operators import drift as drift_ops
-
             # recovery: complete a crashed prior run's staged fold before
-            # this batch's JSD reads the index (see the crawl twin)
+            # this batch's JSD reads the index (see the crawl twin; a
+            # mid-swap crash discards the intent and the backfill below
+            # recounts)
             drift_ops.token_index_fold(
-                spark, token_path, docs_path=docs_path, verify_landed=True
+                spark, token_path, docs_path=docs_path,
+                verify_landed=True, kind="acc",
             )
 
             if os.path.exists(docs_path) and not os.path.exists(token_path):
@@ -1111,6 +1114,7 @@ def run_incremental_curation(
                 drift_ops.batch_content_key(("acc", accepted)),
                 add=batch_counts,
                 ids=accepted.select("doc_id"),
+                kind="acc",
             )
 
         # idempotent index + corpus maintenance (doc_id-keyed appends)
@@ -1142,7 +1146,7 @@ def run_incremental_curation(
         # across crash/replay (see the crawl twin); landed check skipped
         # in-process
         if maintain_tokens:
-            drift_ops.token_index_fold(spark, token_path)
+            drift_ops.token_index_fold(spark, token_path, kind="acc")
     finally:
         for c in caches:
             c.unpersist()
@@ -1803,24 +1807,28 @@ def run_incremental_crawl_ingest(
         # migration above.
         drift_row = None
         batch_counts = None
+        from eligibility_etl_airflow_spark.operators import drift as drift_ops
+
         maintain_tokens = (
             drift_report
             or os.path.exists(token_index)
-            or os.path.exists(f"{token_index}__pending")
+            or drift_ops.token_index_has_pending(token_index)
         )
         if maintain_tokens:
             import uuid as _uuid
 
-            from eligibility_etl_airflow_spark.operators import drift as drift_ops
-
-            # recovery first: a prior run that crashed between the state
-            # writes and the index fold left a __pending intent — fold it
-            # now so the index is caught up BEFORE this batch's JSD reads
-            # it (idempotent via the _folded key marker; applied only if
-            # that batch actually reached the docs state)
-            drift_ops.token_index_fold(
-                spark, token_index, docs_path=docs_path, verify_landed=True
-            )
+            # recovery first: a prior run that crashed between a state
+            # write and its index fold left a __pending intent — fold
+            # each kind now so the index is caught up BEFORE this
+            # batch's JSD reads it (idempotent via the per-kind _folded
+            # markers; applied only if that mutation actually reached
+            # the docs state; a mid-swap crash discards the intent and
+            # falls through to the backfill recount below)
+            for _kind in ("acc", "upd"):
+                drift_ops.token_index_fold(
+                    spark, token_index, docs_path=docs_path,
+                    verify_landed=True, kind=_kind,
+                )
 
             if has_state and not os.path.exists(token_index):
                 backfill = drift_ops.unigram_counts(
@@ -1895,30 +1903,31 @@ def run_incremental_crawl_ingest(
                 )
             )
 
-        # write-ahead token-delta intent BEFORE any state write: a crash
-        # between the appends below and the fold is then recoverable on
-        # the next ingest (the replay accepts nothing, so without this
-        # staging the fold input would be lost and the index permanently
-        # stale — the same crash window the vector index closes with
-        # write ordering)
-        if maintain_tokens and (batch_counts is not None or n_updated):
-            fold_adds = batch_counts
-            if upd_add is not None:
-                fold_adds = (
-                    upd_add if fold_adds is None
-                    else fold_adds.unionByName(upd_add)
-                )
-            key_rels = [("acc", accepted)]
-            ids_rel = accepted.select("doc_id")
-            if n_updated:
-                key_rels.append(("upd", updated))
-                ids_rel = ids_rel.unionByName(updated.select("doc_id"))
+        # write-ahead token-delta intents BEFORE any state write: a
+        # crash between a write below and its fold is then recoverable
+        # on the next ingest (the replay accepts nothing, so without
+        # this staging the fold input would be lost and the index
+        # permanently stale). The accepted-appends deltas and the
+        # update-merge deltas are SEPARATE intents because those writes
+        # land at different times — one combined intent could fold the
+        # un-landed half after a crash between them, then fold it again
+        # on replay.
+        if maintain_tokens and batch_counts is not None:
             drift_ops.token_index_pending_write(
                 token_index,
-                drift_ops.batch_content_key(*key_rels),
-                add=fold_adds,
+                drift_ops.batch_content_key(("acc", accepted)),
+                add=batch_counts,
+                ids=accepted.select("doc_id"),
+                kind="acc",
+            )
+        if maintain_tokens and n_updated:
+            drift_ops.token_index_pending_write(
+                token_index,
+                drift_ops.batch_content_key(("upd", updated)),
+                add=upd_add,
                 subtract=upd_sub,
-                ids=ids_rel,
+                ids=updated.select("doc_id"),
+                kind="upd",
             )
 
         # appends AFTER the _stable: each write refreshes its path, and
@@ -1965,14 +1974,15 @@ def run_incremental_crawl_ingest(
         # exactly what the writes above did to docs_path (accepted
         # appended, updated replaced): counts + accepted + new_updated −
         # old_updated, zero-count rows dropped. O(vocab + batch) work;
-        # the fold consumes the __pending intent written above, staged
-        # write + rename with the batch key recorded inside the index
-        # directory — so a crash anywhere in this window is healed by
-        # the recovery fold at the next ingest, exactly once. A replayed
-        # batch stages nothing and the fold is a no-op (the in-process
-        # fold skips the landed check — the appends above just ran)
+        # each fold consumes its __pending intent, staged write + rename
+        # with the batch key recorded inside the index directory — so a
+        # crash anywhere in this window is healed by the recovery folds
+        # at the next ingest, exactly once per kind. A replayed batch
+        # stages nothing and the folds are no-ops (in-process folds skip
+        # the landed check — the writes above just ran)
         if maintain_tokens:
-            drift_ops.token_index_fold(spark, token_index)
+            drift_ops.token_index_fold(spark, token_index, kind="acc")
+            drift_ops.token_index_fold(spark, token_index, kind="upd")
     finally:
         for c in caches:
             c.unpersist()

@@ -1450,7 +1450,7 @@ def test_incremental_drift_index_survives_crash_before_fold(spark, tmp_path):
     )
     ids2 = spark.createDataFrame([(2,)], "doc_id long")
     drift.token_index_pending_write(
-        token_index, "crash-key-b2", add=b2_counts, ids=ids2
+        token_index, "crash-key-b2", add=b2_counts, ids=ids2, kind="acc"
     )
     pre_b2 = drift.token_index_merge(
         spark.read.parquet(token_index),
@@ -1465,7 +1465,7 @@ def test_incremental_drift_index_survives_crash_before_fold(spark, tmp_path):
         spark, b2, state, drift_report=True
     )
     assert s_replay["n_accepted"] == 0
-    assert not os.path.exists(f"{token_index}__pending")
+    assert not os.path.exists(f"{token_index}__pending_acc")
     got = {
         r["tok"]: r["c"] for r in spark.read.parquet(token_index).collect()
     }
@@ -1486,6 +1486,7 @@ def test_incremental_drift_index_survives_crash_before_fold(spark, tmp_path):
         "crash-key-phantom",
         add=phantom,
         ids=spark.createDataFrame([(999,)], "doc_id long"),
+        kind="acc",
     )
     b3 = spark.createDataFrame(
         [(3, "https://c.example.com/c", "<p>gamma words in the third page</p>")],
@@ -1541,3 +1542,105 @@ def test_crawl_preprocess_mojibake_gate(spark, tmp_path):
         for r in spark.read.parquet(q).collect()
     }
     assert quar[1] == "mojibake_gate"
+
+
+def test_incremental_drift_update_crash_and_same_id_recrawls(spark, tmp_path):
+    """The review's update-path crash scenarios: (a) an 'upd' intent
+    whose merge never landed is discarded on recovery, NOT folded and
+    re-folded; (b) two successive updates of the SAME doc ids to
+    DIFFERENT content key differently, so the second fold is never
+    skipped as a replay; (c) a mid-swap crash (index directory missing,
+    intent present) discards the intent and the backfill recount heals
+    the index."""
+    import os
+    import shutil
+
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.operators import drift
+
+    state = str(tmp_path)
+    token_index = f"{state}/index_tokens"
+
+    def recount():
+        return {
+            r["tok"]: r["c"]
+            for r in drift.unigram_counts(
+                spark.read.parquet(f"{state}/accepted_docs").select("text")
+            ).collect()
+        }
+
+    def index():
+        return {
+            r["tok"]: r["c"]
+            for r in spark.read.parquet(token_index).collect()
+        }
+
+    b1 = spark.createDataFrame(
+        [(1, "https://u.example.com/a", "<p>original draft wording here</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(spark, b1, state, drift_report=True)
+
+    # (b) first update: v1 -> v2
+    up2 = spark.createDataFrame(
+        [(10, "https://u.example.com/a", "<p>second version wording now</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(
+        spark, up2, state, recrawl_policy="update", drift_report=True
+    )
+    assert index() == recount()
+
+    # (b) second update of the SAME doc id to different content — the
+    # content-hash in the key must make this fold apply, not skip
+    up3 = spark.createDataFrame(
+        [(10, "https://u.example.com/a", "<p>third version entirely new</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(
+        spark, up3, state, recrawl_policy="update", drift_report=True
+    )
+    assert index() == recount()
+    assert "third" in index() and "second" not in index()
+
+    # (a) phantom 'upd' intent whose merge never landed: ids not in docs
+    phantom_sub = drift.unigram_counts(
+        spark.createDataFrame([("third version entirely new",)], "text string")
+    )
+    phantom_add = drift.unigram_counts(
+        spark.createDataFrame([("never landed text",)], "text string")
+    )
+    drift.token_index_pending_write(
+        token_index, "phantom-upd", add=phantom_add, subtract=phantom_sub,
+        ids=spark.createDataFrame([(777,)], "doc_id long"), kind="upd",
+    )
+    noop = spark.createDataFrame(
+        [(10, "https://u.example.com/a", "<p>third version entirely new</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(
+        spark, noop, state, recrawl_policy="update", drift_report=True
+    )
+    assert not os.path.exists(f"{token_index}__pending_upd")
+    assert index() == recount()
+    assert "landed" not in index()
+
+    # (c) mid-swap crash: index gone, intent present -> discard + backfill
+    some_counts = drift.unigram_counts(
+        spark.createDataFrame([("whatever text",)], "text string")
+    )
+    drift.token_index_pending_write(
+        token_index, "mid-swap", add=some_counts,
+        ids=spark.createDataFrame([(1,)], "doc_id long"), kind="acc",
+    )
+    shutil.rmtree(token_index)
+    b4 = spark.createDataFrame(
+        [(4, "https://u.example.com/d", "<p>fresh page after the crash</p>")],
+        "doc_id long, url string, html string",
+    )
+    s4 = pipelines.run_incremental_crawl_ingest(
+        spark, b4, state, drift_report=True
+    )
+    assert "batch_js_divergence" in s4
+    assert not os.path.exists(f"{token_index}__pending_acc")
+    assert index() == recount()

@@ -660,9 +660,7 @@ def test_frequent_ngrams_planted_boilerplate_and_ties(spark):
     assert top["n_docs"] == 4
     # determinism: ties sort lexicographically
     for a, b in zip(out, out[1:]):
-        assert (a["n_occurrences"], a["ngram"]) >= (
-            b["n_occurrences"], a["ngram"]
-        ) or a["n_occurrences"] > b["n_occurrences"]
+        assert a["n_occurrences"] >= b["n_occurrences"]
         if a["n_occurrences"] == b["n_occurrences"]:
             assert a["ngram"] < b["ngram"]
 
