@@ -76,7 +76,12 @@ def main() -> None:
                     "line by design: its cost is quadratic in the LSH "
                     "bucket cap (cap=32 here; cap=200 is ~5x slower at "
                     "~10% more triplet yield — the knob is documented "
-                    "in operators/contrastive.py)"
+                    "in operators/contrastive.py). lang_id_learned "
+                    "TRAINS inside the query (registration contract: "
+                    "each query is self-contained), so its line carries "
+                    "a driver GD solve + bounded sample collect that a "
+                    "production caller pays once per model, not per "
+                    "scoring run"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
