@@ -477,3 +477,34 @@ def test_softmax_lang_scoring_is_broadcast_and_partial(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_frequent_ngrams_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """The top-k must plan as TakeOrderedAndProject (bounded driver
+    traffic), never a global Sort, and the occurrence count must be a
+    partial-aggregate pair."""
+    from eligibility_etl_airflow_spark.plans.training_prep import (
+        frequent_ngrams_q,
+    )
+
+    plan = (
+        frequent_ngrams_q(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_mojibake_metrics_is_map_only_no_exchange(spark, sf_dir):
+    from eligibility_etl_airflow_spark.operators import text as text_ops
+
+    d = Catalog(spark, sf_dir).documents
+    plan = (
+        text_ops.mojibake_metrics(d, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
