@@ -389,9 +389,12 @@ def batch_content_key(*relations: tuple[str, DataFrame]) -> str:
         basis = F.col("doc_id").cast("string")
         if "content_hash" in df.columns:
             basis = F.concat_ws("|", basis, F.col("content_hash"))
+        # the hash sum rides decimal(38,0): xxhash64 values span the
+        # full int64 range, so a plain long sum overflows under ANSI
+        # with as few as two unlucky rows
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(basis)).alias("h"),
+            F.sum(F.xxhash64(basis).cast("decimal(38,0)")).alias("h"),
         ).first()
         parts.append(f"{tag}:{row['n']}:{row['h']}")
     return "|".join(parts)

@@ -2321,3 +2321,46 @@ def corpus_data_card(docs: DataFrame) -> DataFrame:
         )
     )
     return scalars.unionByName(shares)
+
+
+def state_report(spark: SparkSession, state_dir: str) -> dict:
+    """Operational summary of a continuous pipeline's state directory
+    (crawl ingest or incremental curation): per-relation row counts,
+    corpus totals, and whether any write-ahead token intents are
+    pending (a pending intent after a clean shutdown means the last run
+    crashed between a state write and its index fold — the next ingest
+    heals it, but an operator watching the fleet wants to SEE it).
+    Reads footers/metadata-level counts only — one count() per existing
+    relation, no text column IO (the token total is one column's
+    partial-agg sum) — so it is safe to run per monitoring tick against
+    a 100 TB state."""
+    import glob as _glob
+
+    relations = (
+        "accepted_docs",
+        "index_urls",
+        "index_hashes",
+        "index_tokens",
+        "index_bands",
+        "index_shingles",
+        "index_vectors",
+        "index_centroids",
+    )
+    report: dict = {"state_dir": state_dir}
+    for rel in relations:
+        path = os.path.join(state_dir, rel)
+        if os.path.exists(path):
+            report[f"n_{rel}"] = spark.read.parquet(path).count()
+    token_index = os.path.join(state_dir, "index_tokens")
+    report["pending_token_intents"] = sorted(
+        os.path.basename(p).split("__pending_", 1)[1]
+        for p in _glob.glob(f"{token_index}__pending_*")
+    )
+    if "n_index_tokens" in report:
+        tot = (
+            spark.read.parquet(token_index)
+            .agg(F.sum("c").alias("t"))
+            .first()["t"]
+        )
+        report["n_corpus_tokens"] = int(tot or 0)
+    return report

@@ -2163,3 +2163,64 @@ def mojibake_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return mojibake_metrics(vehicle, "doc_id", "text", max_per_kchar=2.0)
+
+
+# --------------------------------------------------------------------------
+# Token frequency spectrum — the corpus Zipf table
+# --------------------------------------------------------------------------
+
+TOKEN_SPECTRUM_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''
+         )) AS tok
+  FROM documents
+), counted AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1
+), tot AS (SELECT sum(freq) AS n FROM counted)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT) AS rank,
+       tok, freq,
+       round(freq * 1.0 / (SELECT n FROM tot), 6) AS prob
+FROM counted
+ORDER BY freq DESC, tok ASC
+LIMIT 100
+"""
+
+
+@query("token_frequency_spectrum", oracle=TOKEN_SPECTRUM_ORACLE)
+def token_frequency_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf table: the top-100 unigram tokens with rank,
+    frequency, and probability mass — the data-card companion every
+    corpus report leads with (a healthy natural corpus is near-Zipfian;
+    a templated one has a cliff) and the sanity baseline for the LM /
+    DSIR tiers (same [^a-z]+ tokenizer, so their probabilities are
+    directly comparable). Deterministic: ties rank lexicographically.
+
+    Scale shape: drift.unigram_counts (one partial-agg shuffle; a token
+    appearing a billion times collapses map-side), total mass as a
+    broadcast scalar, then TakeOrderedAndProject for the top-k — the
+    only window (row_number for rank) runs over the ALREADY-truncated
+    100 rows, never the vocabulary."""
+    from eligibility_etl_airflow_spark.operators import drift as drift_ops
+
+    d = Catalog(spark, sf_dir).documents
+    counts = drift_ops.unigram_counts(d, "text").select(
+        "tok", F.col("c").cast("long").alias("freq")
+    )
+    tot = counts.agg(F.sum("freq").alias("n"))
+    top = (
+        counts.orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(100)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "freq",
+            F.round(F.col("freq") / F.col("n"), 6).alias("prob"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    )
+    return top.select(rank.cast("long").alias("rank"), "tok", "freq", "prob")

@@ -125,6 +125,9 @@ _DEFERRED = _ROTATED_OUT + (
     # NEW round 6: mojibake density gate — cp1252-round-trip-derived
     # signature alternation, constructed-vehicle oracle
     "mojibake_metrics",
+    # NEW round 6: corpus Zipf table — unigram_counts + broadcast total
+    # + TakeOrderedAndProject; rank window runs over 100 rows only
+    "token_frequency_spectrum",
     "train_test_split_hash",
     "contiguous_row_ids",
     "group_sample_deterministic",

@@ -1644,3 +1644,32 @@ def test_incremental_drift_update_crash_and_same_id_recrawls(spark, tmp_path):
     assert "batch_js_divergence" in s4
     assert not os.path.exists(f"{token_index}__pending_acc")
     assert index() == recount()
+
+
+def test_state_report_counts_and_pending_intents(spark, tmp_path):
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.operators import drift
+
+    state = str(tmp_path)
+    b = spark.createDataFrame(
+        [(1, "https://r.example.com/a", "<p>alpha beta gamma delta</p>"),
+         (2, "https://r.example.com/b", "<p>epsilon zeta eta theta</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(spark, b, state, drift_report=True)
+    rep = pipelines.state_report(spark, state)
+    assert rep["n_accepted_docs"] == 2
+    assert rep["n_index_urls"] == 2 and rep["n_index_hashes"] == 2
+    assert rep["n_index_tokens"] == rep["n_corpus_tokens"] == 8
+    assert rep["pending_token_intents"] == []
+
+    # a stranded intent (crash signature) is surfaced by name
+    drift.token_index_pending_write(
+        f"{state}/index_tokens", "k",
+        add=drift.unigram_counts(
+            spark.createDataFrame([("x y",)], "text string")
+        ),
+        kind="acc",
+    )
+    rep2 = pipelines.state_report(spark, state)
+    assert rep2["pending_token_intents"] == ["acc"]
