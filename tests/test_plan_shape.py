@@ -508,3 +508,24 @@ def test_mojibake_metrics_is_map_only_no_exchange(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_no_registered_query_uses_row_python_except_the_honest_udf(spark, sf_dir):
+    """Global scale-discipline sweep: the physical plan of EVERY
+    registered query must be free of row-at-a-time Python
+    (BatchEvalPython) — Arrow-batched islands are the only permitted
+    Python boundary — except fhir_find_keys_udf, whose recursive
+    find_keys is the engine's one documented scalar UDF (N7 parity).
+    Catches any future query accidentally landing on the slow path."""
+    from eligibility_etl_airflow_spark import registry
+    from eligibility_etl_airflow_spark.diagnostics import plan_summary
+
+    registry.load_all()
+    allowed_row_python = {"fhir_find_keys_udf"}
+    offenders = []
+    for name in sorted(registry.QUERIES):
+        df = registry.QUERIES[name](spark, sf_dir)
+        s = plan_summary(df)
+        if s.batch_eval_python > 0 and name not in allowed_row_python:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python in: {offenders}"
