@@ -600,3 +600,35 @@ def test_choose_lsh_bands_divisibility_monotonicity_validation():
         choose_lsh_bands(1.0)
     with _pt.raises(ValueError, match="num_perm"):
         choose_lsh_bands(0.5, 0)
+
+
+def test_minhash_lsh_pairs_bands_none_autotunes(spark):
+    """bands=None resolves via choose_lsh_bands and produces the same
+    verified pairs as passing the tuned split explicitly (verification
+    is exact Jaccard, so candidate-generation parity implies result
+    parity on this planted corpus)."""
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river bank under the autumn sky")
+    rows = [
+        (1, base),
+        (2, base + " with one extra trailing clause added"),
+        (3, "completely different content about spark shuffle exchange "
+            "partitions broadcast joins and adaptive execution plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    b, _ = neardup.choose_lsh_bands(0.5, 64)
+    auto = sorted(
+        (r["id_a"], r["id_b"]) for r in neardup.minhash_lsh_pairs(
+            df, "doc_id", "text", num_perm=64, bands=None,
+            jaccard_threshold=0.5,
+        ).collect()
+    )
+    explicit = sorted(
+        (r["id_a"], r["id_b"]) for r in neardup.minhash_lsh_pairs(
+            df, "doc_id", "text", num_perm=64, bands=b,
+            jaccard_threshold=0.5,
+        ).collect()
+    )
+    assert auto == explicit == [(1, 2)]
