@@ -1714,3 +1714,77 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("doc_id"),
         F.round("score", 6).alias("score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source duplication diagnostics — "which source is feeding us dupes"
+# --------------------------------------------------------------------------
+
+SOURCE_DUP_ORACLE = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+  FROM documents
+), owners AS (
+  SELECT f,
+         count(*) AS n_total,
+         count(DISTINCT source) AS n_sources
+  FROM fp GROUP BY 1
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp.f) AS BIGINT) AS n_unique_contents,
+       CAST(sum(CASE WHEN o.n_total > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated_docs,
+       CAST(sum(CASE WHEN o.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_source_docs,
+       round(sum(CASE WHEN o.n_total > 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS dup_rate
+FROM fp JOIN owners o USING (f)
+GROUP BY source
+"""
+
+
+@query("source_dup_diagnostics", oracle=SOURCE_DUP_ORACLE)
+def source_dup_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report — the ops question behind every
+    dedup stage: WHICH source feeds the corpus duplicates, and is it
+    duplicating itself (mirrors/reposts within one feed) or echoing
+    other sources (syndication)? Per source: doc count, distinct
+    contents, docs whose content appears anywhere else in the corpus,
+    docs whose content also appears under ANOTHER source, and the
+    duplication rate.
+
+    Scale shape: one fingerprint pass (map-only), one vocab-grain
+    partial aggregate on the fingerprint (a content repeated a million
+    times collapses map-side; n_sources is a count_distinct bounded by
+    the source cardinality), one fingerprint-key join back, one
+    sources-sized aggregate. Output is sources-sized; nothing
+    data-proportional reaches the driver."""
+    d = Catalog(spark, sf_dir).documents
+    fp = d.select(
+        "doc_id", "source", text.fingerprint_md5(F.col("text")).alias("f")
+    )
+    owners = fp.groupBy("f").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    return (
+        fp.join(owners, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("f").cast("long").alias("n_unique_contents"),
+            F.sum(F.when(F.col("n_total") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_duplicated_docs"),
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross_source_docs"),
+            F.round(
+                F.sum(F.when(F.col("n_total") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -128,6 +128,9 @@ _DEFERRED = _ROTATED_OUT + (
     # NEW round 6: corpus Zipf table — unigram_counts + broadcast total
     # + TakeOrderedAndProject; rank window runs over 100 rows only
     "token_frequency_spectrum",
+    # NEW round 6: per-source duplication diagnostics — fingerprint-
+    # grain partial agg + join-back, sources-sized output
+    "source_dup_diagnostics",
     "train_test_split_hash",
     "contiguous_row_ids",
     "group_sample_deterministic",
