@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from eligibility_etl_airflow_spark.operators.text import WS_CLASS
+
 _RN = "__engine_dedup_rn"
 
 
@@ -328,9 +330,13 @@ def duplicate_spans(
         raise ValueError(f"min_tokens must be >= 2, got {k}")
     toked = df.select(
         F.col(id_col).alias("id"),
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
-            "_toks"
-        ),
+        # explicit whitespace class == Java \s exactly; spelled out so
+        # the DuckDB oracle twin can use the IDENTICAL class (RE2's \s
+        # lacks U+000B vertical tab, Java's includes it — a \x0b in a
+        # document would otherwise tokenize differently per engine)
+        F.filter(
+            F.split(F.col(text_col), WS_CLASS), lambda t: t != ""
+        ).alias("_toks"),
     ).filter(F.size("_toks") >= k)
     # windows staged as a projection alias referencing _toks (multi-
     # referenced attribute — the HOF lambda must not re-split per
@@ -427,9 +433,10 @@ def remove_duplicate_spans(
         raise ValueError(f"min_tokens must be >= 2, got {k}")
     toked = df.select(
         F.col(id_col).alias("id"),
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
-            "_toks"
-        ),
+        # WS_CLASS, not \s — cross-engine parity; see duplicate_spans
+        F.filter(
+            F.split(F.col(text_col), WS_CLASS), lambda t: t != ""
+        ).alias("_toks"),
     )
     wins = toked.filter(F.size("_toks") >= k).select(
         "id",

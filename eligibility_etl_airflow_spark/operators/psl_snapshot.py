@@ -21,9 +21,16 @@ docstring of :func:`eligibility_etl_airflow_spark.operators.urls.registered_doma
 the column shape and plan shape are identical at any list size
 (Catalyst switches In → InSet hash lookup past a handful of entries).
 
-Wildcard rules (``*.ck``-style) and their exceptions are NOT modeled
-by the snapshot — hosts under them fall back to the last-two-labels
-approximation; the full-PSL swap closes that gap.
+Wildcard rules (``*.ck``-style) and their ``!``-exceptions ARE modeled,
+as two more ``IN``-set ladders: ``WILDCARD_PARENTS_<n>`` lists the
+suffixes whose DIRECT children are all public suffixes (so the
+registered domain under them is one label deeper than the explicit-
+suffix case), and ``EXCEPTION_HOSTS_<n>`` lists the ``!`` carve-outs —
+hosts that the wildcard would have made public suffixes but that are in
+fact registrable themselves (``!www.ck`` → ``www.ck`` is a registered
+domain, and ``anything.www.ck`` registers under it). PSL precedence —
+exception beats wildcard beats explicit, longest match first — becomes
+the ``when()`` ladder order in ``registered_domain``.
 """
 
 from __future__ import annotations
@@ -102,8 +109,15 @@ SUFFIXES_2 = (
     "github.io", "gitlab.io", "githubusercontent.com",
     "blogspot.com", "appspot.com", "herokuapp.com", "netlify.app",
     "vercel.app", "pages.dev", "web.app", "firebaseapp.com",
-    "azurewebsites.net", "cloudfront.net", "amazonaws.com",
-    "wordpress.com", "fastly.net", "glitch.me",
+    # NOTE: bare "amazonaws.com" / "fastly.net" are deliberately NOT
+    # here — the real PSL private section only lists specific subtrees
+    # (s3.amazonaws.com, *.compute.amazonaws.com, *.ssl.fastly.net, …;
+    # the service grains live in SUFFIXES_3 / WILDCARD_PARENTS_3). A
+    # bare entry would make every X.amazonaws.com host its own
+    # registered domain, fragmenting politeness budgets and PageRank
+    # beyond what the PSL says.
+    "azurewebsites.net", "cloudfront.net",
+    "wordpress.com", "glitch.me",
     "readthedocs.io", "onrender.com", "surge.sh", "neocities.org",
 )
 
@@ -121,4 +135,43 @@ SUFFIXES_3 = (
     # AWS service grains (private section)
     "s3.amazonaws.com",
     "elb.amazonaws.com", "compute.amazonaws.com",
+)
+
+# --- Wildcard rules (*.<parent>) ------------------------------------------
+# Every DIRECT child of a listed parent is itself a public suffix, so a
+# host strictly below a child registers one label deeper than the
+# explicit-suffix ladder would say. Keyed by the PARENT's label count.
+#
+# *.ck / *.jm / … (ICANN section): any.ck is a public suffix, so
+# foo.bar.ck registers as foo.bar.ck (last 3 labels).
+WILDCARD_PARENTS_1 = (
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+)
+# Japanese geographic wildcards: *.kawasaki.jp etc. — bar.kawasaki.jp is
+# a public suffix, foo.bar.kawasaki.jp registers at the 4th label.
+# (These parents also sit in SUFFIXES_2-equivalent position: a host that
+# IS bar.kawasaki.jp must pass through, handled by the wildcard ladder's
+# n-guards plus the explicit listing below.)
+WILDCARD_PARENTS_2 = (
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+)
+# Private-section wildcards: *.compute.amazonaws.com — the region label
+# is the suffix (us-east-1.compute.amazonaws.com), instances register
+# one deeper. The parents themselves stay in SUFFIXES_3 so an n==4 host
+# (exactly a wildcard child) passes through unchanged.
+WILDCARD_PARENTS_3 = (
+    "compute.amazonaws.com", "compute-1.amazonaws.com",
+)
+
+# --- Exception rules (!<host>) --------------------------------------------
+# Carve-outs from a wildcard: the listed host is NOT a public suffix but
+# a registered domain itself. Keyed by the exception's label count.
+# !www.ck (ICANN): www.ck is registrable; sub.www.ck registers under it.
+EXCEPTION_HOSTS_2 = ("www.ck",)
+# !city.<geo>.jp: the city government's own registrable domain.
+EXCEPTION_HOSTS_3 = (
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
 )

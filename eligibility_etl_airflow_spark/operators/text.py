@@ -17,6 +17,14 @@ from pyspark.sql import functions as F
 # the standard GPT-2-style segmentation shape, minus unicode categories.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# Java's \s spelled out as an explicit character class, so a DuckDB
+# oracle can apply the IDENTICAL class: RE2's \s is [ \t\n\f\r] while
+# Java's additionally matches U+000B vertical tab — a \x0b in a document
+# would silently tokenize differently per engine under a bare '\s+'.
+# Operators whose oracle twins tokenize (span dedup, frequent phrases)
+# use this on BOTH sides; parity on a \x0b vehicle is test-pinned.
+WS_CLASS = r"[ \t\n\f\r\x0b]+"
+
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
 # Marker function-words per language for the n-gram/marker heuristic.

@@ -20,8 +20,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark.operators.psl_snapshot import (
+    EXCEPTION_HOSTS_2,
+    EXCEPTION_HOSTS_3,
     SUFFIXES_2,
     SUFFIXES_3,
+    WILDCARD_PARENTS_1,
+    WILDCARD_PARENTS_2,
+    WILDCARD_PARENTS_3,
 )
 
 # scheme://host[:port][path][?query][#fragment] — capture groups:
@@ -84,26 +89,49 @@ def registered_domain(host: Column) -> Column:
     while ``a.example.org`` / ``b.example.org`` keep resolving to
     ``example.org``.
 
+    Wildcard rules and their ``!``-exceptions (the part of the PSL
+    grammar a plain suffix list cannot express) are modeled as two more
+    ladders with PSL precedence — exception beats wildcard beats
+    explicit suffix, longest match first: ``!city.kawasaki.jp`` makes
+    ``city.kawasaki.jp`` registrable (and anything below it registers
+    under it), ``*.kawasaki.jp`` makes every OTHER direct child a
+    public suffix (so ``a.b.kawasaki.jp`` registers as the last four
+    labels), ``*.ck``/``!www.ck`` likewise one level up, and
+    ``*.compute.amazonaws.com`` one level down.
+
     The suffix sets compile to literal ``IN``-set predicates —
     JVM-side, codegen'd, no join, no shuffle; refresh the snapshot
-    from the full PSL with
-    ``[l for l in psl if '.' in l and not l.startswith(('*','!','/'))]``
-    split by label count. A host that IS exactly a public suffix has
-    no registrable part and passes through unchanged, as do
-    single-label hosts."""
+    from the full PSL, splitting plain lines by label count into
+    ``SUFFIXES_<n>``, ``*.``-lines into ``WILDCARD_PARENTS_<n>`` and
+    ``!``-lines into ``EXCEPTION_HOSTS_<n>``. A host that IS exactly a
+    public suffix (explicit or wildcard-child) has no registrable part
+    and passes through unchanged, as do single-label hosts."""
     parts = F.split(host, r"\.")
     n = F.size(parts)
     # try_element_at: NULL (not an ANSI error) when the label is absent,
     # so the isin conditions below are safely false on short hosts
-    last2 = F.concat(
-        F.try_element_at(parts, F.lit(-2)),
-        F.lit("."),
-        F.try_element_at(parts, F.lit(-1)),
-    )
+    last1 = F.try_element_at(parts, F.lit(-1))
+    last2 = F.concat(F.try_element_at(parts, F.lit(-2)), F.lit("."), last1)
     last3 = F.concat(F.try_element_at(parts, F.lit(-3)), F.lit("."), last2)
     last4 = F.concat(F.try_element_at(parts, F.lit(-4)), F.lit("."), last3)
+    last5 = F.concat(F.try_element_at(parts, F.lit(-5)), F.lit("."), last4)
     return (
-        F.when((n >= 4) & last3.isin(*SUFFIXES_3), last4)
+        # exceptions first: the carved-out host is itself registrable
+        F.when((n >= 3) & last3.isin(*EXCEPTION_HOSTS_3), last3)
+        .when((n >= 2) & last2.isin(*EXCEPTION_HOSTS_2), last2)
+        # wildcards next: children of the parent are public suffixes,
+        # so registration sits one label deeper than the parent's grain
+        .when((n >= 5) & last3.isin(*WILDCARD_PARENTS_3), last5)
+        .when((n >= 4) & last2.isin(*WILDCARD_PARENTS_2), last4)
+        # a host that IS a wildcard child (exactly parent+1 labels) is a
+        # public suffix itself — no registrable part, pass through
+        # (the *_1 and *_3 analogues fall out of the branches below:
+        # bar.ck hits the n>=2 default = itself; x.compute.amazonaws.com
+        # hits the SUFFIXES_3 branch = itself)
+        .when((n == 3) & last2.isin(*WILDCARD_PARENTS_2), host)
+        .when((n >= 3) & last1.isin(*WILDCARD_PARENTS_1), last3)
+        # explicit multi-label suffixes, then the last-two-labels default
+        .when((n >= 4) & last3.isin(*SUFFIXES_3), last4)
         .when((n >= 3) & last2.isin(*SUFFIXES_2), last3)
         .when(n >= 2, last2)
         .otherwise(host)

@@ -1084,8 +1084,9 @@ def dedup_global_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUP_SPANS_ORACLE = r"""
 WITH toks AS (
+  -- explicit class == Java \s (RE2 \s lacks \x0b): operators/text.py
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS t
   FROM documents
 ), sized AS (
   SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 16
@@ -1135,8 +1136,9 @@ def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPAN_REMOVAL_ORACLE = r"""
 WITH toks AS (
+  -- explicit class == Java \s (RE2 \s lacks \x0b): operators/text.py
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS t
   FROM documents
 ), sized AS (
   SELECT doc_id, t, len(t) AS n FROM toks

@@ -2031,8 +2031,9 @@ def corpus_pair_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FREQUENT_NGRAMS_ORACLE = r"""
 WITH toks AS (
+  -- explicit class == Java \s (RE2 \s lacks \x0b): operators/text.py
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+         string_split(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0b]+', ' ', 'g')), ' ') AS t
   FROM documents
 ), grams AS (
   SELECT doc_id,
@@ -2069,8 +2070,10 @@ def frequent_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     toked = d.select(
         "doc_id",
+        # WS_CLASS == Java \s exactly, matching the oracle's class
         F.split(
-            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            F.trim(F.regexp_replace(F.lower("text"), text.WS_CLASS, " ")),
+            " ",
         ).alias("_t"),
     ).filter(F.size("_t") >= 5)
     grams = toked.select(

@@ -258,6 +258,53 @@ def test_duplicate_spans_no_false_positives_and_short_docs(spark):
         dedup_ops.duplicate_spans(df, min_tokens=1)
 
 
+def test_span_tokenizer_vertical_tab_parity_with_oracle(spark):
+    """Java \\s includes U+000B vertical tab; RE2/DuckDB \\s does not.
+    The span tokenizers therefore use the explicit class WS_CLASS on the
+    Spark side and the identical literal class in the DuckDB oracle —
+    this vehicle plants a \\x0b INSIDE the duplicated quote and asserts
+    (a) both engines split on it (the quote stays 20 tokens, so offsets
+    land exactly where a space-separated quote would) and (b) the full
+    oracle reconstruction is byte-identical to the operator."""
+    import duckdb
+    import pandas as pd
+
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+    from eligibility_etl_airflow_spark.plans.llm_pipeline import DUP_SPANS_ORACLE
+
+    quote = (
+        " ".join(f"q{i}" for i in range(8))
+        + "\x0b"
+        + " ".join(f"q{i}" for i in range(8, 20))
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "intro unique words here " + quote + " tail alpha",
+                "different opening text sequence now " + quote + " ending beta",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_span_tokens"], r["span_text"])
+        for r in dedup_ops.duplicate_spans(df, hashed=False).collect()
+    )
+    # \x0b SPLITS: the quote is 20 tokens, so the spans sit at the same
+    # offsets a space-separated quote would (a non-splitting tokenizer
+    # would fuse q7␋q8 into one token and report 19-token spans instead)
+    norm_quote = " ".join(f"q{i}" for i in range(20))
+    assert got == [
+        (1, 4, 23, 20, norm_quote),
+        (2, 5, 24, 20, norm_quote),
+    ], got
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(map(tuple, con.execute(DUP_SPANS_ORACLE).fetchall()))
+    assert got == want
+
+
 def test_remove_duplicate_spans_first_copy_survives(spark):
     """Removal is the Lee-et-al intervention: the corpus-first
     occurrence stays verbatim, every later occurrence is cut at exact

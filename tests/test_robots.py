@@ -158,6 +158,33 @@ def test_frontier_schedule_budget_and_cap(spark):
         ]
 
 
+def test_frontier_schedule_politeness_grain_under_psl_wildcards(spark):
+    """The politeness budget keys on the PSL registered domain, wildcard
+    rules included: under *.ck every direct child of .ck is a public
+    suffix, so a.shop.ck and b.shop.ck are DIFFERENT registrants (their
+    own budgets) while www.a.shop.ck shares a.shop.ck's; the !www.ck
+    exception makes www.ck its own registrable grain."""
+    fr = spark.createDataFrame(
+        [
+            ("https://a.shop.ck/p1", 9.0),
+            ("https://www.a.shop.ck/p2", 8.0),   # same registrant as p1
+            ("https://b.shop.ck/p3", 7.0),       # different registrant
+            ("https://www.ck/p4", 6.0),          # !www.ck exception grain
+            ("https://sub.www.ck/p5", 5.0),      # registers under www.ck
+        ],
+        "url string, prio double",
+    )
+    out = R.frontier_schedule(fr, "url", "prio", per_domain_budget=1).collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r["fetch_cycle"])
+    assert set(by_dom) == {"a.shop.ck", "b.shop.ck", "www.ck"}
+    # shared grains serialize into successive fetch cycles (budget 1)
+    assert sorted(by_dom["a.shop.ck"]) == [0, 1]
+    assert sorted(by_dom["www.ck"]) == [0, 1]
+    assert by_dom["b.shop.ck"] == [0]
+
+
 def test_frontier_schedule_validates_budget(spark):
     fr = spark.createDataFrame([("https://a.org/x", 1.0)], "url string, prio double")
     with pytest.raises(ValueError, match="per_domain_budget"):

@@ -277,6 +277,29 @@ def test_registered_domain_public_suffix_snapshot(spark):
         # a bare public suffix has no registrable part: pass through
         ("co.uk", "co.uk"),
         ("localhost", "localhost"),
+        # --- wildcard rules: *.ck makes every direct child a suffix ---
+        ("foo.bar.ck", "foo.bar.ck"),          # registers under suffix bar.ck
+        ("sub.foo.bar.ck", "foo.bar.ck"),
+        ("bar.ck", "bar.ck"),                  # IS a suffix: pass through
+        # !www.ck exception: www.ck is registrable despite the wildcard
+        ("www.ck", "www.ck"),
+        ("sub.www.ck", "www.ck"),
+        # *.kawasaki.jp geo wildcard + !city.kawasaki.jp exception
+        ("a.b.kawasaki.jp", "a.b.kawasaki.jp"),
+        ("x.a.b.kawasaki.jp", "a.b.kawasaki.jp"),
+        ("b.kawasaki.jp", "b.kawasaki.jp"),    # wildcard child: pass through
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("ward.city.kawasaki.jp", "city.kawasaki.jp"),
+        # *.compute.amazonaws.com private wildcard: region label is the
+        # suffix, instances register one deeper
+        ("i-123.us-east-1.compute.amazonaws.com",
+         "i-123.us-east-1.compute.amazonaws.com"),
+        ("x.i-123.us-east-1.compute.amazonaws.com",
+         "i-123.us-east-1.compute.amazonaws.com"),
+        ("us-east-1.compute.amazonaws.com",
+         "us-east-1.compute.amazonaws.com"),   # wildcard child: pass through
+        # bare amazonaws.com is NOT a suffix (ADVICE fix): default grain
+        ("foo.amazonaws.com", "amazonaws.com"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
     got = df.select(
