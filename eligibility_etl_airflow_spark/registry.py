@@ -56,6 +56,65 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # text/similarity rows) moved to _ROTATED_OUT; 25 never-graded queries
 # (crawl tier, link graph, pair mining, curation, retrieval) promoted.
 
+# Round-7 rotation (#2 of the program): 25 queries graded green in
+# round 6 demoted, 25 never-driver-graded promoted. Demotions split in
+# two tiers, each leaving its machinery in-window:
+#   - 13 long-stable rows (graded green 4-6 consecutive rounds): the
+#     text tier (text_quality_scores, lang_id_heuristic,
+#     ngram_jaccard_pairs, similarity_topk_bruteforce, pii_redaction,
+#     tfidf_top_terms — shingle/blocked-join machinery stays via
+#     set_similarity_pairs + bm25_search; regex machinery via the
+#     promoted mojibake_metrics/blocklist_filter), three of the five
+#     stream_* rows (watermark machinery returns via the promoted
+#     stream_interval_join; sessionization via session_gap_events;
+#     stream_dedup_overlap + stream_stateful_running_spend stay), the
+#     TPC-H trio pricing_summary_sql / asof_join_events /
+#     range_join_events (grouped-agg machinery via the promoted
+#     cube_revenue; time-join machinery via stream_interval_join +
+#     gap_fill_timeseries), and beneficiary_enrichment (struct→cols
+#     machinery stays via fhir_extract_bundle).
+#   - 12 round-6 crawl/retrieval/curation rows whose machinery another
+#     in-window or promoted row still exercises: url_components_parse
+#     (→ promoted url_domain_stats), html_text_extract (→ promoted
+#     anchor_text_pairs + link_graph_edges stays), sitemap_parse /
+#     domain_hits / payload_triage (robots_url_filter,
+#     frontier_schedule, domain_pagerank stay), corpus_data_card (→
+#     promoted token_frequency_spectrum + source_dup_diagnostics),
+#     corpus_pair_drift (→ promoted corpus_drift_js, same telescoping
+#     JSD), decontamination_overlap (→ promoted substring_ and
+#     semantic_decontam_flags), hybrid_retrieval_rrf (bm25_search
+#     stays), cluster_representatives (dedup_connected_components
+#     stays), merge_corpora_priority (dsir_selection +
+#     leakage_safe_split stay), snapshot_diff_cdc (scd2_user_status
+#     stays).
+_ROTATED_OUT_R7 = (
+    "beneficiary_enrichment",
+    "text_quality_scores",
+    "lang_id_heuristic",
+    "ngram_jaccard_pairs",
+    "similarity_topk_bruteforce",
+    "pii_redaction",
+    "tfidf_top_terms",
+    "stream_tumbling_daily",
+    "stream_sliding_270_240",
+    "stream_session_windows",
+    "pricing_summary_sql",
+    "asof_join_events",
+    "range_join_events",
+    "url_components_parse",
+    "html_text_extract",
+    "sitemap_parse",
+    "domain_hits",
+    "payload_triage",
+    "corpus_data_card",
+    "corpus_pair_drift",
+    "decontamination_overlap",
+    "hybrid_retrieval_rrf",
+    "cluster_representatives",
+    "merge_corpora_priority",
+    "snapshot_diff_cdc",
+)
+
 # Graded green rounds 1-5; demoted round 6 under the rotation policy.
 # Machinery each rides remains in-window per the mapping above.
 _ROTATED_OUT = (
@@ -88,49 +147,25 @@ _ROTATED_OUT = (
 
 # Oracle-backed queries currently outside the 50-slot window. All keep
 # local DuckDB parity via tests/test_oracle_parity.py. Promotion
-# candidates for future rotations (never-graded ones first).
-_DEFERRED = _ROTATED_OUT + (
+# candidates for future rotations (never-graded ones first). The
+# round-7 rotation promoted 25 of these (removed from the tuple below;
+# pinned in tests/test_registry.py::PROMOTED_R7) and demoted the 25 in
+# _ROTATED_OUT_R7.
+_DEFERRED = _ROTATED_OUT + _ROTATED_OUT_R7 + (
     "regex_text_ops",
     "split_explode_keys",
-    "map_explode_fields",
     # token accounting is already driver-graded inside
     # llm_predictions_pipeline's input_tokens/output_tokens columns
     "llm_cost_metrics",
     # incremental==batch equivalence is the query's own proof shape
     "incremental_rollup",
-    # the watermark/window family is graded by the four stream_* rows
-    "stream_interval_join",
     # the blocked self-join shape is graded via ngram_jaccard_pairs
     "fuzzy_pairs_levenshtein",
-    # reshaping/sessionization analytics (plans/analytics.py)
-    "pivot_status_matrix",
-    "unpivot_measures",
-    "cube_revenue",
-    "session_gap_events",
     "bloom_semi_join_scan",
-    "repetition_metrics",
     # C4-style span dedup: exact-dedup semantics graded via the r6-promoted
     # dedup_connected_components family; segment machinery also feeds the
-    # r6 duplicate_text_spans query
+    # r7-promoted duplicate_text_spans query
     "dedup_global_segments",
-    # NEW round 6 (lands deferred per the rotation policy): maximal
-    # duplicated token spans — window-chain oracle, planted-offset tests
-    "duplicate_text_spans",
-    # NEW round 6: the removal step over the span locator — windowed-rank
-    # reconstruction oracle, first-copy-survives planted tests
-    "dedup_span_removal",
-    # NEW round 6: boilerplate-phrase discovery — top-k 5-word n-grams,
-    # deterministic tie-break, TakeOrderedAndProject top-k
-    "frequent_ngrams",
-    # NEW round 6: mojibake density gate — cp1252-round-trip-derived
-    # signature alternation, constructed-vehicle oracle
-    "mojibake_metrics",
-    # NEW round 6: corpus Zipf table — unigram_counts + broadcast total
-    # + TakeOrderedAndProject; rank window runs over 100 rows only
-    "token_frequency_spectrum",
-    # NEW round 6: per-source duplication diagnostics — fingerprint-
-    # grain partial agg + join-back, sources-sized output
-    "source_dup_diagnostics",
     "train_test_split_hash",
     "contiguous_row_ids",
     "group_sample_deterministic",
@@ -141,7 +176,6 @@ _DEFERRED = _ROTATED_OUT + (
     "rank_family_windows",
     "set_ops_customers",
     "weighted_sample_docs",
-    "gap_fill_timeseries",
     "funnel_signup_click_purchase",
     "cohort_retention",
     "rolling_zscore_anomalies",
@@ -150,22 +184,11 @@ _DEFERRED = _ROTATED_OUT + (
     "centroid_assignments",
     "stream_static_enrich",
     "skew_profile_events",
-    "unicode_nfc_normalize",
-    "semantic_decontam_flags",
     "balanced_token_shards",
-    "chat_turns_extract",
     "ngram_novelty_scores",
     "data_budget_plan",
     "quality_rank_blend",
     "epoch_shuffle_order",
-    "substring_decontam_flags",
-    "line_dedup_boilerplate",
-    "blocklist_filter",
-    "url_domain_stats",
-    "script_profile_mixed",
-    "anchor_text_pairs",
-    "shard_manifest",
-    "corpus_drift_js",
 )
 
 

@@ -22,40 +22,49 @@ def test_window_is_all_oracle_backed():
     assert not missing, f"window slots without an oracle: {missing}"
 
 
-# The round-6 rotation's 25 deliberate promotions (never driver-graded
-# before; all held local DuckDB parity through rounds 4-5). Update this
-# pin together with registry._ROTATED_OUT when the next rotation runs.
-PROMOTED_R6 = {
-    "bm25_search", "cluster_representatives", "containment_pairs",
-    "corpus_data_card", "corpus_pair_drift", "decontamination_overlap",
-    "dedup_connected_components", "document_chunks", "domain_hits",
-    "domain_pagerank", "dsir_selection", "frontier_schedule",
-    "html_text_extract", "hybrid_retrieval_rrf", "leakage_safe_split",
-    "link_graph_edges", "merge_corpora_priority", "payload_triage",
-    "robots_url_filter", "scd2_user_status", "semantic_dedup_label",
-    "set_similarity_pairs", "sitemap_parse", "snapshot_diff_cdc",
-    "url_components_parse",
+# The round-7 rotation's 25 deliberate promotions (never driver-graded
+# in ANY round; all hold local DuckDB parity on every pytest run).
+# Update this pin together with registry._ROTATED_OUT_R7 when the next
+# rotation runs.
+PROMOTED_R7 = {
+    "anchor_text_pairs", "blocklist_filter", "chat_turns_extract",
+    "corpus_drift_js", "cube_revenue", "dedup_span_removal",
+    "duplicate_text_spans", "frequent_ngrams", "gap_fill_timeseries",
+    "line_dedup_boilerplate", "map_explode_fields", "mojibake_metrics",
+    "pivot_status_matrix", "repetition_metrics", "script_profile_mixed",
+    "semantic_decontam_flags", "session_gap_events", "shard_manifest",
+    "source_dup_diagnostics", "stream_interval_join",
+    "substring_decontam_flags", "token_frequency_spectrum",
+    "unicode_nfc_normalize", "unpivot_measures", "url_domain_stats",
 }
 
 
 def test_window_matches_rotated_graded_set():
     """The 50 in-window queries must be exactly (last round's graded set
-    − the deliberate _ROTATED_OUT demotions) ∪ the pinned promotions —
+    − the deliberate _ROTATED_OUT_R7 demotions) ∪ the pinned promotions —
     an ACCIDENTAL displacement (registering a new oracle-backed query
     without updating _DEFERRED) still fails loudly, while the rotation
     policy's deliberate swaps are recorded here."""
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
-    graded_r5 = set(json.load(open(path)))
-    expected = (graded_r5 - set(registry._ROTATED_OUT)) | PROMOTED_R6
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r06.json")
+    graded_r6 = set(json.load(open(path)))
+    expected = (graded_r6 - set(registry._ROTATED_OUT_R7)) | PROMOTED_R7
     window = set(list(registry.QUERIES)[:WINDOW])
     assert window == expected, (
         f"window gained {sorted(window - expected)}, "
         f"lost {sorted(expected - window)}"
     )
     # rotation hygiene: every demotion really was graded last round, and
-    # every promotion really was NOT
-    assert set(registry._ROTATED_OUT) <= graded_r5
-    assert not (PROMOTED_R6 & graded_r5)
+    # every promotion had never been driver-graded when the rotation was
+    # designed (rounds 1-6 only — round 7's own grading of the promoted
+    # set is the point, not a violation)
+    assert set(registry._ROTATED_OUT_R7) <= graded_r6
+    graded_before: set[str] = set()
+    for rnd in range(1, 7):
+        p = os.path.join(
+            os.path.dirname(__file__), "..", f"CORRECTNESS_r{rnd:02d}.json"
+        )
+        graded_before |= set(json.load(open(p)))
+    assert not (PROMOTED_R7 & graded_before)
 
 
 def test_every_deferred_query_exists_and_has_coverage():
