@@ -24,6 +24,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # SCALING.md (same code measured 86-108 s across idle-box reps in r2/r3
 # adjudication); min-of-reps is the standard steady-state estimator
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# ISOLATED=1 flips to attribution mode: clearCache before EVERY query,
+# so each line is that query's standalone cold cost (persisted
+# intermediates are rebuilt per query instead of shared). Totals under
+# this mode are NOT comparable with the default suite-mode numbers —
+# use it to attribute a regression to one query, not as the cross-round
+# metric.
+ISOLATED = os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "") == "1"
 
 
 def run_query(fn, spark, sf_dir: str) -> float:
@@ -53,6 +60,9 @@ def main() -> None:
         # the single-pass methodology of the earlier rounds' numbers).
         spark.catalog.clearCache()
         for name in sorted(registry.QUERIES):
+            if ISOLATED:
+                # attribution mode: every query pays its own full cost
+                spark.catalog.clearCache()
             t = round(run_query(registry.QUERIES[name], spark, SF_DIR), 4)
             times[name] = min(times.get(name, t), t)
 
@@ -65,13 +75,24 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "reps": max(1, REPS),
+                "isolated": ISOLATED,
                 "methodology": (
-                    "best-of-N cold reps (clearCache at rep boundary); "
+                    (
+                        "ISOLATED attribution mode (clearCache before "
+                        "every query): each line is a standalone cold "
+                        "cost; totals are NOT comparable with suite-mode "
+                        "rounds. "
+                        if ISOLATED
+                        else ""
+                    )
+                    + "best-of-N cold reps (clearCache at rep boundary); "
                     "WITHIN a rep persisted intermediates are shared "
                     "across queries, so per-query lines are not "
                     "standalone costs (whichever neardup query runs "
                     "first alphabetically pays the shingle build) — "
-                    "only the suite total is comparable across rounds. "
+                    "only the suite total is comparable across rounds; "
+                    "set SPARK_GRAFT_BENCH_ISOLATED=1 for standalone "
+                    "per-query attribution. "
                     "contrastive_triplets is the suite's largest single "
                     "line by design: its cost is quadratic in the LSH "
                     "bucket cap (cap=32 here; cap=200 is ~5x slower at "
@@ -81,7 +102,9 @@ def main() -> None:
                     "each query is self-contained), so its line carries "
                     "a driver GD solve + bounded sample collect that a "
                     "production caller pays once per model, not per "
-                    "scoring run"
+                    "scoring run — sample_size=512 is its cost knob "
+                    "(2048 was ~8-10 s; the collect of sparse feature "
+                    "rows dominates)"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -223,6 +223,12 @@ def main(argv: list[str] | None = None) -> int:
         "the persisted token index — O(batch + vocab), accepted text "
         "never re-read)",
     )
+    ip.add_argument(
+        "--compact-threshold", type=int, default=32,
+        help="rewrite a state index once its parquet file count exceeds "
+        "max(this, 2x its compacted size) — between batches, after the "
+        "token folds; 0 disables",
+    )
 
     cip = sub.add_parser(
         "crawl-ingest",
@@ -244,6 +250,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="surface the batch-vs-corpus unigram JSD via the persisted "
         "token index",
+    )
+    cip.add_argument(
+        "--compact-threshold", type=int, default=32,
+        help="rewrite a state index once its parquet file count exceeds "
+        "max(this, 2x its compacted size) — between batches, after the "
+        "token folds; 0 disables",
     )
 
     dp = sub.add_parser(
@@ -410,6 +422,7 @@ def main(argv: list[str] | None = None) -> int:
             inc_kwargs["semantic_k"] = args.semantic_k
         if args.drift_report:
             inc_kwargs["drift_report"] = True
+        inc_kwargs["compact_threshold"] = args.compact_threshold or None
         stats = pipelines.run_incremental_curation(
             spark, batch, args.state_dir, **inc_kwargs
         )
@@ -424,6 +437,7 @@ def main(argv: list[str] | None = None) -> int:
             args.state_dir,
             recrawl_policy=args.recrawl_policy,
             drift_report=args.drift_report,
+            compact_threshold=args.compact_threshold or None,
         )
         print(json.dumps(stats, default=str))
         return 0

@@ -289,6 +289,7 @@ def duplicate_spans(
     *,
     min_tokens: int = 16,
     hashed: bool = True,
+    with_partner: bool = False,
 ) -> DataFrame:
     """Maximal duplicated token spans, Lee-et-al-2022 style ("Dedupli-
     cating Training Data Makes Language Models Better"): every
@@ -318,6 +319,19 @@ def duplicate_spans(
     — negligible below ~10⁹ windows, and a collision can only EXTEND a
     span, never lose one). ``hashed=False`` keys on the text itself:
     exact by construction, the oracle twin's form.
+
+    ``with_partner=True`` answers WITH WHOM the text duplicates, not
+    just where: each span carries ``partner_id``/``partner_pos`` — the
+    corpus-FIRST occurrence (lowest ``(doc, position)``, the removal
+    path's canonical-copy rule) of the span's first window. A span on
+    the canonical copy points at ITSELF (``partner_id == id`` and
+    ``partner_pos == span_start`` identifies it); every later copy
+    points at its provenance source — the feed for contrastive pair
+    mining and duplication audits. Costs one extra 16-byte struct
+    through the existing shuffles (the semi-join becomes an inner
+    join); ``span_text`` is dropped in this mode (offsets stay exact,
+    so callers slice it when needed — skipping the join back to the
+    token arrays).
 
     Scale shape: stride-1 windowing amplifies the token stream ×1 row
     (hashed: fixed 8+8 bytes each), the occurrence count is a partial
@@ -352,6 +366,47 @@ def duplicate_spans(
     )
     key = F.xxhash64("w") if hashed else F.col("w")
     keyed = wins.select("id", "pos", key.alias("wk"))
+    rn = F.row_number().over(Window.partitionBy("id").orderBy("pos"))
+    if with_partner:
+        # the removal path's min(struct) first-occurrence partial agg,
+        # carried through the rejoin so every hit knows its canonical
+        # window; still one shuffle on the window key
+        firsts = keyed.groupBy("wk").agg(
+            F.min(F.struct("id", "pos")).alias("f"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        hits = (
+            keyed.join(firsts.filter(F.col("n") >= 2), "wk")
+            .select(
+                "id",
+                "pos",
+                F.col("f.id").alias("_pid"),
+                F.col("f.pos").alias("_ppos"),
+            )
+        )
+        spans = (
+            hits.withColumn("_grp", F.col("pos") - rn)
+            .groupBy("id", "_grp")
+            .agg(
+                F.min("pos").alias("span_start"),
+                (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+                # partner of the span's FIRST window (pos unique per doc
+                # → deterministic)
+                F.min_by(F.struct("_pid", "_ppos"), F.col("pos")).alias("pt"),
+            )
+        )
+        return spans.select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_span_tokens"),
+            # partner_id keeps the id column's own type (string ids stay
+            # strings); positions are always long
+            F.col("pt._pid").alias("partner_id"),
+            F.col("pt._ppos").cast("long").alias("partner_pos"),
+        )
     dup_keys = (
         keyed.groupBy("wk")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -360,7 +415,6 @@ def duplicate_spans(
     )
     hits = keyed.join(dup_keys, "wk", "left_semi").select("id", "pos")
     # gap-and-island: consecutive positions share (pos − row_number)
-    rn = F.row_number().over(Window.partitionBy("id").orderBy("pos"))
     runs = hits.withColumn("_grp", F.col("pos") - rn)
     spans = runs.groupBy("id", "_grp").agg(
         F.min("pos").alias("span_start"),

@@ -749,6 +749,56 @@ def run_training_prep_pipeline(
     return stats
 
 
+def _maybe_compact_state_indexes(
+    spark: SparkSession,
+    paths: list[str],
+    threshold: int | None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, dict]:
+    """Between-batches housekeeping for the incremental loops' state
+    relations: ``append_dedup`` adds one parquet delta file per batch
+    forever, so after 10⁴ micro-batches every vs-state anti-join lists
+    10⁴ files (a metadata storm at cluster scale). This rewrites a
+    relation via ``sinks.compact_parquet`` (staged write + rename swap)
+    when its file count exceeds ``max(threshold, 2 × the count a fresh
+    compaction would produce)``.
+
+    The second term is the log-structured amortization bound: a huge
+    relation is only rewritten once its DELTA tail is as large as the
+    relation itself, so total rewrite bytes stay O(2×) the bytes ever
+    appended, while small relations compact at the flat ``threshold``
+    (the file-count regime where listing cost, not size, is the
+    problem). ``threshold=None`` disables.
+
+    Call sites run this AFTER all of a batch's appends, merges and
+    token-index folds, and after the batch's cached plans are
+    unpersisted — compaction rewrites the path, and Spark's
+    refresh-by-path invalidates every cached plan whose lineage reads
+    it (the repo's documented trap), so it must land between batches,
+    never mid-fold. The token index is deliberately NOT in any call
+    site's list: each fold already rewrites it whole (staged rename),
+    so it self-compacts."""
+    report: dict[str, dict] = {}
+    if threshold is None:
+        return report
+    for path in paths:
+        if not os.path.isdir(path):
+            continue
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        n_files = len(files)
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        expected = max(1, -(-total_bytes // target_file_bytes))
+        if n_files > max(threshold, 2 * expected):
+            report[os.path.basename(path)] = sinks.compact_parquet(
+                spark, path, target_file_bytes
+            )
+    return report
+
+
 def run_incremental_curation(
     spark: SparkSession,
     batch: DataFrame,
@@ -762,6 +812,7 @@ def run_incremental_curation(
     embedding_col: str = "embedding",
     semantic_k: int = 16,
     drift_report: bool = False,
+    compact_threshold: int | None = 32,
 ) -> dict:
     """Curate a NEW batch against a persisted corpus index — the
     production dedup shape at 100 TB, where re-scanning the accepted
@@ -806,6 +857,14 @@ def run_incremental_curation(
     stays in sync whenever it exists, even on later
     ``drift_report=False`` calls; a pre-index state directory is
     backfilled once (staged write + rename).
+
+    ``compact_threshold`` bounds state-index small-file growth: after
+    the batch's appends and folds complete (and its caches unpersist),
+    any index whose parquet file count crossed the threshold is
+    rewritten in place (``_maybe_compact_state_indexes`` — staged
+    write + rename, amortized-O(1) per batch). Without it, continuous
+    operation appends one delta file per batch forever and every
+    vs-state join pays the listing. ``None`` disables.
     """
     from pyspark import StorageLevel
 
@@ -1150,6 +1209,21 @@ def run_incremental_curation(
     finally:
         for c in caches:
             c.unpersist()
+    # between-batches index compaction: all appends and folds above have
+    # landed and every batch cache is unpersisted, so the rewrite's
+    # refresh-by-path cannot invalidate a live plan; the token index
+    # self-compacts per fold and is excluded
+    compacted = _maybe_compact_state_indexes(
+        spark,
+        [
+            docs_path,
+            hash_path,
+            band_path,
+            shingle_path,
+            os.path.join(state_dir, "index_vectors"),
+        ],
+        compact_threshold,
+    )
     stats = {
         "n_batch": n_batch,
         "n_after_internal_exact": n_internal,
@@ -1173,6 +1247,8 @@ def run_incremental_curation(
     if drift_row is not None:
         stats["batch_js_divergence"] = drift_row["js_divergence"]
         stats["batch_vocab_shared"] = drift_row["vocab_shared"]
+    if compacted:
+        stats["compacted_indexes"] = compacted
     return stats
 
 
@@ -1579,6 +1655,7 @@ def run_incremental_crawl_ingest(
     robots_key: str = "host",
     recrawl_policy: str = "skip",
     drift_report: bool = False,
+    compact_threshold: int | None = 32,
 ) -> dict:
     """Ingest a NEW crawl batch against persisted crawl state — the
     continuous form of run_crawl_preprocess_pipeline, where re-crawls
@@ -1635,7 +1712,14 @@ def run_incremental_crawl_ingest(
     Line-frequency note: the boilerplate tier sees one BATCH at a time,
     so chrome shared across batches but rare within one can survive —
     the documented trade for never re-scanning state; lower
-    ``line_max_df`` or run a periodic batch re-pass if that matters."""
+    ``line_max_df`` or run a periodic batch re-pass if that matters.
+
+    ``compact_threshold`` bounds state-index small-file growth exactly
+    as in run_incremental_curation: once all appends/merges and token
+    folds have landed (between batches, caches unpersisted — never
+    mid-fold), any of accepted_docs / index_urls / index_hashes whose
+    parquet file count crossed the threshold is rewritten in place.
+    ``None`` disables."""
     from pyspark import StorageLevel
 
     from eligibility_etl_airflow_spark.operators import dedup, text, urls
@@ -1986,12 +2070,20 @@ def run_incremental_crawl_ingest(
     finally:
         for c in caches:
             c.unpersist()
+    # between-batches index compaction (see run_incremental_curation):
+    # appends/merges/folds have landed, caches are gone, token index
+    # excluded (self-compacting per fold)
+    compacted = _maybe_compact_state_indexes(
+        spark, [docs_path, url_index, hash_index], compact_threshold
+    )
     stats = {
         "n_batch": n_batch,
         "n_new_urls": n_new_urls,
         "n_accepted": n_accepted,
         "n_total_accepted": spark.read.parquet(docs_path).count(),
     }
+    if compacted:
+        stats["compacted_indexes"] = compacted
     if n_after_robots is not None:
         stats["n_after_robots"] = n_after_robots
     if n_updated is not None:
@@ -2351,6 +2443,13 @@ def state_report(spark: SparkSession, state_dir: str) -> dict:
         path = os.path.join(state_dir, rel)
         if os.path.exists(path):
             report[f"n_{rel}"] = spark.read.parquet(path).count()
+            # delta-file count: the quantity the between-batches
+            # compaction (_maybe_compact_state_indexes) keeps bounded —
+            # an operator watching the fleet sees growth BEFORE the
+            # listing cost shows up in batch latency
+            report[f"files_{rel}"] = sum(
+                1 for f in os.listdir(path) if f.endswith(".parquet")
+            )
     token_index = os.path.join(state_dir, "index_tokens")
     report["pending_token_intents"] = sorted(
         os.path.basename(p).split("__pending_", 1)[1]

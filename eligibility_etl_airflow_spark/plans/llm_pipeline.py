@@ -1134,6 +1134,62 @@ def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.duplicate_spans(d, min_tokens=16, hashed=False)
 
 
+SPAN_PARTNERS_ORACLE = r"""
+WITH toks AS (
+  -- explicit class == Java \s (RE2 \s lacks \x0b): operators/text.py
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 16
+), pos_t AS (
+  SELECT doc_id, t, unnest(range(1, n - 14)) AS i FROM sized
+), wins AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+15], ' ') AS w
+  FROM pos_t
+), firsts AS (
+  SELECT w,
+         min(struct_pack(id := doc_id, pos := pos)) AS f,
+         count(*) AS cnt
+  FROM wins GROUP BY w
+), hits AS (
+  SELECT wins.doc_id, wins.pos, f.id AS p_id, f.pos AS p_pos
+  FROM wins JOIN firsts USING (w) WHERE cnt >= 2
+), runs AS (
+  SELECT doc_id, pos, p_id, p_pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 15 AS BIGINT) AS span_end,
+       CAST(max(pos) + 15 - min(pos) + 1 AS BIGINT) AS n_span_tokens,
+       CAST(arg_min(p_id, pos) AS BIGINT) AS partner_id,
+       CAST(arg_min(p_pos, pos) AS BIGINT) AS partner_pos
+FROM runs GROUP BY doc_id, grp
+"""
+
+
+@query("duplicate_span_partners", oracle=SPAN_PARTNERS_ORACLE)
+def duplicate_span_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_text_spans with provenance attribution
+    (operators/dedup.py::duplicate_spans(with_partner=True)): each
+    maximal span additionally reports WITH WHOM it duplicates — the
+    corpus-first (lowest (doc, position)) occurrence of its first
+    window, the same canonical-copy rule the removal step keeps. A span
+    on the canonical copy points at itself; every later copy points at
+    its source — the feed for contrastive pair mining and duplication
+    provenance audits. Same scale shape as the locator (the semi-join
+    becomes an inner join carrying a 16-byte struct); hashed=False for
+    byte-identity with the oracle's window-chain reconstruction."""
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    d = Catalog(spark, sf_dir).documents
+    return dedup_ops.duplicate_spans(
+        d, min_tokens=16, hashed=False, with_partner=True
+    )
+
+
 SPAN_REMOVAL_ORACLE = r"""
 WITH toks AS (
   -- explicit class == Java \s (RE2 \s lacks \x0b): operators/text.py

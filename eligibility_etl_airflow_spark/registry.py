@@ -166,6 +166,10 @@ _DEFERRED = _ROTATED_OUT + _ROTATED_OUT_R7 + (
     # dedup_connected_components family; segment machinery also feeds the
     # r7-promoted duplicate_text_spans query
     "dedup_global_segments",
+    # NEW round 7 (lands deferred per the rotation policy): span
+    # provenance — duplicate_text_spans + corpus-first partner_id/
+    # partner_pos columns (min-struct canonical-copy rule)
+    "duplicate_span_partners",
     "train_test_split_hash",
     "contiguous_row_ids",
     "group_sample_deterministic",

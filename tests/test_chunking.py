@@ -258,6 +258,39 @@ def test_duplicate_spans_no_false_positives_and_short_docs(spark):
         dedup_ops.duplicate_spans(df, min_tokens=1)
 
 
+def test_duplicate_spans_partner_attribution(spark):
+    """with_partner=True: every span points at the corpus-first
+    occurrence of its first window — the canonical copy points at
+    itself, later copies at their provenance source, and a three-way
+    duplicate all agrees on the one lowest (doc, pos)."""
+    from eligibility_etl_airflow_spark.operators import dedup as dedup_ops
+
+    quote = " ".join(f"q{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, "intro unique words here " + quote + " tail alpha"),  # pos 4
+            (2, "different opening text sequence now " + quote),      # pos 5
+            (3, "go go " + quote + " done"),                          # pos 2
+        ],
+        "doc_id long, text string",
+    )
+    for hashed in (True, False):
+        rows = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"],
+             r["partner_id"], r["partner_pos"])
+            for r in dedup_ops.duplicate_spans(
+                df, hashed=hashed, with_partner=True
+            ).collect()
+        )
+        # corpus-first window of the quote is (1, 4): doc 1 self-points,
+        # docs 2 and 3 point at it
+        assert rows == [
+            (1, 4, 43, 1, 4),
+            (2, 5, 44, 1, 4),
+            (3, 2, 41, 1, 4),
+        ], (hashed, rows)
+
+
 def test_span_tokenizer_vertical_tab_parity_with_oracle(spark):
     """Java \\s includes U+000B vertical tab; RE2/DuckDB \\s does not.
     The span tokenizers therefore use the explicit class WS_CLASS on the

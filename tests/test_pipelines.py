@@ -1646,6 +1646,93 @@ def test_incremental_drift_update_crash_and_same_id_recrawls(spark, tmp_path):
     assert index() == recount()
 
 
+def test_incremental_crawl_ingest_compaction_bounds_state_files(spark, tmp_path):
+    """Continuous-operation housekeeping (round-6 verdict finding):
+    append_dedup adds one parquet delta per batch forever, so 50 one-row
+    batches used to leave ~50 files per state index; with the wired
+    between-batches compaction the count stays <= the threshold, rows
+    survive every rewrite byte-for-byte, replay stays a no-op AFTER a
+    compaction, and state_report surfaces the file counts."""
+    import os as _os
+
+    from eligibility_etl_airflow_spark import pipelines
+
+    state = str(tmp_path / "st")
+    threshold = 8
+    first_batch = None
+    compactions = 0
+    for i in range(50):
+        b = spark.createDataFrame(
+            [(i, f"https://site{i}.example.org/p",
+              f"<p>unique page body number {i} carrying words {i * 7}</p>")],
+            "doc_id long, url string, html string",
+        )
+        if first_batch is None:
+            first_batch = b
+        stats = pipelines.run_incremental_crawl_ingest(
+            spark, b, state, compact_threshold=threshold
+        )
+        compactions += len(stats.get("compacted_indexes", {}))
+    assert compactions > 0, "50 batches never triggered a compaction"
+    for rel in ("accepted_docs", "index_urls", "index_hashes"):
+        n_files = sum(
+            1 for f in _os.listdir(_os.path.join(state, rel))
+            if f.endswith(".parquet")
+        )
+        assert n_files <= threshold, (rel, n_files)
+    docs = spark.read.parquet(f"{state}/accepted_docs")
+    assert docs.count() == 50
+    assert {r["doc_id"] for r in docs.select("doc_id").collect()} == set(range(50))
+
+    # replay of an early batch against the compacted state: still a no-op
+    replay = pipelines.run_incremental_crawl_ingest(
+        spark, first_batch, state, compact_threshold=threshold
+    )
+    assert replay["n_accepted"] == 0 and replay["n_total_accepted"] == 50
+
+    rep = pipelines.state_report(spark, state)
+    assert rep["files_accepted_docs"] <= threshold
+    assert rep["files_index_urls"] <= threshold
+    assert rep["files_index_hashes"] <= threshold
+
+
+def test_incremental_curation_compaction_bounds_state_files(spark, tmp_path):
+    """The curation loop's five indexes get the same housekeeping; the
+    dedup result over the compacted state matches what uncompacted state
+    would produce (a re-ingested duplicate is still caught vs-state)."""
+    import os as _os
+
+    from eligibility_etl_airflow_spark import pipelines
+
+    state = str(tmp_path / "cst")
+    threshold = 4
+    for i in range(12):
+        b = spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(30)))],
+            "doc_id long, text string",
+        )
+        pipelines.run_incremental_curation(
+            spark, b, state, compact_threshold=threshold
+        )
+    for rel in ("accepted_docs", "index_hashes", "index_bands", "index_shingles"):
+        n_files = sum(
+            1 for f in _os.listdir(_os.path.join(state, rel))
+            if f.endswith(".parquet")
+        )
+        assert n_files <= threshold, (rel, n_files)
+    # exact-vs-state across a compaction boundary: batch 3's text under a
+    # new doc_id is still recognized as already-accepted content
+    dup = spark.createDataFrame(
+        [(99, " ".join(f"w3x{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    stats = pipelines.run_incremental_curation(
+        spark, dup, state, compact_threshold=threshold
+    )
+    assert stats["n_after_exact_vs_state"] == 0 and stats["n_accepted"] == 0
+    assert spark.read.parquet(f"{state}/accepted_docs").count() == 12
+
+
 def test_state_report_counts_and_pending_intents(spark, tmp_path):
     from eligibility_etl_airflow_spark import pipelines
     from eligibility_etl_airflow_spark.operators import drift
