@@ -371,9 +371,24 @@ def lsh_pairs_from_shingles(
         .mapInPandas(expand, schema=f"id_a {id_type}, id_b {id_type}")
         .distinct()
     )
+    # Verification joins carry the MERGE hint on the shingle side: a
+    # shingle relation's Catalyst size estimate comes from the scan's
+    # (compressed, pruned) bytes, but exploded shingle ARRAYS occupy
+    # ~50x that on the heap — without the hint a corpus whose parquet
+    # sits under autoBroadcastJoinThreshold gets its whole shingle table
+    # broadcast and the build OOMs the driver (found by the round-7 20x
+    # scale probe: 100k docs / 12 MB parquet died at 8g). Sort-merge is
+    # the spill-safe shape at every scale; the candidate side is already
+    # shuffled by its distinct().
+    sh_a = shingle_tab.withColumnRenamed("id", "id_a").withColumnRenamed(
+        "shingles", "sh_a"
+    ).hint("merge")
+    sh_b = shingle_tab.withColumnRenamed("id", "id_b").withColumnRenamed(
+        "shingles", "sh_b"
+    ).hint("merge")
     verified = (
-        candidates.join(shingle_tab.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(shingle_tab.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -809,7 +824,13 @@ def minhash_lsh_pairs_bipartite(
     )
     return (
         candidates.join(
-            sh_c.select(F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_c")),
+            # merge hint: the corpus shingle side must never broadcast —
+            # its size ESTIMATE is scan bytes, its heap size is ~50x
+            # (see lsh_pairs_from_shingles; bench side broadcasts by
+            # design, corpus side sort-merges)
+            sh_c.select(
+                F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_c")
+            ).hint("merge"),
             "corpus_id",
         )
         .join(
@@ -994,13 +1015,23 @@ def set_similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
+    # merge hints: the docset-array sides must never broadcast — their
+    # Catalyst size estimate derives from scan bytes while the shingle
+    # ARRAYS occupy ~50x on the heap (the mis-broadcast OOM class found
+    # by the round-7 scale probe in lsh_pairs_from_shingles)
     sets = docsets.select("id", "toks")
     return (
         cand.join(
-            sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a")), "id_a"
+            sets.select(
+                F.col("id").alias("id_a"), F.col("toks").alias("t_a")
+            ).hint("merge"),
+            "id_a",
         )
         .join(
-            sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b")), "id_b"
+            sets.select(
+                F.col("id").alias("id_b"), F.col("toks").alias("t_b")
+            ).hint("merge"),
+            "id_b",
         )
         .withColumn("inter_size", F.size(F.array_intersect("t_a", "t_b")).cast("long"))
         .withColumn(
@@ -1091,6 +1122,7 @@ def containment_join(
         )
         .distinct()
     )
+    # merge hints on the docset-array sides — see set_similarity_join
     sets = docsets.select("id", "toks", "dlen")
     return (
         cand.join(
@@ -1098,7 +1130,7 @@ def containment_join(
                 F.col("id").alias("id_a"),
                 F.col("toks").alias("t_a"),
                 F.col("dlen").alias("len_a"),
-            ),
+            ).hint("merge"),
             "id_a",
         )
         .join(
@@ -1106,7 +1138,7 @@ def containment_join(
                 F.col("id").alias("id_b"),
                 F.col("toks").alias("t_b"),
                 F.col("dlen").alias("len_b"),
-            ),
+            ).hint("merge"),
             "id_b",
         )
         .withColumn("inter_size", F.size(F.array_intersect("t_a", "t_b")).cast("long"))

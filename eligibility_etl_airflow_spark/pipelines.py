@@ -937,9 +937,15 @@ def run_incremental_curation(
                     "new_id",
                 )
                 .join(
+                    # merge hint: the state shingle index must never
+                    # broadcast — its Catalyst estimate is parquet scan
+                    # bytes while the shingle arrays occupy ~50x on the
+                    # heap (the mis-broadcast OOM found by the round-7
+                    # scale probe in lsh_pairs_from_shingles; same
+                    # relation shape here)
                     state_sh.select(
                         F.col("id").alias("old_id"), F.col("shingles").alias("sh_o")
-                    ),
+                    ).hint("merge"),
                     "old_id",
                 )
                 .withColumn(

@@ -246,6 +246,77 @@ def test_bm25_broadcasts_stats_and_filters_before_aggregate(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_verify_joins_never_broadcast_array_sides(spark, sf_dir):
+    """Round-7 scale-probe regression: Catalyst sizes a relation from
+    its (compressed, pruned) scan bytes, but shingle/docset ARRAYS
+    occupy ~50x that on the heap — so a corpus whose parquet sits under
+    autoBroadcastJoinThreshold used to get its whole shingle relation
+    BROADCAST in the exact-verification joins, and the build OOM'd the
+    8g driver at a mere 100k docs. The verify joins now carry merge
+    hints; this pins that no BroadcastExchange in any of these plans
+    carries an array column (the surviving broadcasts are scalar
+    token/prefix relations, which are sized correctly)."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    d = Catalog(spark, sf_dir).documents
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    # forbidden array columns per plan; the bipartite BENCH side (sh_b)
+    # broadcasts deliberately — small by definition — so only its
+    # corpus side (sh_c) is forbidden there
+    plans = {
+        "lsh_self": (
+            neardup.minhash_lsh_pairs(d, "doc_id", "text"),
+            ("sh_a#", "sh_b#", "shingles#"),
+        ),
+        "lsh_bipartite": (
+            neardup.minhash_lsh_pairs_bipartite(d, bench),
+            ("sh_c#",),
+        ),
+        "set_similarity": (
+            neardup.set_similarity_join(
+                d, "doc_id", "text", threshold=0.5, shingle_k=5
+            ),
+            ("t_a#", "t_b#", "toks#"),
+        ),
+        "containment": (
+            neardup.containment_join(
+                d, "doc_id", "text", threshold=0.8, shingle_k=3
+            ),
+            ("t_a#", "t_b#", "toks#"),
+        ),
+    }
+    import contextlib
+    import io
+
+    for name, (df, forbidden) in plans.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # formatted mode prints each node as "(N) BroadcastExchange"
+        # followed by an "Input [n]: [cols...]" line — the simple tree
+        # string does NOT list the exchange's columns, so it cannot
+        # catch this bug class
+        broadcast_inputs = []
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if line.strip().endswith("BroadcastExchange"):
+                for nxt in lines[i + 1 : i + 4]:
+                    if nxt.strip().startswith("Input"):
+                        broadcast_inputs.append(nxt)
+                        break
+        # lsh_self legitimately has ZERO broadcasts post-fix (every join
+        # is the hinted merge); the other three keep deliberate scalar/
+        # bench-side broadcasts, so their absence would mean the check
+        # went vacuous
+        if name != "lsh_self":
+            assert broadcast_inputs, f"{name}: no BroadcastExchange — check vacuous"
+        for inp in broadcast_inputs:
+            assert not any(c in inp for c in forbidden), (name, inp[:300])
+
+
 def test_set_similarity_normalizes_and_splits_once(spark, sf_dir):
     from eligibility_etl_airflow_spark.operators import neardup
 
