@@ -83,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
         help="crawl-frontier only: cap each domain's scheduled queue",
     )
     pp.add_argument(
+        "--frontier-state-dir",
+        default=None,
+        help="crawl-frontier only: run the CONTINUOUS form "
+        "(run_incremental_frontier) — domain edges accumulate in this "
+        "state directory and PageRank warm-starts from the previous "
+        "cycle's persisted ranks; share it with crawl-ingest to "
+        "anti-join the full crawl history",
+    )
+    pp.add_argument(
         "--docs-parquet",
         default=None,
         help="corpus-curation / training-prep only: read the documents "
@@ -337,19 +346,26 @@ def main(argv: list[str] | None = None) -> int:
             if args.robots_parquet:
                 robots_kwargs["robots_df"] = spark.read.parquet(args.robots_parquet)
             if args.name == "crawl-frontier":
-                print(
-                    json.dumps(
-                        pipelines.run_crawl_frontier_pipeline(
-                            spark,
-                            pages,
-                            args.out_dir,
-                            per_domain_budget=args.per_domain_budget,
-                            max_per_domain=args.max_per_domain,
-                            **robots_kwargs,
-                        ),
-                        default=str,
+                if args.frontier_state_dir:
+                    stats = pipelines.run_incremental_frontier(
+                        spark,
+                        pages,
+                        args.frontier_state_dir,
+                        args.out_dir,
+                        per_domain_budget=args.per_domain_budget,
+                        max_per_domain=args.max_per_domain,
+                        **robots_kwargs,
                     )
-                )
+                else:
+                    stats = pipelines.run_crawl_frontier_pipeline(
+                        spark,
+                        pages,
+                        args.out_dir,
+                        per_domain_budget=args.per_domain_budget,
+                        max_per_domain=args.max_per_domain,
+                        **robots_kwargs,
+                    )
+                print(json.dumps(stats, default=str))
                 return 0
             kwargs = blocklist_kwargs()
             kwargs.update(robots_kwargs)

@@ -2122,6 +2122,8 @@ def run_crawl_frontier_pipeline(
     pagerank_init: DataFrame | None = None,
     pagerank_tol: float | None = None,
     crawled_urls_df: DataFrame | None = None,
+    domain_edges_df: DataFrame | None = None,
+    ranks_out_path: str | None = None,
 ) -> dict:
     """Close the crawl loop: from the pages already fetched, decide
     WHAT to fetch next and in what order. The missing quarter of the
@@ -2155,6 +2157,12 @@ def run_crawl_frontier_pipeline(
     domain key; scheduling is the per-domain window. Output
     ``frontier.parquet`` is range-clustered by (fetch_cycle, domain) —
     the order a fetcher consumes it.
+
+    Continuous operation: ``domain_edges_df`` overrides the
+    batch-derived domain graph with an accumulated one, and
+    ``ranks_out_path`` persists the computed ranks (staged write +
+    rename) for the next cycle's ``pagerank_init`` — both wired
+    together by :func:`run_incremental_frontier`.
     """
     from pyspark import StorageLevel
 
@@ -2210,16 +2218,40 @@ def run_crawl_frontier_pipeline(
         caches.append(candidates)
         n_candidates = candidates.count()
 
-        dom_edges = page_edges.select(
-            urls.registered_domain(urls.url_host(F.col("src"))).alias("src"),
-            urls.registered_domain(urls.url_host(F.col("dst"))).alias("dst"),
-        ).filter(F.col("src") != F.col("dst"))
+        if domain_edges_df is not None:
+            # continuous operation: authority comes from the FULL
+            # accumulated link graph (run_incremental_frontier's edge
+            # state), not just this batch's pages
+            dom_edges = domain_edges_df
+        else:
+            dom_edges = page_edges.select(
+                urls.registered_domain(urls.url_host(F.col("src"))).alias("src"),
+                urls.registered_domain(urls.url_host(F.col("dst"))).alias("dst"),
+            ).filter(F.col("src") != F.col("dst"))
         ranks = linkgraph.pagerank(
             dom_edges,
             iterations=pagerank_iterations,
             init=pagerank_init,
             tol=pagerank_tol,
         )
+        if ranks_out_path is not None:
+            # staged write + rename: pagerank() localCheckpoints its
+            # result, so writing over the path that seeded init cannot
+            # recompute-against-self (and the swap is atomic-enough for
+            # a reader between cycles)
+            import shutil as _shutil
+            import uuid as _uuid
+
+            tmp = f"{ranks_out_path}__cycle_{_uuid.uuid4().hex[:8]}"
+            ranks.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(ranks_out_path):
+                old = f"{ranks_out_path}__old_{_uuid.uuid4().hex[:8]}"
+                os.rename(ranks_out_path, old)
+                os.rename(tmp, ranks_out_path)
+                _shutil.rmtree(old)
+            else:
+                os.rename(tmp, ranks_out_path)
+            ranks = spark.read.parquet(ranks_out_path)
         scored = candidates.withColumn(
             "domain", urls.registered_domain(urls.url_host(F.col("url")))
         ).join(
@@ -2316,6 +2348,99 @@ def run_crawl_frontier_pipeline(
     }
     if n_admitted is not None:
         stats["n_admitted"] = n_admitted
+    return stats
+
+
+def run_incremental_frontier(
+    spark: SparkSession,
+    pages: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    pagerank_iterations: int = 20,
+    pagerank_tol: float | None = 1e-7,
+    compact_threshold: int | None = 32,
+    **frontier_kwargs,
+) -> dict:
+    """Continuous form of :func:`run_crawl_frontier_pipeline` — the
+    frontier analogue of run_incremental_crawl_ingest: per crawl cycle,
+    this batch's domain-grain link edges merge idempotently into a
+    persisted edge state (``index_domain_edges``, keyed (src, dst) —
+    replaying a cycle appends nothing), PageRank runs over the FULL
+    accumulated graph but WARM-STARTS from the previous cycle's
+    persisted ranks (``frontier_ranks``) with ``pagerank_tol``
+    early-stop — on a mature graph a new batch perturbs the fixed point
+    locally, so convergence takes 1-3 iterations instead of the full
+    budget from uniform; ``pagerank_iterations`` stays the hard cap and
+    a COLD start (first cycle, or after deleting frontier_ranks) pays
+    it once. New ranks persist back via staged write + rename, and the
+    crawl-history anti-join automatically reads the ingest state's
+    ``index_urls`` when the same ``state_dir`` is shared with
+    run_incremental_crawl_ingest (pass ``crawled_urls_df`` to extend
+    it). The edge state gets the same between-cycles compaction as the
+    ingest indexes.
+
+    Cost shape per cycle: edge extraction is batch-proportional
+    (one href pass), the edge-state anti-join is keyed on (src, dst),
+    and the PageRank iterations touch the full DOMAIN-grain graph —
+    domains-sized, not pages-sized — with per-iteration cost bounded by
+    the early-stop. Nothing re-reads accepted page text.
+
+    Extra ``frontier_kwargs`` pass through (robots_df, sitemaps_df,
+    domain_quality_df, per_domain_budget, ...)."""
+    from eligibility_etl_airflow_spark.operators import urls
+    from eligibility_etl_airflow_spark.operators.components import _stable
+
+    edges_path = os.path.join(state_dir, "index_domain_edges")
+    ranks_path = os.path.join(state_dir, "frontier_ranks")
+
+    batch_edges = _stable(
+        urls.extract_link_edges(pages, url_col, html_col, domain_grain=True)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sinks.append_dedup(spark, edges_path, batch_edges, keys=["src", "dst"])
+
+    init = spark.read.parquet(ranks_path) if os.path.exists(ranks_path) else None
+    crawled = frontier_kwargs.pop("crawled_urls_df", None)
+    url_index = os.path.join(state_dir, "index_urls")
+    if os.path.exists(url_index):
+        state_urls = spark.read.parquet(url_index).select("url_canonical")
+        crawled = (
+            state_urls
+            if crawled is None
+            else crawled.select("url_canonical").unionByName(state_urls)
+        )
+
+    # a link-free first batch appends nothing and creates no directory;
+    # the graph is then just this batch's (empty) edge relation
+    state_edges = (
+        spark.read.parquet(edges_path)
+        if os.path.exists(edges_path)
+        else batch_edges
+    )
+    stats = run_crawl_frontier_pipeline(
+        spark,
+        pages,
+        out_dir,
+        url_col=url_col,
+        html_col=html_col,
+        pagerank_iterations=pagerank_iterations,
+        pagerank_init=init,
+        pagerank_tol=pagerank_tol,
+        crawled_urls_df=crawled,
+        domain_edges_df=state_edges,
+        ranks_out_path=ranks_path,
+        **frontier_kwargs,
+    )
+    stats["warm_start"] = init is not None
+    stats["n_state_edges"] = state_edges.count()
+    compacted = _maybe_compact_state_indexes(
+        spark, [edges_path], compact_threshold
+    )
+    if compacted:
+        stats["compacted_indexes"] = compacted
     return stats
 
 
@@ -2443,6 +2568,8 @@ def state_report(spark: SparkSession, state_dir: str) -> dict:
         "index_shingles",
         "index_vectors",
         "index_centroids",
+        "index_domain_edges",
+        "frontier_ranks",
     )
     report: dict = {"state_dir": state_dir}
     for rel in relations:

@@ -902,6 +902,83 @@ def test_crawl_frontier_eta_scales_with_crawl_delay(spark, tmp_path):
     assert got == [(0, 0, 0.0), (0, 1, 30.0), (1, 0, 60.0)]
 
 
+def test_incremental_frontier_warm_start_edge_state_and_replay(spark, tmp_path):
+    """Continuous frontier: domain edges accumulate idempotently in
+    state, PageRank warm-starts from the previous cycle's persisted
+    ranks and converges to the SAME priorities a cold full-iteration
+    run over the accumulated graph produces, and replaying a cycle
+    appends nothing."""
+    import os as _os
+
+    from eligibility_etl_airflow_spark import pipelines
+
+    state = str(tmp_path / "fst")
+    df1 = spark.createDataFrame(
+        [
+            (1, "https://site1.org/a",
+             '<p><a href="https://site2.org/x">l</a>'
+             '<a href="https://site3.org/y">l</a></p>'),
+            (2, "https://site4.org/b",
+             '<p><a href="https://site2.org/x">l</a></p>'),
+        ],
+        "doc_id long, url string, html string",
+    )
+    df2 = spark.createDataFrame(
+        [
+            (3, "https://site5.org/c",
+             '<p><a href="https://site2.org/z">l</a>'
+             '<a href="https://site6.org/w">l</a></p>'),
+        ],
+        "doc_id long, url string, html string",
+    )
+    s1 = pipelines.run_incremental_frontier(spark, df1, state, str(tmp_path / "o1"))
+    assert s1["warm_start"] is False
+    assert s1["n_state_edges"] == 3  # 1->2, 1->3, 4->2 at domain grain
+    assert _os.path.exists(_os.path.join(state, "frontier_ranks"))
+
+    s2 = pipelines.run_incremental_frontier(spark, df2, state, str(tmp_path / "o2"))
+    assert s2["warm_start"] is True
+    assert s2["n_state_edges"] == 5  # +5->2, 5->6
+
+    warm = {
+        r["url"]: r["priority"]
+        for r in spark.read.parquet(str(tmp_path / "o2" / "frontier.parquet")).collect()
+    }
+    # cold twin: SAME accumulated graph, full iterations from uniform —
+    # warm-start with tol must land on the same fixed point
+    pipelines.run_crawl_frontier_pipeline(
+        spark,
+        df2,
+        str(tmp_path / "oc"),
+        domain_edges_df=spark.read.parquet(
+            _os.path.join(state, "index_domain_edges")
+        ),
+        pagerank_iterations=60,
+        pagerank_tol=1e-9,
+    )
+    cold = {
+        r["url"]: r["priority"]
+        for r in spark.read.parquet(str(tmp_path / "oc" / "frontier.parquet")).collect()
+    }
+    assert set(warm) == set(cold) == {
+        "https://site2.org/z",
+        "https://site6.org/w",
+    }
+    for u in warm:
+        assert abs(warm[u] - cold[u]) < 1e-5, (u, warm[u], cold[u])
+    # the endorsed-by-three domain outranks the single-link newcomer
+    assert warm["https://site2.org/z"] > warm["https://site6.org/w"]
+
+    # replay: edge appends are keyed (src, dst) — nothing new lands
+    s2r = pipelines.run_incremental_frontier(
+        spark, df2, state, str(tmp_path / "o2r")
+    )
+    assert s2r["n_state_edges"] == 5
+    rep = pipelines.state_report(spark, state)
+    assert rep["n_index_domain_edges"] == 5
+    assert rep["n_frontier_ranks"] == 6  # every domain on either edge side
+
+
 def test_incremental_crawl_ingest_recrawl_update_policy(spark, tmp_path):
     """recrawl_policy='update': a re-crawled URL with CHANGED cleaned
     content replaces its accepted doc in place (URL identity); an
