@@ -92,6 +92,15 @@ def main(argv: list[str] | None = None) -> int:
         "anti-join the full crawl history",
     )
     pp.add_argument(
+        "--compact-threshold",
+        type=int,
+        default=32,
+        help="crawl-frontier with --frontier-state-dir only: rewrite the "
+        "edge state once its parquet file count exceeds max(this, 2x "
+        "its compacted size); 0 disables — same knob as the "
+        "incremental-curation / crawl-ingest subcommands",
+    )
+    pp.add_argument(
         "--docs-parquet",
         default=None,
         help="corpus-curation / training-prep only: read the documents "
@@ -354,6 +363,7 @@ def main(argv: list[str] | None = None) -> int:
                         args.out_dir,
                         per_domain_budget=args.per_domain_budget,
                         max_per_domain=args.max_per_domain,
+                        compact_threshold=args.compact_threshold or None,
                         **robots_kwargs,
                     )
                 else:

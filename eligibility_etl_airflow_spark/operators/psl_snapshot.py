@@ -111,13 +111,13 @@ SUFFIXES_2 = (
     "vercel.app", "pages.dev", "web.app", "firebaseapp.com",
     # NOTE: bare "amazonaws.com" / "fastly.net" are deliberately NOT
     # here — the real PSL private section only lists specific subtrees
-    # (s3.amazonaws.com, *.compute.amazonaws.com, *.ssl.fastly.net, …;
-    # the service grains live in SUFFIXES_3 / WILDCARD_PARENTS_3). A
-    # bare entry would make every X.amazonaws.com host its own
-    # registered domain, fragmenting politeness budgets and PageRank
-    # beyond what the PSL says.
+    # (s3.amazonaws.com, *.compute.amazonaws.com, a.ssl.fastly.net, …;
+    # those service grains are modeled below in SUFFIXES_3/SUFFIXES_4/
+    # WILDCARD_PARENTS_3). A bare entry would make every
+    # X.amazonaws.com host its own registered domain, fragmenting
+    # politeness budgets and PageRank beyond what the PSL says.
     "azurewebsites.net", "cloudfront.net",
-    "wordpress.com", "glitch.me",
+    "wordpress.com", "glitch.me", "fastlylb.net",
     "readthedocs.io", "onrender.com", "surge.sh", "neocities.org",
 )
 
@@ -132,9 +132,23 @@ SUFFIXES_3 = (
     # US K-12 convention (state two-letter under k12.<st>.us)
     "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.wa.us", "k12.il.us",
     "cc.ca.us", "cc.ny.us", "cc.tx.us",
-    # AWS service grains (private section)
+    # AWS service grains (private section). compute/compute-1 are ALSO
+    # wildcard parents (WILDCARD_PARENTS_3): listing them here gives an
+    # n==4 host that IS a wildcard child its pass-through.
     "s3.amazonaws.com",
     "elb.amazonaws.com", "compute.amazonaws.com",
+    "compute-1.amazonaws.com",
+    # Fastly service grains (private section, exact entries)
+    "freetls.fastly.net", "map.fastly.net", "map.fastlylb.net",
+)
+
+# Four-label public suffixes (private-section snapshot): a host ending
+# in one of these registers at the FIFTH label from the right.
+SUFFIXES_4 = (
+    # Fastly TLS/edge service grains: each customer subdomain under
+    # these is an unrelated registrant
+    "a.ssl.fastly.net", "b.ssl.fastly.net", "global.ssl.fastly.net",
+    "a.prod.fastly.net", "global.prod.fastly.net",
 )
 
 # --- Wildcard rules (*.<parent>) ------------------------------------------

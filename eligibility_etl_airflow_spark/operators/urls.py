@@ -24,6 +24,7 @@ from eligibility_etl_airflow_spark.operators.psl_snapshot import (
     EXCEPTION_HOSTS_3,
     SUFFIXES_2,
     SUFFIXES_3,
+    SUFFIXES_4,
     WILDCARD_PARENTS_1,
     WILDCARD_PARENTS_2,
     WILDCARD_PARENTS_3,
@@ -130,8 +131,15 @@ def registered_domain(host: Column) -> Column:
         # hits the SUFFIXES_3 branch = itself)
         .when((n == 3) & last2.isin(*WILDCARD_PARENTS_2), host)
         .when((n >= 3) & last1.isin(*WILDCARD_PARENTS_1), last3)
-        # explicit multi-label suffixes, then the last-two-labels default
+        # explicit multi-label suffixes, longest first; a host that IS
+        # exactly one of them has no registrable part and passes
+        # through (the n == len(suffix) branches — without them the
+        # ladder would fall to the default and return a too-short
+        # grain, e.g. s3.amazonaws.com -> amazonaws.com)
+        .when((n >= 5) & last4.isin(*SUFFIXES_4), last5)
+        .when((n == 4) & last4.isin(*SUFFIXES_4), host)
         .when((n >= 4) & last3.isin(*SUFFIXES_3), last4)
+        .when((n == 3) & last3.isin(*SUFFIXES_3), host)
         .when((n >= 3) & last2.isin(*SUFFIXES_2), last3)
         .when(n >= 2, last2)
         .otherwise(host)

@@ -782,6 +782,8 @@ def _maybe_compact_state_indexes(
     if threshold is None:
         return report
     for path in paths:
+        # heal a previous cycle's mid-swap crash before (re-)compacting
+        sinks.recover_interrupted_compaction(path)
         if not os.path.isdir(path):
             continue
         files = [
@@ -876,6 +878,18 @@ def run_incremental_curation(
     band_path = os.path.join(state_dir, "index_bands")
     shingle_path = os.path.join(state_dir, "index_shingles")
     token_path = os.path.join(state_dir, "index_tokens")
+    # a compaction that crashed mid-swap last cycle leaves an index
+    # MISSING (its data intact in __old_*) — healing must precede the
+    # has_state probe or a replayed batch reads "no state" and
+    # re-accepts duplicates
+    for _p in (
+        docs_path,
+        hash_path,
+        band_path,
+        shingle_path,
+        os.path.join(state_dir, "index_vectors"),
+    ):
+        sinks.recover_interrupted_compaction(_p)
     has_state = os.path.exists(hash_path)
 
     n_batch = batch.count()
@@ -1739,6 +1753,11 @@ def run_incremental_crawl_ingest(
     url_index = os.path.join(state_dir, "index_urls")
     hash_index = os.path.join(state_dir, "index_hashes")
     token_index = os.path.join(state_dir, "index_tokens")
+    # heal a mid-swap compaction crash BEFORE the has_state probe (see
+    # run_incremental_curation — a missing url/hash index reads as "no
+    # state" and a replay re-accepts duplicates)
+    for _p in (docs_path, url_index, hash_index):
+        sinks.recover_interrupted_compaction(_p)
     has_state = os.path.exists(url_index)
 
     n_batch = batch.count()
@@ -2124,6 +2143,7 @@ def run_crawl_frontier_pipeline(
     crawled_urls_df: DataFrame | None = None,
     domain_edges_df: DataFrame | None = None,
     ranks_out_path: str | None = None,
+    page_edges_df: DataFrame | None = None,
 ) -> dict:
     """Close the crawl loop: from the pages already fetched, decide
     WHAT to fetch next and in what order. The missing quarter of the
@@ -2172,8 +2192,14 @@ def run_crawl_frontier_pipeline(
         urls,
     )
 
-    page_edges = urls.extract_link_edges(
-        pages, url_col, html_col, domain_grain=False
+    # page_edges_df lets run_incremental_frontier share ONE href
+    # extraction pass between the edge-state append and this pipeline —
+    # the raw-HTML regex explode is the dominant per-batch cost and must
+    # not run twice per cycle
+    page_edges = (
+        page_edges_df
+        if page_edges_df is not None
+        else urls.extract_link_edges(pages, url_col, html_col, domain_grain=False)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     caches: list[DataFrame] = [page_edges]
     try:
@@ -2394,9 +2420,25 @@ def run_incremental_frontier(
 
     edges_path = os.path.join(state_dir, "index_domain_edges")
     ranks_path = os.path.join(state_dir, "frontier_ranks")
+    # heal mid-swap crashes from a previous cycle's edge compaction or
+    # ranks persist (missing ranks only costs a cold start, but missing
+    # EDGES would silently shrink the authority graph)
+    sinks.recover_interrupted_compaction(edges_path)
+    sinks.recover_interrupted_compaction(ranks_path)
 
+    # ONE href-extraction pass per cycle: the page-grain edges feed the
+    # pipeline below (page_edges_df=) and the domain-grain projection
+    # of the SAME relation feeds the edge state — the domain grain of a
+    # page-grain edge set is exactly extract_link_edges(domain_grain=
+    # True)'s output (both drop same-grain self-edges)
+    page_edges = _stable(
+        urls.extract_link_edges(pages, url_col, html_col, domain_grain=False)
+    )
     batch_edges = _stable(
-        urls.extract_link_edges(pages, url_col, html_col, domain_grain=True)
+        page_edges.select(
+            urls.registered_domain(urls.url_host(F.col("src"))).alias("src"),
+            urls.registered_domain(urls.url_host(F.col("dst"))).alias("dst"),
+        )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -2432,6 +2474,7 @@ def run_incremental_frontier(
         crawled_urls_df=crawled,
         domain_edges_df=state_edges,
         ranks_out_path=ranks_path,
+        page_edges_df=page_edges,
         **frontier_kwargs,
     )
     stats["warm_start"] = init is not None

@@ -319,6 +319,48 @@ def read_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> Dat
 # --------------------------------------------------------------------------
 
 
+def recover_interrupted_compaction(path: str) -> dict:
+    """Heal a ``compact_parquet`` swap that crashed mid-way.
+
+    The swap is two renames (``path`` → ``__old_X``, ``__compact_Y`` →
+    ``path``) plus a cleanup rmtree — so a crash leaves one of three
+    states: (a) before the first rename: ``path`` intact, a stray
+    ``__compact_Y`` tmp; (b) between the renames: ``path`` MISSING with
+    the full pre-compaction data in ``__old_X`` (and the compacted copy
+    in ``__compact_Y``); (c) after the second rename: ``path`` intact
+    (compacted), a stray ``__old_X``. State (b) is the dangerous one
+    for the incremental loops — a missing hash/url index reads as "no
+    state" and a replayed batch would re-accept duplicates — so this
+    MUST run before any state read that the compaction call sites
+    maintain (``_maybe_compact_state_indexes`` calls it per path; the
+    loops call it up front). Recovery restores the pre-compaction
+    directory in (b) (losing only the compaction work, never data) and
+    removes stray tmp/old directories in all three states. Returns what
+    it did; a no-op on a clean directory."""
+    import glob as _glob
+
+    olds = sorted(_glob.glob(f"{path}__old_*"))
+    # __compact_: compact_parquet's staging; __cycle_: the frontier
+    # ranks swap; __migrate_: the url-index schema migration;
+    # __backfill_: the token-index first-build — all share the
+    # staged-write discipline, so their stray tmps would otherwise leak
+    # a full index copy per crash, forever
+    tmps = [
+        d
+        for pref in ("__compact_", "__cycle_", "__migrate_", "__backfill_")
+        for d in sorted(_glob.glob(f"{path}{pref}*"))
+    ]
+    out = {"restored": False, "removed": 0}
+    if not os.path.exists(path) and olds:
+        os.rename(olds[0], path)
+        out["restored"] = True
+        olds = olds[1:]
+    for d in olds + tmps:
+        shutil.rmtree(d, ignore_errors=True)
+        out["removed"] += 1
+    return out
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> dict:

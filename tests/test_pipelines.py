@@ -1773,6 +1773,49 @@ def test_incremental_crawl_ingest_compaction_bounds_state_files(spark, tmp_path)
     assert rep["files_index_hashes"] <= threshold
 
 
+def test_compaction_mid_swap_crash_recovers_without_duplicate_acceptance(
+    spark, tmp_path
+):
+    """compact_parquet's swap is two renames; a crash between them
+    leaves the index MISSING (its data intact in __old_*). Without
+    healing, the next ingest's has_state probe reads 'no state' and a
+    replayed batch re-accepts every duplicate. The loops now recover
+    up front: the pre-compaction directory is restored, stray staging
+    dirs are removed, and the replay stays a no-op."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from eligibility_etl_airflow_spark import pipelines
+
+    state = str(tmp_path / "st")
+    b = spark.createDataFrame(
+        [(1, "https://cr.example.org/a", "<p>alpha beta gamma delta</p>"),
+         (2, "https://cr.example.org/b", "<p>epsilon zeta eta theta</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(spark, b, state)
+
+    # simulate the mid-swap crash on BOTH vs-state indexes: data moved
+    # to __old_*, a stray compacted tmp left behind, path gone
+    for rel in ("index_urls", "index_hashes"):
+        p = _os.path.join(state, rel)
+        tmp = f"{p}__compact_{_uuid.uuid4().hex[:8]}"
+        _shutil.copytree(p, tmp)
+        _os.rename(p, f"{p}__old_{_uuid.uuid4().hex[:8]}")
+        assert not _os.path.exists(p)
+
+    replay = pipelines.run_incremental_crawl_ingest(spark, b, state)
+    # healed BEFORE the has_state probe: replay accepted nothing
+    assert replay["n_accepted"] == 0
+    assert replay["n_total_accepted"] == 2
+    for rel in ("index_urls", "index_hashes"):
+        p = _os.path.join(state, rel)
+        assert _os.path.exists(p)
+        assert not _glob.glob(f"{p}__old_*") and not _glob.glob(f"{p}__compact_*")
+
+
 def test_incremental_curation_compaction_bounds_state_files(spark, tmp_path):
     """The curation loop's five indexes get the same housekeeping; the
     dedup result over the compacted state matches what uncompacted state

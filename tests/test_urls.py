@@ -300,6 +300,23 @@ def test_registered_domain_public_suffix_snapshot(spark):
          "us-east-1.compute.amazonaws.com"),   # wildcard child: pass through
         # bare amazonaws.com is NOT a suffix (ADVICE fix): default grain
         ("foo.amazonaws.com", "amazonaws.com"),
+        # a host that IS exactly a listed 3-label suffix passes through
+        # (review fix: used to fall through to 'amazonaws.com')
+        ("s3.amazonaws.com", "s3.amazonaws.com"),
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        # compute-1 wildcard child at n==4 passes through like compute
+        ("us-east-1.compute-1.amazonaws.com",
+         "us-east-1.compute-1.amazonaws.com"),
+        ("i-9.us-east-1.compute-1.amazonaws.com",
+         "i-9.us-east-1.compute-1.amazonaws.com"),
+        # Fastly service grains (4-label suffixes): customers are
+        # separate registrants; the suffix itself passes through
+        ("cust1.global.ssl.fastly.net", "cust1.global.ssl.fastly.net"),
+        ("x.cust1.global.ssl.fastly.net", "cust1.global.ssl.fastly.net"),
+        ("global.ssl.fastly.net", "global.ssl.fastly.net"),
+        # un-listed fastly hosts keep the PSL default (net -> last two)
+        ("ssl.fastly.net", "fastly.net"),
+        ("cdn.fastlylb.net", "cdn.fastlylb.net"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
     got = df.select(
