@@ -106,9 +106,30 @@ def registered_domain(host: Column) -> Column:
     ``SUFFIXES_<n>``, ``*.``-lines into ``WILDCARD_PARENTS_<n>`` and
     ``!``-lines into ``EXCEPTION_HOSTS_<n>``. A host that IS exactly a
     public suffix (explicit or wildcard-child) has no registrable part
-    and passes through unchanged, as do single-label hosts."""
-    parts = F.split(host, r"\.")
+    and passes through unchanged, as do single-label hosts.
+
+    Evaluation-cost note: the ladder references the label array ~15
+    times, and ``host`` is usually an expression tree of regexes
+    (``url_host``). Referencing that tree 15x per row re-evaluates it
+    15x (the repo's documented multi-reference trap — it cost a
+    measured 3x on the link-graph bench line). The split therefore
+    binds ONCE as a lambda variable via a single-element
+    ``transform``: every reference inside the ladder is a bound
+    variable, and ``host`` itself is referenced exactly once (the
+    pass-through branches rebuild it as ``array_join(parts, '.')``,
+    which is byte-identical for any split input)."""
+    return F.try_element_at(
+        F.transform(F.array(F.split(host, r"\.")), _registered_domain_of_parts),
+        F.lit(1),
+    )
+
+
+def _registered_domain_of_parts(parts: Column) -> Column:
+    """The PSL ladder over an already-bound label array — see
+    :func:`registered_domain` (callers with a staged ``split`` column
+    may also use this directly)."""
     n = F.size(parts)
+    host = F.array_join(parts, ".")
     # try_element_at: NULL (not an ANSI error) when the label is absent,
     # so the isin conditions below are safely false on short hosts
     last1 = F.try_element_at(parts, F.lit(-1))
