@@ -1232,17 +1232,25 @@ def run_incremental_curation(
     # between-batches index compaction: all appends and folds above have
     # landed and every batch cache is unpersisted, so the rewrite's
     # refresh-by-path cannot invalidate a live plan; the token index
-    # self-compacts per fold and is excluded
-    compacted = _maybe_compact_state_indexes(
-        spark,
-        [
-            docs_path,
-            hash_path,
-            band_path,
-            shingle_path,
-            os.path.join(state_dir, "index_vectors"),
-        ],
-        compact_threshold,
+    # self-compacts per fold and is excluded. Defensive WAL guard: a
+    # pending intent here means a fold above failed mid-protocol —
+    # structurally unreachable (the exception would have propagated),
+    # but compacting in that state would interleave a rewrite with an
+    # open recovery window, so skip and let the next ingest heal first.
+    compacted = (
+        {}
+        if drift_ops.token_index_has_pending(token_path)
+        else _maybe_compact_state_indexes(
+            spark,
+            [
+                docs_path,
+                hash_path,
+                band_path,
+                shingle_path,
+                os.path.join(state_dir, "index_vectors"),
+            ],
+            compact_threshold,
+        )
     )
     stats = {
         "n_batch": n_batch,
@@ -2097,9 +2105,13 @@ def run_incremental_crawl_ingest(
             c.unpersist()
     # between-batches index compaction (see run_incremental_curation):
     # appends/merges/folds have landed, caches are gone, token index
-    # excluded (self-compacting per fold)
-    compacted = _maybe_compact_state_indexes(
-        spark, [docs_path, url_index, hash_index], compact_threshold
+    # excluded (self-compacting per fold); same defensive WAL guard
+    compacted = (
+        {}
+        if drift_ops.token_index_has_pending(token_index)
+        else _maybe_compact_state_indexes(
+            spark, [docs_path, url_index, hash_index], compact_threshold
+        )
     )
     stats = {
         "n_batch": n_batch,
