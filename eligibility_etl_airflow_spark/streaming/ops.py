@@ -528,3 +528,46 @@ def stream_crawl_ingest(
     )
     q.awaitTermination()
     return stats
+
+
+def stream_crawl_frontier(
+    stream_df: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    **frontier_kwargs,
+) -> list[dict]:
+    """Continuous frontier scheduling: each micro-batch of fetched
+    (doc_id, url, html) pages runs ``run_incremental_frontier``
+    (pipelines.py) inside ``foreachBatch`` — the batch's domain-grain
+    link edges merge idempotently into the persisted edge state,
+    PageRank warm-starts from the previous cycle's persisted ranks, and
+    ``out_dir/frontier.parquet`` is rewritten with the next fetch list.
+    Restart-safety is the same layering as stream_crawl_ingest: the
+    stream checkpoint replays at-least-once, edge appends are
+    (src, dst)-keyed upserts (a replayed batch adds nothing), the ranks
+    persist is a staged whole-relation swap, and the frontier output is
+    an overwrite — so a replay converges to the same ranks and rewrites
+    the same schedule. Share ``state_dir`` with stream_crawl_ingest and
+    the crawl-history anti-join reads the ingest url index
+    automatically. Per-batch stats (n_candidates, n_scheduled,
+    warm_start, n_state_edges, ...) return in processing order."""
+    stats: list[dict] = []
+
+    def frontier_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from eligibility_etl_airflow_spark import pipelines
+
+        s = pipelines.run_incremental_frontier(
+            batch_df.sparkSession, batch_df, state_dir, out_dir,
+            **frontier_kwargs,
+        )
+        stats.append({"batch_id": batch_id, **s})
+
+    q = (
+        stream_df.writeStream.foreachBatch(frontier_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

@@ -381,6 +381,74 @@ def test_stream_crawl_ingest_vs_state_and_replay(spark, tmp_path):
     ) == [1, 2, 12]
 
 
+def test_stream_crawl_frontier_warm_start_and_replay(spark, tmp_path):
+    """Continuous frontier under checkpointed foreachBatch: the first
+    micro-batch cold-starts PageRank and persists ranks + edge state,
+    the second warm-starts over the ACCUMULATED graph, and a full
+    replay (checkpoint wiped) leaves the edge state unchanged while
+    converging to the same schedule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    state = str(tmp_path / "fstate")
+    out = str(tmp_path / "front")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "url": ["https://site1.org/a", "https://site4.org/b"],
+                "html": [
+                    '<p><a href="https://site2.org/x">l</a>'
+                    '<a href="https://site3.org/y">l</a></p>',
+                    '<p><a href="https://site2.org/x">l</a></p>',
+                ],
+            }
+        ),
+        str(src / "b1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [3],
+                "url": ["https://site5.org/c"],
+                "html": [
+                    '<p><a href="https://site2.org/z">l</a>'
+                    '<a href="https://site6.org/w">l</a></p>'
+                ],
+            }
+        ),
+        str(src / "b2.parquet"),
+    )
+    os.utime(str(src / "b1.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(str(src / "b2.parquet"), (1_700_000_100, 1_700_000_100))
+
+    stream = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
+    stats = ops.stream_crawl_frontier(stream, state, out, str(tmp_path / "ck1"))
+    assert [s["warm_start"] for s in stats] == [False, True]
+    assert [s["n_state_edges"] for s in stats] == [3, 5]
+    sched = {
+        r["url"]: r["priority"]
+        for r in spark.read.parquet(f"{out}/frontier.parquet").collect()
+    }
+    assert set(sched) == {"https://site2.org/z", "https://site6.org/w"}
+
+    # replay from a wiped checkpoint: edge appends are keyed, ranks are
+    # a staged overwrite — the state converges and nothing accumulates
+    stream2 = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
+    stats2 = ops.stream_crawl_frontier(stream2, state, out, str(tmp_path / "ck2"))
+    assert all(s["warm_start"] for s in stats2)
+    assert stats2[-1]["n_state_edges"] == 5
+    sched2 = {
+        r["url"]: r["priority"]
+        for r in spark.read.parquet(f"{out}/frontier.parquet").collect()
+    }
+    assert set(sched2) == set(sched)
+    for u in sched:
+        assert abs(sched2[u] - sched[u]) < 1e-6, u
+
+
 def test_stream_incremental_curation_drift_per_batch_and_restart(spark, tmp_path):
     """drift_report flows through the stream wrapper: every micro-batch
     after the first surfaces batch_js_divergence computed against the
