@@ -145,54 +145,78 @@ _ROTATED_OUT = (
     "rollup_revenue",
 )
 
+# Round-8 rotation (#3 — COMPLETES the independent-confirmation program:
+# after this round every oracle-backed query has held a green
+# driver-graded row at least once). Exactly 29 never-driver-graded
+# queries remained after round 7, and 29 < 50, so all of them promote in
+# one rotation. Demotions (29) split in two tiers:
+#   - the 25 multi-round-stable rows (graded green in BOTH r6 and r7,
+#     several green since r1): the flagship/FHIR/LLM pipelines (their
+#     machinery is additionally smoke-checked every round via entry(),
+#     re-exercised in-window by llm_cost_metrics which re-runs the full
+#     LLM pipeline, and join/agg machinery rides the promoted
+#     funnel/cohort/set-ops/rank-family rows), percentile_stats /
+#     salted_join_skew / latest_order_dense_rank (window+agg machinery
+#     via promoted rank_family_windows, rolling_zscore_anomalies,
+#     incremental_rollup), the crawl/retrieval r6 tier (bm25_search,
+#     link_graph_edges, domain_pagerank, robots_url_filter,
+#     frontier_schedule — URL machinery stays via url_domain_stats +
+#     anchor_text_pairs), the dedup/similarity r6 tier
+#     (dedup_connected_components, set_similarity_pairs,
+#     containment_pairs, semantic_dedup_label, document_chunks —
+#     machinery via promoted dedup_global_segments, centroid_assignments,
+#     fuzzy_pairs_levenshtein, and the staying decontam rows), dsir /
+#     leakage_safe_split (selection machinery via promoted
+#     weighted_sample_docs, train_test_split_hash, data_budget_plan),
+#     scd2 / stream rows (streaming machinery stays via
+#     stream_interval_join + promoted stream_static_enrich).
+#   - 4 single-round rows with an exact promotion twin: duplicate_text_spans
+#     → duplicate_span_partners (same operator, with_partner=True superset),
+#     dedup_span_removal → dedup_global_segments (segment machinery),
+#     frequent_ngrams → ngram_novelty_scores + lm_bigram_scores (n-gram
+#     machinery), token_frequency_spectrum → balanced_token_shards
+#     (token-count machinery).
+_ROTATED_OUT_R8 = (
+    "bm25_search",
+    "containment_pairs",
+    "dedup_connected_components",
+    "document_chunks",
+    "domain_pagerank",
+    "dsir_selection",
+    "eligibility_flagship",
+    "eligibility_quality_gate",
+    "fhir_extract_bundle",
+    "fhir_find_keys_udf",
+    "frontier_schedule",
+    "latest_order_dense_rank",
+    "leakage_safe_split",
+    "link_graph_edges",
+    "llm_predictions_pipeline",
+    "percentile_stats",
+    "rest_enrichment_pipeline",
+    "resubmission_flagship",
+    "robots_url_filter",
+    "salted_join_skew",
+    "scd2_user_status",
+    "semantic_dedup_label",
+    "set_similarity_pairs",
+    "stream_dedup_overlap",
+    "stream_stateful_running_spend",
+    "duplicate_text_spans",
+    "dedup_span_removal",
+    "frequent_ngrams",
+    "token_frequency_spectrum",
+)
+
 # Oracle-backed queries currently outside the 50-slot window. All keep
-# local DuckDB parity via tests/test_oracle_parity.py. Promotion
-# candidates for future rotations (never-graded ones first). The
-# round-7 rotation promoted 25 of these (removed from the tuple below;
-# pinned in tests/test_registry.py::PROMOTED_R7) and demoted the 25 in
-# _ROTATED_OUT_R7.
-_DEFERRED = _ROTATED_OUT + _ROTATED_OUT_R7 + (
+# local DuckDB parity via tests/test_oracle_parity.py. The round-7 and
+# round-8 rotations promoted the former tail of this tuple (pinned in
+# tests/test_registry.py::PROMOTED_R7/_R8); after round 8 every
+# oracle-backed query has been driver-graded at least once, so future
+# rotations simply cycle the stable pool for freshness.
+_DEFERRED = _ROTATED_OUT + _ROTATED_OUT_R7 + _ROTATED_OUT_R8 + (
     "regex_text_ops",
     "split_explode_keys",
-    # token accounting is already driver-graded inside
-    # llm_predictions_pipeline's input_tokens/output_tokens columns
-    "llm_cost_metrics",
-    # incremental==batch equivalence is the query's own proof shape
-    "incremental_rollup",
-    # the blocked self-join shape is graded via ngram_jaccard_pairs
-    "fuzzy_pairs_levenshtein",
-    "bloom_semi_join_scan",
-    # C4-style span dedup: exact-dedup semantics graded via the r6-promoted
-    # dedup_connected_components family; segment machinery also feeds the
-    # r7-promoted duplicate_text_spans query
-    "dedup_global_segments",
-    # NEW round 7 (lands deferred per the rotation policy): span
-    # provenance — duplicate_text_spans + corpus-first partner_id/
-    # partner_pos columns (min-struct canonical-copy rule)
-    "duplicate_span_partners",
-    "train_test_split_hash",
-    "contiguous_row_ids",
-    "group_sample_deterministic",
-    "price_histogram",
-    "feature_correlations",
-    "data_quality_report",
-    "column_profile",
-    "rank_family_windows",
-    "set_ops_customers",
-    "weighted_sample_docs",
-    "funnel_signup_click_purchase",
-    "cohort_retention",
-    "rolling_zscore_anomalies",
-    "lm_fluency_scores",
-    "lm_bigram_scores",
-    "centroid_assignments",
-    "stream_static_enrich",
-    "skew_profile_events",
-    "balanced_token_shards",
-    "ngram_novelty_scores",
-    "data_budget_plan",
-    "quality_rank_blend",
-    "epoch_shuffle_order",
 )
 
 

@@ -22,32 +22,37 @@ def test_window_is_all_oracle_backed():
     assert not missing, f"window slots without an oracle: {missing}"
 
 
-# The round-7 rotation's 25 deliberate promotions (never driver-graded
-# in ANY round; all hold local DuckDB parity on every pytest run).
-# Update this pin together with registry._ROTATED_OUT_R7 when the next
+# The round-8 rotation's 29 deliberate promotions — the FINAL
+# never-driver-graded oracle-backed queries (completes the program:
+# after round 8, 100% of oracle-backed queries have been driver-graded
+# at least once). All hold local DuckDB parity on every pytest run.
+# Update this pin together with registry._ROTATED_OUT_R8 when the next
 # rotation runs.
-PROMOTED_R7 = {
-    "anchor_text_pairs", "blocklist_filter", "chat_turns_extract",
-    "corpus_drift_js", "cube_revenue", "dedup_span_removal",
-    "duplicate_text_spans", "frequent_ngrams", "gap_fill_timeseries",
-    "line_dedup_boilerplate", "map_explode_fields", "mojibake_metrics",
-    "pivot_status_matrix", "repetition_metrics", "script_profile_mixed",
-    "semantic_decontam_flags", "session_gap_events", "shard_manifest",
-    "source_dup_diagnostics", "stream_interval_join",
-    "substring_decontam_flags", "token_frequency_spectrum",
-    "unicode_nfc_normalize", "unpivot_measures", "url_domain_stats",
+PROMOTED_R8 = {
+    "balanced_token_shards", "bloom_semi_join_scan", "centroid_assignments",
+    "cohort_retention", "column_profile", "contiguous_row_ids",
+    "data_budget_plan", "data_quality_report", "dedup_global_segments",
+    "duplicate_span_partners", "epoch_shuffle_order",
+    "feature_correlations", "funnel_signup_click_purchase",
+    "fuzzy_pairs_levenshtein", "group_sample_deterministic",
+    "incremental_rollup", "llm_cost_metrics", "lm_bigram_scores",
+    "lm_fluency_scores", "ngram_novelty_scores", "price_histogram",
+    "quality_rank_blend", "rank_family_windows",
+    "rolling_zscore_anomalies", "set_ops_customers",
+    "skew_profile_events", "stream_static_enrich",
+    "train_test_split_hash", "weighted_sample_docs",
 }
 
 
 def test_window_matches_rotated_graded_set():
     """The 50 in-window queries must be exactly (last round's graded set
-    − the deliberate _ROTATED_OUT_R7 demotions) ∪ the pinned promotions —
+    − the deliberate _ROTATED_OUT_R8 demotions) ∪ the pinned promotions —
     an ACCIDENTAL displacement (registering a new oracle-backed query
     without updating _DEFERRED) still fails loudly, while the rotation
     policy's deliberate swaps are recorded here."""
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r06.json")
-    graded_r6 = set(json.load(open(path)))
-    expected = (graded_r6 - set(registry._ROTATED_OUT_R7)) | PROMOTED_R7
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r07.json")
+    graded_r7 = set(json.load(open(path)))
+    expected = (graded_r7 - set(registry._ROTATED_OUT_R8)) | PROMOTED_R8
     window = set(list(registry.QUERIES)[:WINDOW])
     assert window == expected, (
         f"window gained {sorted(window - expected)}, "
@@ -55,16 +60,16 @@ def test_window_matches_rotated_graded_set():
     )
     # rotation hygiene: every demotion really was graded last round, and
     # every promotion had never been driver-graded when the rotation was
-    # designed (rounds 1-6 only — round 7's own grading of the promoted
+    # designed (rounds 1-7 only — round 8's own grading of the promoted
     # set is the point, not a violation)
-    assert set(registry._ROTATED_OUT_R7) <= graded_r6
+    assert set(registry._ROTATED_OUT_R8) <= graded_r7
     graded_before: set[str] = set()
-    for rnd in range(1, 7):
+    for rnd in range(1, 8):
         p = os.path.join(
             os.path.dirname(__file__), "..", f"CORRECTNESS_r{rnd:02d}.json"
         )
         graded_before |= set(json.load(open(p)))
-    assert not (PROMOTED_R7 & graded_before)
+    assert not (PROMOTED_R8 & graded_before)
 
 
 def test_every_deferred_query_exists_and_has_coverage():
@@ -84,3 +89,14 @@ def test_every_deferred_query_exists_and_has_coverage():
     )
     deferred_with_oracle = [n for n in registry._DEFERRED if n in registry.ORACLES]
     assert len(deferred_with_oracle) >= 8  # round-4 additions present
+
+
+def test_anchor_subset_queries_all_registered():
+    """bench.py's pinned round-1 anchor subset (the same-work cross-round
+    performance series) must keep resolving — a query rename would
+    silently shrink anchor_subset_total and fake a speedup."""
+    import bench
+
+    assert len(bench.ANCHOR_R1_QUERIES) == 61
+    missing = [q for q in bench.ANCHOR_R1_QUERIES if q not in registry.QUERIES]
+    assert not missing, f"anchor queries no longer registered: {missing}"
