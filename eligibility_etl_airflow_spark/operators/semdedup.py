@@ -106,7 +106,12 @@ def kmeans_centroids(
         assigned = nearest_centroid_assign(vecs, cents, "id", "v").select(
             "id", F.col("assigned_label").alias("label")
         )
-        pooled = label_centroids(vecs.join(assigned, "id"), "label", "v").collect()
+        # merge hint: vecs carries the embedding ARRAY and its size
+        # estimate is compressed scan bytes — far under heap footprint
+        # (round-7 OOM class); SMJ keeps the corpus off the build side
+        pooled = label_centroids(
+            vecs.hint("merge").join(assigned, "id"), "label", "v"
+        ).collect()
         if not pooled:
             break  # empty input: keep the init centroids (possibly [])
         cents = spark.createDataFrame(
@@ -182,7 +187,10 @@ def semantic_dedup_drops(
         F.lit(True).alias("capped_cluster"),
     )
     members = (
-        vecs.join(assigned, "id")
+        # merge hint: same array-broadcast guard as kmeans_centroids —
+        # vecs' scan-bytes estimate could otherwise put the embedding
+        # relation on the broadcast build side
+        vecs.hint("merge").join(assigned, "id")
         .join(F.broadcast(over_cap), "cluster", "left_anti")
         .groupBy("cluster")
         .agg(
@@ -281,7 +289,8 @@ def semantic_dedup_drops_bipartite(
         a = nearest_centroid_assign(vecs, centroids, "id", "v").select(
             "id", F.col("assigned_label").cast("long").alias("cluster")
         )
-        return vecs.join(a, "id")
+        # merge hint: array-broadcast guard (see kmeans_centroids)
+        return vecs.hint("merge").join(a, "id")
 
     from pyspark import StorageLevel
 

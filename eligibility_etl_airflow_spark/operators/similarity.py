@@ -400,8 +400,12 @@ def embedding_neardup_pairs(
     t = t.join(F.broadcast(ok_buckets), "bucket")
     a = t.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"), "bucket")
     b = t.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"), "bucket")
+    # merge hints: both sides carry embedding ARRAYS, and Catalyst sizes
+    # them by compressed scan bytes (~an order under their heap
+    # footprint) — the same estimate-vs-heap trap that OOM'd the round-7
+    # shingle verify joins. SMJ is spill-safe and bucket-local.
     return (
-        a.join(b, "bucket")
+        a.hint("merge").join(b.hint("merge"), "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= cosine_threshold)
@@ -603,8 +607,13 @@ def pq_topk(
             [(r.query_id, list(r.qvec)) for r in q_rows],
             f"query_id {id_type}, qvec array<double>",
         ).withColumn("qnorm", _norm(F.col("qvec")))
+        # survivors is bounded by construction (chunk queries × n_keep),
+        # so IT is the broadcast side; the corpus cvec relation must
+        # never be the build side — its scan-bytes estimate undersizes
+        # the array heap footprint (round-7 OOM class)
         rescored = (
-            survivors.join(c.select("corpus_id", "cvec"), "corpus_id")
+            c.select("corpus_id", "cvec")
+            .join(F.broadcast(survivors), "corpus_id")
             .withColumn("cnorm", _norm(F.col("cvec")))
             .join(F.broadcast(q_df), "query_id")
             .withColumn(

@@ -287,26 +287,8 @@ def test_verify_joins_never_broadcast_array_sides(spark, sf_dir):
             ("t_a#", "t_b#", "toks#"),
         ),
     }
-    import contextlib
-    import io
-
     for name, (df, forbidden) in plans.items():
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
-        # formatted mode prints each node as "(N) BroadcastExchange"
-        # followed by an "Input [n]: [cols...]" line — the simple tree
-        # string does NOT list the exchange's columns, so it cannot
-        # catch this bug class
-        broadcast_inputs = []
-        lines = plan.splitlines()
-        for i, line in enumerate(lines):
-            if line.strip().endswith("BroadcastExchange"):
-                for nxt in lines[i + 1 : i + 4]:
-                    if nxt.strip().startswith("Input"):
-                        broadcast_inputs.append(nxt)
-                        break
+        broadcast_inputs = _broadcast_exchange_inputs(df)
         # lsh_self legitimately has ZERO broadcasts post-fix (every join
         # is the hinted merge); the other three keep deliberate scalar/
         # bench-side broadcasts, so their absence would mean the check
@@ -315,6 +297,91 @@ def test_verify_joins_never_broadcast_array_sides(spark, sf_dir):
             assert broadcast_inputs, f"{name}: no BroadcastExchange — check vacuous"
         for inp in broadcast_inputs:
             assert not any(c in inp for c in forbidden), (name, inp[:300])
+
+
+def _broadcast_exchange_inputs(df) -> list[str]:
+    """The "Input [n]: [cols…]" line of every BroadcastExchange in the
+    FORMATTED plan. Formatted mode is load-bearing: the simple tree
+    string does not list an exchange's columns, so a substring check on
+    it cannot catch an array column on a broadcast build side."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    lines = buf.getvalue().splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if line.strip().endswith("BroadcastExchange"):
+            for nxt in lines[i + 1 : i + 4]:
+                if nxt.strip().startswith("Input"):
+                    out.append(nxt)
+                    break
+    return out
+
+
+def test_embedding_joins_never_broadcast_corpus_array_sides(spark, sf_dir):
+    """Round-8 extension of the array-broadcast guard to the ANN /
+    semantic-dedup tier (VERDICT r7 Missing #2): similarity.py's verify
+    joins and semdedup's assignment joins carry fixed-width embedding
+    ARRAYS on the corpus side — the same Catalyst estimate-vs-heap class
+    the round-7 20x probe caught for shingles (scan-bytes estimate,
+    ~an-order-larger heap footprint). Deliberate broadcasts stay: the
+    QUERY side (qvec — small by call contract), chunked survivors in
+    pq_topk, bucket-size/over-cap scalar relations, centroids."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import semdedup, similarity
+
+    e = Catalog(spark, sf_dir).embeddings
+    q = e.filter(F.col("vec_id") < 4)
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [-1.0] * 64)], "label int, centroid array<double>"
+    )
+    # forbidden = corpus-side array columns per plan; query-side qvec
+    # broadcasts are the documented deliberate ones
+    plans = {
+        "lsh_topk": (
+            similarity.lsh_topk(e, q, dim=64, k=3, n_planes=4, n_tables=2),
+            ("cvec#",),
+        ),
+        "ivf_topk": (
+            similarity.ivf_topk(e, q, k=3, n_cells=4, nprobe=2),
+            ("cvec#",),
+        ),
+        "pq_topk": (
+            similarity.pq_topk(e, q, k=3, m=4, codes_k=8, refine=10),
+            ("cvec#",),
+        ),
+        "embedding_neardup": (
+            similarity.embedding_neardup_pairs(e, cosine_threshold=0.5, dim=64),
+            ("va#", "vb#", "vec#"),
+        ),
+        "semantic_dedup": (
+            semdedup.semantic_dedup_drops(
+                e, "vec_id", "embedding", centroids=cents, eps=0.9
+            ),
+            ("v#",),
+        ),
+        "brute_force": (
+            similarity.brute_force_topk(e, q, k=3),
+            ("cvec#",),
+        ),
+    }
+    import re
+
+    for name, (df, forbidden) in plans.items():
+        broadcast_inputs = _broadcast_exchange_inputs(df)
+        # every plan here keeps at least one deliberate broadcast (query
+        # side / scalar relation) — zero would mean the check went vacuous
+        assert broadcast_inputs, f"{name}: no BroadcastExchange — check vacuous"
+        for inp in broadcast_inputs:
+            # exact attribute names (name#id), not substrings — 'v#'
+            # must not match the deliberately-broadcast centroid 'cv#'
+            cols = {m + "#" for m in re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", inp)}
+            hit = cols & set(forbidden)
+            assert not hit, (name, sorted(hit), inp[:300])
 
 
 def test_set_similarity_normalizes_and_splits_once(spark, sf_dir):
