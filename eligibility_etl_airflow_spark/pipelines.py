@@ -882,11 +882,17 @@ def run_incremental_curation(
     # MISSING (its data intact in __old_*) — healing must precede the
     # has_state probe or a replayed batch reads "no state" and
     # re-accepts duplicates
+    # token_path rides along: its fold swaps via __old_/__merge_ and its
+    # first build stages a __backfill_ tmp — a crash between write and
+    # rename would otherwise leak a full-index-sized dir forever, and a
+    # mid-swap crash heals here (restore newest __old_; the surviving
+    # __pending_ intent then re-folds via the recovery path below)
     for _p in (
         docs_path,
         hash_path,
         band_path,
         shingle_path,
+        token_path,
         os.path.join(state_dir, "index_vectors"),
     ):
         sinks.recover_interrupted_compaction(_p)
@@ -1764,7 +1770,9 @@ def run_incremental_crawl_ingest(
     # heal a mid-swap compaction crash BEFORE the has_state probe (see
     # run_incremental_curation — a missing url/hash index reads as "no
     # state" and a replay re-accepts duplicates)
-    for _p in (docs_path, url_index, hash_index):
+    # token_index rides along for the same __backfill_/__merge_ stray-tmp
+    # and mid-fold-swap healing as the curation loop's heal list
+    for _p in (docs_path, url_index, hash_index, token_index):
         sinks.recover_interrupted_compaction(_p)
     has_state = os.path.exists(url_index)
 
@@ -2399,6 +2407,7 @@ def run_incremental_frontier(
     pagerank_iterations: int = 20,
     pagerank_tol: float | None = 1e-7,
     compact_threshold: int | None = 32,
+    edge_stats: bool = False,
     **frontier_kwargs,
 ) -> dict:
     """Continuous form of :func:`run_crawl_frontier_pipeline` — the
@@ -2490,7 +2499,10 @@ def run_incremental_frontier(
         **frontier_kwargs,
     )
     stats["warm_start"] = init is not None
-    stats["n_state_edges"] = state_edges.count()
+    if edge_stats:
+        # telemetry only — a full-relation action per cycle (cheap at
+        # domain grain, but nothing downstream needs it), so opt-in
+        stats["n_state_edges"] = state_edges.count()
     compacted = _maybe_compact_state_indexes(
         spark, [edges_path], compact_threshold
     )

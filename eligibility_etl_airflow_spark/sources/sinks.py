@@ -342,19 +342,26 @@ def recover_interrupted_compaction(path: str) -> dict:
     olds = sorted(_glob.glob(f"{path}__old_*"))
     # __compact_: compact_parquet's staging; __cycle_: the frontier
     # ranks swap; __migrate_: the url-index schema migration;
-    # __backfill_: the token-index first-build — all share the
-    # staged-write discipline, so their stray tmps would otherwise leak
-    # a full index copy per crash, forever
+    # __backfill_: the token-index first-build; __merge_: the token-index
+    # fold swap — all share the staged-write discipline, so their stray
+    # tmps would otherwise leak a full index copy per crash, forever.
+    # __pending_* WAL intents are deliberately NOT matched: they are the
+    # fold protocol's crash-recovery input, removed only by the fold.
     tmps = [
         d
-        for pref in ("__compact_", "__cycle_", "__migrate_", "__backfill_")
+        for pref in ("__compact_", "__cycle_", "__migrate_", "__backfill_", "__merge_")
         for d in sorted(_glob.glob(f"{path}{pref}*"))
     ]
     out = {"restored": False, "removed": 0}
     if not os.path.exists(path) and olds:
-        os.rename(olds[0], path)
+        # restore the NEWEST snapshot by mtime — the uuid suffix sorts
+        # randomly, so with more than one stray __old_ (repeated crashes)
+        # a lexicographic pick could resurrect a stale snapshot and
+        # delete the newer one
+        olds.sort(key=os.path.getmtime)
+        os.rename(olds[-1], path)
         out["restored"] = True
-        olds = olds[1:]
+        olds = olds[:-1]
     for d in olds + tmps:
         shutil.rmtree(d, ignore_errors=True)
         out["removed"] += 1

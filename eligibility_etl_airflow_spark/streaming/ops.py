@@ -551,7 +551,9 @@ def stream_crawl_frontier(
     the same schedule. Share ``state_dir`` with stream_crawl_ingest and
     the crawl-history anti-join reads the ingest url index
     automatically. Per-batch stats (n_candidates, n_scheduled,
-    warm_start, n_state_edges, ...) return in processing order."""
+    warm_start, ...) return in processing order; pass
+    ``edge_stats=True`` for a per-cycle ``n_state_edges`` count (an
+    extra full-relation action that serves only telemetry)."""
     stats: list[dict] = []
 
     def frontier_batch(batch_df: DataFrame, batch_id: int) -> None:

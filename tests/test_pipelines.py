@@ -931,12 +931,16 @@ def test_incremental_frontier_warm_start_edge_state_and_replay(spark, tmp_path):
         ],
         "doc_id long, url string, html string",
     )
-    s1 = pipelines.run_incremental_frontier(spark, df1, state, str(tmp_path / "o1"))
+    s1 = pipelines.run_incremental_frontier(
+        spark, df1, state, str(tmp_path / "o1"), edge_stats=True
+    )
     assert s1["warm_start"] is False
     assert s1["n_state_edges"] == 3  # 1->2, 1->3, 4->2 at domain grain
     assert _os.path.exists(_os.path.join(state, "frontier_ranks"))
 
-    s2 = pipelines.run_incremental_frontier(spark, df2, state, str(tmp_path / "o2"))
+    s2 = pipelines.run_incremental_frontier(
+        spark, df2, state, str(tmp_path / "o2"), edge_stats=True
+    )
     assert s2["warm_start"] is True
     assert s2["n_state_edges"] == 5  # +5->2, 5->6
 
@@ -971,7 +975,7 @@ def test_incremental_frontier_warm_start_edge_state_and_replay(spark, tmp_path):
 
     # replay: edge appends are keyed (src, dst) — nothing new lands
     s2r = pipelines.run_incremental_frontier(
-        spark, df2, state, str(tmp_path / "o2r")
+        spark, df2, state, str(tmp_path / "o2r"), edge_stats=True
     )
     assert s2r["n_state_edges"] == 5
     rep = pipelines.state_report(spark, state)
@@ -1880,3 +1884,283 @@ def test_state_report_counts_and_pending_intents(spark, tmp_path):
     )
     rep2 = pipelines.state_report(spark, state)
     assert rep2["pending_token_intents"] == ["acc"]
+
+
+def test_recover_restores_newest_old_snapshot(tmp_path):
+    """With MULTIPLE stray __old_ dirs (repeated crashes), recovery must
+    restore the NEWEST snapshot by mtime — the uuid suffix sorts
+    randomly, so a lexicographic pick could resurrect a stale snapshot
+    and delete the newer one (round-7 advice)."""
+    import os as _os
+    import time as _time
+
+    from eligibility_etl_airflow_spark.sources import sinks
+
+    p = str(tmp_path / "idx")
+    old_a = f"{p}__old_ffffffff"  # lexicographically LAST, mtime OLDEST
+    old_b = f"{p}__old_00000000"  # lexicographically first, mtime newest
+    _os.makedirs(old_a)
+    with open(_os.path.join(old_a, "part-0"), "w") as f:
+        f.write("stale")
+    _time.sleep(0.05)
+    _os.makedirs(old_b)
+    with open(_os.path.join(old_b, "part-0"), "w") as f:
+        f.write("fresh")
+    _os.utime(old_a, (1_000_000_000, 1_000_000_000))
+    _os.utime(old_b, (2_000_000_000, 2_000_000_000))
+
+    out = sinks.recover_interrupted_compaction(p)
+    assert out["restored"] and out["removed"] == 1
+    with open(_os.path.join(p, "part-0")) as f:
+        assert f.read() == "fresh"
+
+
+def test_token_index_backfill_and_merge_strays_healed(spark, tmp_path):
+    """A crash between the token-index backfill's staged write and its
+    rename (or mid-fold between the __merge_ swap renames) used to leak
+    a full-index-sized tmp dir forever: the up-front heal loops skipped
+    index_tokens. They now include it (round-7 advice)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from eligibility_etl_airflow_spark import pipelines
+
+    state = str(tmp_path / "st")
+    b = spark.createDataFrame(
+        [(1, "https://tk.example.org/a", "<p>alpha beta gamma delta</p>"),
+         (2, "https://tk.example.org/b", "<p>epsilon zeta eta theta</p>")],
+        "doc_id long, url string, html string",
+    )
+    pipelines.run_incremental_crawl_ingest(spark, b, state, drift_report=True)
+    tok = _os.path.join(state, "index_tokens")
+    assert _os.path.exists(tok)
+
+    # stray staging dirs from simulated crashes: a backfill that never
+    # renamed, and a fold __merge_ that never swapped
+    _shutil.copytree(tok, f"{tok}__backfill_deadbeef")
+    _shutil.copytree(tok, f"{tok}__merge_deadbeef")
+
+    b2 = spark.createDataFrame(
+        [(3, "https://tk.example.org/c", "<p>iota kappa lambda mu</p>")],
+        "doc_id long, url string, html string",
+    )
+    rep = pipelines.run_incremental_crawl_ingest(spark, b2, state, drift_report=True)
+    assert rep["n_accepted"] == 1
+    assert not _glob.glob(f"{tok}__backfill_*")
+    assert not _glob.glob(f"{tok}__merge_*")
+
+    # mid-fold-swap crash: index renamed away, post-fold tmp stray —
+    # healing restores the pre-fold snapshot and the loop still runs
+    _shutil.copytree(tok, f"{tok}__merge_cafecafe")
+    _os.rename(tok, f"{tok}__old_cafecafe")
+    rep2 = pipelines.run_incremental_crawl_ingest(
+        spark,
+        spark.createDataFrame(
+            [(4, "https://tk.example.org/d", "<p>nu xi omicron pi</p>")],
+            "doc_id long, url string, html string",
+        ),
+        state,
+        drift_report=True,
+    )
+    assert rep2["n_accepted"] == 1
+    assert _os.path.exists(tok)
+    assert not _glob.glob(f"{tok}__old_*") and not _glob.glob(f"{tok}__merge_*")
+
+
+def test_closed_loop_crawl_soak_crashes_at_every_protocol_boundary(spark, tmp_path):
+    """The full continuous loop — ingest → curate → survival feedback →
+    frontier — over shared state for 3 cycles, with a crash injected at
+    each protocol boundary between cycles: a compaction mid-swap (both
+    loops' index swap), a WAL fold crash (intent staged, fold never ran,
+    index rolled back), and a ranks mid-swap. Invariants: replays accept
+    ZERO rows, state file counts stay bounded, the token index equals a
+    full recount, and the final warm-started priorities equal a cold
+    60-iteration recompute."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.operators import drift
+
+    ing = str(tmp_path / "ing")  # ingest + frontier state (shared)
+    cur = str(tmp_path / "cur")  # curation state
+
+    base = " ".join(f"w{i}" for i in range(40))  # 36+ shared 5-shingles
+    good = {
+        0: "entirely different prose about ships and harbors for cycle zero",
+        1: "a second unique passage on mountains valleys and rivers here",
+        2: "third unique text concerning libraries maps and old letters",
+    }
+
+    def pages(c):
+        links = (
+            f'<a href="https://junksite1.org/next{c}">x</a>'
+            f'<a href="https://goodsite1.org/next{c}">x</a>'
+        )
+        rows = [
+            (c * 10 + 1, f"https://junksite1.org/j{c}a",
+             f"<p>{base} extra{2 * c}</p>{links}"),
+            (c * 10 + 2, f"https://junksite1.org/j{c}b",
+             f"<p>{base} extra{2 * c + 1}</p>{links}"),
+            (c * 10 + 3, f"https://goodsite1.org/g{c}",
+             f"<p>{good[c]}</p>{links}"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, url string, html string")
+
+    dropped_ids: list[int] = []
+
+    def run_cycle(c, quality):
+        b = pages(c)
+        s_ing = pipelines.run_incremental_crawl_ingest(
+            spark, b, ing, drift_report=True, compact_threshold=4
+        )
+        batch_docs = (
+            spark.read.parquet(_os.path.join(ing, "accepted_docs"))
+            .filter(F.col("doc_id").between(c * 10, c * 10 + 9))
+        )
+        s_cur = pipelines.run_incremental_curation(
+            spark, batch_docs.select("doc_id", "text"), cur, compact_threshold=4
+        )
+        kept = {
+            r.doc_id
+            for r in spark.read.parquet(_os.path.join(cur, "accepted_docs"))
+            .select("doc_id").collect()
+        }
+        dropped_ids.extend(
+            r.doc_id for r in batch_docs.select("doc_id").collect()
+            if r.doc_id not in kept
+        )
+        audit = spark.createDataFrame(
+            [(i, "dedup") for i in dropped_ids] or [(-1, "none")],
+            "doc_id long, dropped_at string",
+        )
+        survival = pipelines.domain_survival_rates(
+            spark.read.parquet(_os.path.join(ing, "accepted_docs"))
+            .select("doc_id", "domain"),
+            audit,
+        )
+        s_fr = pipelines.run_incremental_frontier(
+            spark, b, ing, str(tmp_path / f"fr{c}"),
+            domain_quality_df=survival, pagerank_iterations=20,
+        )
+        return s_ing, s_cur, s_fr, survival
+
+    # ---- cycle 0, then boundary crash #1: compaction mid-swap ----
+    s_ing0, s_cur0, _, _ = run_cycle(0, None)
+    assert s_ing0["n_accepted"] == 3
+    assert s_cur0["n_accepted"] == 2  # j0b dropped within-batch (fuzzy)
+    for p in (_os.path.join(ing, "index_urls"), _os.path.join(cur, "index_hashes")):
+        _shutil.copytree(p, f"{p}__compact_crash0")
+        _os.rename(p, f"{p}__old_crash0")
+    # replay cycle 0 against the crashed state: healing precedes the
+    # has_state probes, so NOTHING is re-accepted in either loop
+    r_ing = pipelines.run_incremental_crawl_ingest(
+        spark, pages(0), ing, drift_report=True, compact_threshold=4
+    )
+    assert r_ing["n_accepted"] == 0 and r_ing["n_total_accepted"] == 3
+    r_cur = pipelines.run_incremental_curation(
+        spark,
+        spark.read.parquet(_os.path.join(ing, "accepted_docs"))
+        .filter(F.col("doc_id") < 10).select("doc_id", "text"),
+        cur, compact_threshold=4,
+    )
+    assert r_cur["n_accepted"] == 0 and r_cur["n_corpus_total"] == 2
+
+    # ---- cycle 1, then boundary crash #2: WAL fold (intent staged,
+    # fold never ran, index rolled back to pre-batch content) ----
+    s_ing1, s_cur1, _, _ = run_cycle(1, None)
+    assert s_ing1["n_accepted"] == 3
+    assert s_cur1["n_accepted"] == 1  # both junk near-dups caught vs state
+    tok = _os.path.join(ing, "index_tokens")
+    b1_counts = drift.unigram_counts(
+        spark.read.parquet(_os.path.join(ing, "accepted_docs"))
+        .filter(F.col("doc_id").between(10, 19)).select("text")
+    )
+    drift.token_index_pending_write(
+        tok, "soak-crash-b1",
+        add=b1_counts,
+        ids=spark.createDataFrame([(11,), (12,), (13,)], "doc_id long"),
+        kind="acc",
+    )
+    rolled = drift.token_index_merge(
+        spark.read.parquet(tok), subtract=b1_counts
+    ).collect()
+    _shutil.rmtree(tok)
+    spark.createDataFrame(rolled, "tok string, c long").write.parquet(tok)
+    r_ing1 = pipelines.run_incremental_crawl_ingest(
+        spark, pages(1), ing, drift_report=True, compact_threshold=4
+    )
+    assert r_ing1["n_accepted"] == 0 and r_ing1["n_total_accepted"] == 6
+    got = {r["tok"]: r["c"] for r in spark.read.parquet(tok).collect()}
+    want = {
+        r["tok"]: r["c"]
+        for r in drift.unigram_counts(
+            spark.read.parquet(_os.path.join(ing, "accepted_docs")).select("text")
+        ).collect()
+    }
+    assert got == want  # recovery fold applied the staged intent once
+
+    # ---- cycle 2, then boundary crash #3: ranks mid-swap ----
+    _, _, s_fr2, survival2 = run_cycle(2, None)
+    ranks = _os.path.join(ing, "frontier_ranks")
+    _shutil.copytree(ranks, f"{ranks}__cycle_crash2")
+    _os.rename(ranks, f"{ranks}__old_crash2")
+    s_fr_replay = pipelines.run_incremental_frontier(
+        spark, pages(2), ing, str(tmp_path / "fr2r"),
+        domain_quality_df=survival2, pagerank_iterations=20,
+    )
+    assert s_fr_replay["warm_start"] is True  # healed, not cold-started
+    assert not _glob.glob(f"{ranks}__old_*") and not _glob.glob(f"{ranks}__cycle_*")
+
+    warm = {
+        r["url"]: r["priority"]
+        for r in spark.read.parquet(
+            str(tmp_path / "fr2r" / "frontier.parquet")
+        ).collect()
+    }
+    # cold twin on the SAME accumulated state: full iterations from
+    # uniform must land on the same fixed point
+    pipelines.run_crawl_frontier_pipeline(
+        spark, pages(2), str(tmp_path / "frcold"),
+        domain_edges_df=spark.read.parquet(
+            _os.path.join(ing, "index_domain_edges")
+        ),
+        pagerank_iterations=60, pagerank_tol=1e-9,
+        domain_quality_df=survival2,
+        crawled_urls_df=spark.read.parquet(
+            _os.path.join(ing, "index_urls")
+        ).select("url_canonical"),
+    )
+    cold = {
+        r["url"]: r["priority"]
+        for r in spark.read.parquet(
+            str(tmp_path / "frcold" / "frontier.parquet")
+        ).collect()
+    }
+    assert set(warm) == set(cold) != set()
+    for u in warm:
+        assert abs(warm[u] - cold[u]) < 1e-5, (u, warm[u], cold[u])
+    # the curation feedback holds through the crashes: junk's candidate
+    # priority sits below good's
+    assert (
+        warm["https://goodsite1.org/next2"] > warm["https://junksite1.org/next2"]
+    )
+
+    # bounded state: every index in both state dirs stays under the
+    # compaction regime's bound despite 3 cycles + 3 replays + 3 crashes
+    for d in (ing, cur):
+        rep = pipelines.state_report(spark, d)
+        for key, n in rep.items():
+            if key.startswith("files_"):
+                assert n <= 12, (d, key, n)
+    # and no stray staging dirs anywhere
+    for d in (ing, cur):
+        strays = [
+            p for pref in ("__old_", "__compact_", "__merge_", "__backfill_", "__cycle_")
+            for p in _glob.glob(_os.path.join(d, f"*{pref}*"))
+        ]
+        assert not strays, strays

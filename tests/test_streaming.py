@@ -425,7 +425,9 @@ def test_stream_crawl_frontier_warm_start_and_replay(spark, tmp_path):
     os.utime(str(src / "b2.parquet"), (1_700_000_100, 1_700_000_100))
 
     stream = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
-    stats = ops.stream_crawl_frontier(stream, state, out, str(tmp_path / "ck1"))
+    stats = ops.stream_crawl_frontier(
+        stream, state, out, str(tmp_path / "ck1"), edge_stats=True
+    )
     assert [s["warm_start"] for s in stats] == [False, True]
     assert [s["n_state_edges"] for s in stats] == [3, 5]
     sched = {
@@ -437,7 +439,9 @@ def test_stream_crawl_frontier_warm_start_and_replay(spark, tmp_path):
     # replay from a wiped checkpoint: edge appends are keyed, ranks are
     # a staged overwrite — the state converges and nothing accumulates
     stream2 = ops.stream_from_dir(spark, str(src), maxFilesPerTrigger=1)
-    stats2 = ops.stream_crawl_frontier(stream2, state, out, str(tmp_path / "ck2"))
+    stats2 = ops.stream_crawl_frontier(
+        stream2, state, out, str(tmp_path / "ck2"), edge_stats=True
+    )
     assert all(s["warm_start"] for s in stats2)
     assert stats2[-1]["n_state_edges"] == 5
     sched2 = {

@@ -1,8 +1,12 @@
 """Regenerate COVERAGE.md's "Driver-graded history" section from the
 CORRECTNESS_r*.json files the driver writes each round.
 
-Usage: python tools/coverage_history.py          # rewrites COVERAGE.md
-       python tools/coverage_history.py --print  # emit section to stdout
+Usage: python tools/coverage_history.py            # rewrites COVERAGE.md
+       python tools/coverage_history.py --print    # emit section to stdout
+       python tools/coverage_history.py --round N  # label the in-window
+           column rN (default max(rounds)+1 — wrong once the CURRENT
+           round's CORRECTNESS file is already on disk, e.g. when
+           regenerating after the driver graded this round)
 
 The section makes the grading-window rotation auditable at a glance:
 per registered query, the rounds in which the driver's oracle check was
@@ -45,15 +49,21 @@ def history() -> tuple[dict[str, list[int]], list[int]]:
     return greens, rounds
 
 
-def render() -> str:
+def render(cur: int | None = None) -> str:
     sys.path.insert(0, REPO)
     from eligibility_etl_airflow_spark import registry
 
     registry.load_all()
     greens, rounds = history()
+    if not rounds:
+        raise SystemExit(
+            "no CORRECTNESS_r*.json files found — nothing to render "
+            "(run from a repo the driver has graded at least once)"
+        )
     names = list(registry.QUERIES)
     window = set(names[:50])
-    cur = max(rounds) + 1  # the table is committed DURING round max+1
+    if cur is None:
+        cur = max(rounds) + 1  # the table is committed DURING round max+1
     out = [
         MARKER + " (generated from CORRECTNESS_r*.json)",
         "",
@@ -78,7 +88,10 @@ def render() -> str:
 
 
 def main() -> None:
-    section = render()
+    cur = None
+    if "--round" in sys.argv:
+        cur = int(sys.argv[sys.argv.index("--round") + 1])
+    section = render(cur)
     if "--print" in sys.argv:
         print(section, end="")
         return

@@ -58,15 +58,19 @@ def build_scaled(spark, k: int, path: str) -> None:
 
 def build_edges(spark, k: int, path: str) -> None:
     # deterministic power-law-ish multigraph: k * 200k edges over
-    # k * 5k nodes; same generator at every scale so density is constant
+    # k * 5k nodes; same generator at every scale so density is constant.
+    # Destinations span the FULL node range with a hub skew: squaring a
+    # uniform [0,1) hash draws low ids quadratically more often (a
+    # Zipf-ish in-degree tail) while the support still grows with k —
+    # the round-7 formula (hash % (id % 97 + 3)) capped every dst at
+    # <= 98 regardless of scale, so the "constant density" claim and the
+    # PageRank curve interpretation were wrong (round-7 advice).
     n_nodes = 5_000 * k
     n_edges = 200_000 * k
+    u = (F.abs(F.xxhash64(F.col("id"))) % 1_000_003) / 1_000_003.0
     edges = spark.range(n_edges).select(
         (F.col("id") % n_nodes).cast("long").alias("src"),
-        # xxhash-spread destination, biased toward low ids (hub shape)
-        (F.abs(F.xxhash64(F.col("id"))) % (F.col("id") % 97 + 3) % n_nodes)
-        .cast("long")
-        .alias("dst"),
+        F.floor(u * u * n_nodes).cast("long").alias("dst"),
     )
     edges.write.mode("overwrite").parquet(path)
 
