@@ -136,7 +136,14 @@ def main() -> None:
                     "first alphabetically pays the shingle build) — "
                     "only the suite total is comparable across rounds; "
                     "set SPARK_GRAFT_BENCH_ISOLATED=1 for standalone "
-                    "per-query attribution. "
+                    "per-query attribution. Measured size of that "
+                    "attribution effect (round-7 judge standalone "
+                    "best-of-2 vs in-suite lines): contrastive_triplets "
+                    "8.71 s standalone vs 11.98 in-suite, "
+                    "cluster_representatives 2.17 vs 4.07, "
+                    "containment_pairs 2.74 vs 3.90 — in-suite lines "
+                    "for alphabet-early heavy queries absorb shared "
+                    "builds that later queries reuse. "
                     "contrastive_triplets is the suite's largest single "
                     "line by design: its cost is quadratic in the LSH "
                     "bucket cap (cap=32 here; cap=200 is ~5x slower at "

@@ -25,10 +25,48 @@ from eligibility_etl_airflow_spark.operators.psl_snapshot import (
     SUFFIXES_2,
     SUFFIXES_3,
     SUFFIXES_4,
+    SUFFIXES_5,
     WILDCARD_PARENTS_1,
     WILDCARD_PARENTS_2,
     WILDCARD_PARENTS_3,
+    WILDCARD_PARENTS_4,
 )
+
+# Cache of JVM Seq handles for the big PSL literal tuples, keyed by
+# tuple identity (module-level constants, so identity is stable). The
+# JVM (and py4j gateway) is per-process in classic mode, so a handle
+# stays valid for the process lifetime.
+_JSEQ_CACHE: dict[int, object] = {}
+
+
+def _isin_bulk(col: Column, values: tuple) -> Column:
+    """``col.isin(*values)`` without per-element py4j round trips.
+
+    ``Column.isin`` builds one ``lit()`` Column per value — one py4j
+    call each, ~3.6 s for the full PSL's 5771-entry suffix table, and
+    the ladder holds TEN such tables referenced on every
+    ``registered_domain`` construction. Scala's ``Column.isin(Any*)``
+    wraps raw values in Literals JVM-side, so shipping the whole tuple
+    as ONE converted seq (cached per process) makes the first build
+    ~0.5 s and every later build a single py4j call. Same expression
+    either way — the optimizer still folds it to an InSet hash probe.
+    Falls back to the plain ``isin`` on Spark Connect (no ``_jc``),
+    where literal conversion is client-side and cheap."""
+    try:
+        from pyspark.sql.classic.column import Column as _ClassicColumn, _to_seq
+    except ImportError:  # pragma: no cover - Connect-only distribution
+        return col.isin(*values)
+    if not isinstance(col, _ClassicColumn):  # pragma: no cover - Connect
+        return col.isin(*values)
+    from pyspark import SparkContext
+
+    seq = _JSEQ_CACHE.get(id(values))
+    if seq is None:
+        sc = SparkContext._active_spark_context
+        seq = _to_seq(sc, list(values))
+        _JSEQ_CACHE[id(values)] = seq
+    return _ClassicColumn(col._jc.isin(seq))
+
 
 # scheme://host[:port][path][?query][#fragment] — capture groups:
 #   1 scheme   2 host(:port)   3 path   4 query   5 fragment
@@ -137,31 +175,38 @@ def _registered_domain_of_parts(parts: Column) -> Column:
     last3 = F.concat(F.try_element_at(parts, F.lit(-3)), F.lit("."), last2)
     last4 = F.concat(F.try_element_at(parts, F.lit(-4)), F.lit("."), last3)
     last5 = F.concat(F.try_element_at(parts, F.lit(-5)), F.lit("."), last4)
+    last6 = F.concat(F.try_element_at(parts, F.lit(-6)), F.lit("."), last5)
     return (
         # exceptions first: the carved-out host is itself registrable
-        F.when((n >= 3) & last3.isin(*EXCEPTION_HOSTS_3), last3)
-        .when((n >= 2) & last2.isin(*EXCEPTION_HOSTS_2), last2)
+        F.when((n >= 3) & _isin_bulk(last3, EXCEPTION_HOSTS_3), last3)
+        .when((n >= 2) & _isin_bulk(last2, EXCEPTION_HOSTS_2), last2)
         # wildcards next: children of the parent are public suffixes,
         # so registration sits one label deeper than the parent's grain
-        .when((n >= 5) & last3.isin(*WILDCARD_PARENTS_3), last5)
-        .when((n >= 4) & last2.isin(*WILDCARD_PARENTS_2), last4)
+        .when((n >= 6) & _isin_bulk(last4, WILDCARD_PARENTS_4), last6)
+        .when((n >= 5) & _isin_bulk(last3, WILDCARD_PARENTS_3), last5)
+        .when((n >= 4) & _isin_bulk(last2, WILDCARD_PARENTS_2), last4)
         # a host that IS a wildcard child (exactly parent+1 labels) is a
         # public suffix itself — no registrable part, pass through
-        # (the *_1 and *_3 analogues fall out of the branches below:
-        # bar.ck hits the n>=2 default = itself; x.compute.amazonaws.com
-        # hits the SUFFIXES_3 branch = itself)
-        .when((n == 3) & last2.isin(*WILDCARD_PARENTS_2), host)
-        .when((n >= 3) & last1.isin(*WILDCARD_PARENTS_1), last3)
+        # (the *_1 analogue falls out below: bar.ck hits the n>=2
+        # default = itself; the full PSL lists wildcard parents that
+        # have NO plain-rule twin, so the deeper grains need explicit
+        # pass-through branches)
+        .when((n == 5) & _isin_bulk(last4, WILDCARD_PARENTS_4), host)
+        .when((n == 4) & _isin_bulk(last3, WILDCARD_PARENTS_3), host)
+        .when((n == 3) & _isin_bulk(last2, WILDCARD_PARENTS_2), host)
+        .when((n >= 3) & _isin_bulk(last1, WILDCARD_PARENTS_1), last3)
         # explicit multi-label suffixes, longest first; a host that IS
         # exactly one of them has no registrable part and passes
         # through (the n == len(suffix) branches — without them the
         # ladder would fall to the default and return a too-short
         # grain, e.g. s3.amazonaws.com -> amazonaws.com)
-        .when((n >= 5) & last4.isin(*SUFFIXES_4), last5)
-        .when((n == 4) & last4.isin(*SUFFIXES_4), host)
-        .when((n >= 4) & last3.isin(*SUFFIXES_3), last4)
-        .when((n == 3) & last3.isin(*SUFFIXES_3), host)
-        .when((n >= 3) & last2.isin(*SUFFIXES_2), last3)
+        .when((n >= 6) & _isin_bulk(last5, SUFFIXES_5), last6)
+        .when((n == 5) & _isin_bulk(last5, SUFFIXES_5), host)
+        .when((n >= 5) & _isin_bulk(last4, SUFFIXES_4), last5)
+        .when((n == 4) & _isin_bulk(last4, SUFFIXES_4), host)
+        .when((n >= 4) & _isin_bulk(last3, SUFFIXES_3), last4)
+        .when((n == 3) & _isin_bulk(last3, SUFFIXES_3), host)
+        .when((n >= 3) & _isin_bulk(last2, SUFFIXES_2), last3)
         .when(n >= 2, last2)
         .otherwise(host)
     )

@@ -1,5 +1,7 @@
 """URL parsing / canonicalization / domain-stats operators."""
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -325,3 +327,82 @@ def test_registered_domain_public_suffix_snapshot(spark):
     want = dict(cases)
     for r in got:
         assert r["d"] == want[r["h"]], r["h"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/usr/share/publicsuffix/public_suffix_list.dat"),
+    reason="full PSL file not installed",
+)
+def test_registered_domain_matches_reference_psl_algorithm(spark):
+    """The generated tables + when()-ladder must agree with an
+    independent implementation of the PSL algorithm (publicsuffix.org/
+    list/: all matching rules, prevailing = most labels, exception
+    beats all, unmatched = '*') run directly over the full list file —
+    on a deterministic sample of hosts derived FROM the rules
+    themselves (each rule exercised as: a 2-deep registrable host under
+    it, a 1-deep host, and the bare suffix), plus the wildcard and
+    exception families in full."""
+    import hashlib
+
+    dat = "/usr/share/publicsuffix/public_suffix_list.dat"
+    plain, wild, exc = set(), set(), set()
+    for raw in open(dat, encoding="utf-8"):
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        line = line.split()[0].lower()
+        if line.startswith("!"):
+            exc.add(line[1:])
+        elif line.startswith("*."):
+            wild.add(line[2:])
+        else:
+            plain.add(line)
+
+    def ref_registered_domain(host: str) -> str:
+        labels = host.split(".")
+        # exception rules win outright: the host below/at the exception
+        # registers at the exception's own label count
+        best = 0  # prevailing matching rule's label count; '*' default = 1
+        for i in range(len(labels)):
+            cand = ".".join(labels[i:])
+            nl = len(labels) - i
+            if cand in exc:
+                # exception: cand itself is the registered domain grain
+                best = nl - 1
+                break
+            if cand in plain:
+                best = max(best, nl)
+            if i >= 1 and ".".join(labels[i:]) in wild:
+                # the wildcard rule matches one label HIGHER
+                best = max(best, nl + 1)
+        if best == 0:
+            best = 1  # the implicit '*' rule
+        if len(labels) <= best:
+            return host  # the host IS a public suffix: no registrable part
+        return ".".join(labels[-(best + 1):])
+
+    # deterministic rule sample: md5-ranked, ASCII-only (the Spark side
+    # matches both unicode and punycode forms; the reference file here
+    # carries unicode — compare on the shared ASCII subset), plus every
+    # wildcard/exception rule
+    ranked = sorted(
+        (r for r in plain if r.isascii() and "." in r),
+        key=lambda r: hashlib.md5(r.encode()).hexdigest(),
+    )
+    sample = ranked[:40] + sorted(w for w in wild if w.isascii()) + sorted(exc)
+    hosts = []
+    for r in sample:
+        hosts += [f"site.{r}", f"deep.site.{r}", r]
+    rows = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["rd"]
+        for r in rows.select(
+            "host", urls.registered_domain(F.col("host")).alias("rd")
+        ).collect()
+    }
+    bad = []
+    for h in hosts:
+        want = ref_registered_domain(h)
+        if got[h] != want:
+            bad.append((h, got[h], want))
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"

@@ -1,0 +1,121 @@
+"""sf1 relational probe: run the two flagships plus the heaviest
+relational queries against a ~10x-scaled TPC-H-ish dataset (lineitem
+~6M rows) — the relational tier has only ever executed at sf0.1, and
+this checks AQE behavior and the absence of driver-side surprises one
+order of magnitude up.
+
+The scaled tables are built by replication with CONSISTENT key offsets
+(orders/lineitem share the orderkey offset, orders/customer the custkey
+offset, …), so join fan-outs and group cardinalities scale the way a
+real sf1 would: 10x facts, 10x customers, fixed nation/region dims.
+
+Usage: python tools/sf1_probe.py [--mult 10] [--queries a,b,c]
+Prints one JSON line per query; paste the summary into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from eligibility_etl_airflow_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/sf1_probe"
+
+QUERIES = [
+    "eligibility_flagship",
+    "resubmission_flagship",
+    "pricing_summary_sql",
+    "latest_order_dense_rank",
+    "percentile_stats",
+    "salted_join_skew",
+    "grouped_multi_agg",
+]
+
+
+def build(spark, mult: int) -> str:
+    out = os.path.join(WORK, f"sf{mult}x")
+    os.makedirs(out, exist_ok=True)
+    offs = {  # per-table replica key offsets (consistent across FKs)
+        "c": 1_000_000, "o": 10_000_000, "p": 1_000_000,
+        "s": 100_000, "e": 10_000_000, "u": 1_000_000,
+    }
+    for t in ("region", "nation"):  # fixed dims
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    specs = {
+        "customer": lambda df, r: df.withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(r * offs["c"])
+        ),
+        "orders": lambda df, r: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(r * offs["o"])
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(r * offs["c"])),
+        "lineitem": lambda df, r: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(r * offs["o"])
+        )
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * offs["p"]))
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(r * offs["s"])),
+        "supplier": lambda df, r: df.withColumn(
+            "s_suppkey", F.col("s_suppkey") + F.lit(r * offs["s"])
+        ),
+        "part": lambda df, r: df.withColumn(
+            "p_partkey", F.col("p_partkey") + F.lit(r * offs["p"])
+        ),
+        "events": lambda df, r: df.withColumn(
+            "event_id", F.col("event_id") + F.lit(r * offs["e"])
+        ).withColumn("user_id", F.col("user_id") + F.lit(r * offs["u"])),
+    }
+    mult_needed = {"documents", "embeddings"}  # some queries scan these; copy 1x
+    for t in mult_needed:
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(
+                os.path.join(out, f"{t}.parquet")
+            )
+    for t, bump in specs.items():
+        base = spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
+        parts = [bump(base, r) for r in range(mult)]
+        rel = parts[0]
+        for p in parts[1:]:
+            rel = rel.unionByName(p)
+        rel.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def main() -> None:
+    mult = 10
+    names = QUERIES
+    for a in sys.argv[1:]:
+        if a.startswith("--mult"):
+            mult = int(a.split("=", 1)[1])
+        if a.startswith("--queries"):
+            names = a.split("=", 1)[1].split(",")
+    from eligibility_etl_airflow_spark import registry
+
+    registry.load_all()
+    spark = get_spark("sf1-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = build(spark, mult)
+    for name in names:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps({"op": name, "mult": mult, "sec": round(dt, 2)}),
+            flush=True,
+        )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
