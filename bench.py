@@ -99,8 +99,21 @@ def main() -> None:
             t = round(run_query(registry.QUERIES[name], spark, SF_DIR), 4)
             times[name] = min(times.get(name, t), t)
 
+    # anchor-subset pass: a SEPARATE cold run of exactly the 61 round-1
+    # queries, so the total is genuinely same-work vs BENCH_r01 (84.29 s
+    # ran only these 61, sorted, shared-cache within the pass). Summing
+    # the anchor lines out of the full-suite run above would be biased
+    # low: alphabet-early NON-anchor queries registered since round 1
+    # absorb shared persisted builds the round-1 total necessarily paid.
+    anchor_times: dict[str, float] = {}
+    for _ in range(max(1, REPS)):
+        spark.catalog.clearCache()
+        for name in sorted(ANCHOR_R1_QUERIES):
+            t = round(run_query(registry.QUERIES[name], spark, SF_DIR), 4)
+            anchor_times[name] = min(anchor_times.get(name, t), t)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    anchor_lines = [times[q] for q in ANCHOR_R1_QUERIES if q in times]
+    anchor_lines = list(anchor_times.values())
     print(
         json.dumps(
             {
@@ -108,10 +121,11 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
-                # SAME-WORK cross-round series: sum over the pinned 61
-                # round-1 queries only. The raw suite total above grows
-                # with registry coverage (155 queries vs the anchor's 61)
-                # and is NOT a speed series; compare THIS field against
+                # SAME-WORK cross-round series: a separate cold pass of
+                # the pinned 61 round-1 queries only (see the comment at
+                # the anchor pass). The raw suite total above grows with
+                # registry coverage (155 queries vs the anchor's 61) and
+                # is NOT a speed series; compare THIS field against
                 # anchor_r1_total_sec (84.29 s) for the <2x-of-baseline
                 # performance bar.
                 "anchor_subset_total": round(sum(anchor_lines), 4),

@@ -32,11 +32,12 @@ from eligibility_etl_airflow_spark.operators.psl_snapshot import (
     WILDCARD_PARENTS_4,
 )
 
-# Cache of JVM Seq handles for the big PSL literal tuples, keyed by
-# tuple identity (module-level constants, so identity is stable). The
-# JVM (and py4j gateway) is per-process in classic mode, so a handle
-# stays valid for the process lifetime.
-_JSEQ_CACHE: dict[int, object] = {}
+# Cache of JVM Seq handles for the big PSL literal tuples, keyed by the
+# tuple ITSELF (hashable; the dict entry also keeps it alive — an id()
+# key could be silently reused by a new tuple after GC and return the
+# wrong IN-set). The JVM (and py4j gateway) is per-process in classic
+# mode, so a handle stays valid for the process lifetime.
+_JSEQ_CACHE: dict[tuple, object] = {}
 
 
 def _isin_bulk(col: Column, values: tuple) -> Column:
@@ -60,11 +61,11 @@ def _isin_bulk(col: Column, values: tuple) -> Column:
         return col.isin(*values)
     from pyspark import SparkContext
 
-    seq = _JSEQ_CACHE.get(id(values))
+    seq = _JSEQ_CACHE.get(values)
     if seq is None:
         sc = SparkContext._active_spark_context
         seq = _to_seq(sc, list(values))
-        _JSEQ_CACHE[id(values)] = seq
+        _JSEQ_CACHE[values] = seq
     return _ClassicColumn(col._jc.isin(seq))
 
 

@@ -296,7 +296,17 @@ def test_verify_joins_never_broadcast_array_sides(spark, sf_dir):
         if name != "lsh_self":
             assert broadcast_inputs, f"{name}: no BroadcastExchange — check vacuous"
         for inp in broadcast_inputs:
-            assert not any(c in inp for c in forbidden), (name, inp[:300])
+            hit = _attr_names(inp) & set(forbidden)
+            assert not hit, (name, sorted(hit), inp[:300])
+
+
+def _attr_names(input_line: str) -> set[str]:
+    """Exact attribute names ('name#') on a formatted-plan Input line —
+    substring checks would false-positive on names that merely end with
+    a forbidden fragment (and 'v#' would match the legitimate 'cv#')."""
+    import re
+
+    return {m + "#" for m in re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", input_line)}
 
 
 def _broadcast_exchange_inputs(df) -> list[str]:
@@ -369,18 +379,13 @@ def test_embedding_joins_never_broadcast_corpus_array_sides(spark, sf_dir):
             ("cvec#",),
         ),
     }
-    import re
-
     for name, (df, forbidden) in plans.items():
         broadcast_inputs = _broadcast_exchange_inputs(df)
         # every plan here keeps at least one deliberate broadcast (query
         # side / scalar relation) — zero would mean the check went vacuous
         assert broadcast_inputs, f"{name}: no BroadcastExchange — check vacuous"
         for inp in broadcast_inputs:
-            # exact attribute names (name#id), not substrings — 'v#'
-            # must not match the deliberately-broadcast centroid 'cv#'
-            cols = {m + "#" for m in re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", inp)}
-            hit = cols & set(forbidden)
+            hit = _attr_names(inp) & set(forbidden)
             assert not hit, (name, sorted(hit), inp[:300])
 
 

@@ -89,8 +89,14 @@ def render(cur: int | None = None) -> str:
 
 def main() -> None:
     cur = None
-    if "--round" in sys.argv:
-        cur = int(sys.argv[sys.argv.index("--round") + 1])
+    for i, a in enumerate(sys.argv[1:], start=1):
+        # accept both --round=N and --round N, with a usage error on a
+        # missing value instead of an IndexError
+        if a.startswith("--round"):
+            try:
+                cur = int(a.split("=", 1)[1] if "=" in a else sys.argv[i + 1])
+            except (IndexError, ValueError):
+                raise SystemExit("usage: coverage_history.py [--round N] [--print]")
     section = render(cur)
     if "--print" in sys.argv:
         print(section, end="")

@@ -123,9 +123,35 @@ def emit_tuple(name: str, vals: list[str]) -> str:
     return "\n".join(lines)
 
 
+# The grains urls.py's registered_domain ladder is hard-coded to
+# consume. A future PSL refresh that introduces a NEW grain (a 6-label
+# plain rule, a 4-label exception, …) would otherwise emit a table the
+# ladder never imports — silently dropping those rules — so the
+# generator fails loudly instead and the ladder gets extended first.
+CONSUMED = {
+    "SUFFIXES_2", "SUFFIXES_3", "SUFFIXES_4", "SUFFIXES_5",
+    "WILDCARD_PARENTS_1", "WILDCARD_PARENTS_2", "WILDCARD_PARENTS_3",
+    "WILDCARD_PARENTS_4",
+    "EXCEPTION_HOSTS_2", "EXCEPTION_HOSTS_3",
+}
+
+
 def main() -> None:
     dat = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_DAT
     plain, wild, exc = parse(dat)
+    emitted = (
+        {f"SUFFIXES_{n}" for n in plain}
+        | {f"WILDCARD_PARENTS_{n}" for n in wild}
+        | {f"EXCEPTION_HOSTS_{n}" for n in exc}
+    )
+    extra = emitted - CONSUMED
+    if extra:
+        raise SystemExit(
+            f"PSL refresh introduces grain(s) {sorted(extra)} that "
+            "urls.registered_domain's ladder does not consume — extend "
+            "the ladder (and this allowlist) before regenerating, or "
+            "those rules would be silently dropped"
+        )
     parts = [HEADER]
     for n in sorted(plain):
         parts.append(

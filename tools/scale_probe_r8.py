@@ -101,9 +101,12 @@ def tfidf_top3(docs):
 
 def main() -> None:
     scales = [1, 5, 20]
-    for a in sys.argv[1:]:
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
         if a.startswith("--scales"):
-            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+            # accept both --scales=1,5,20 and --scales 1,5,20
+            val = a.split("=", 1)[1] if "=" in a else args[i + 1]
+            scales = [int(x) for x in val.split(",")]
     spark = get_spark("scale-probe-r8")
     spark.sparkContext.setLogLevel("ERROR")
     from eligibility_etl_airflow_spark.operators import search, semdedup, similarity

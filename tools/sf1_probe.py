@@ -94,11 +94,13 @@ def build(spark, mult: int) -> str:
 def main() -> None:
     mult = 10
     names = QUERIES
-    for a in sys.argv[1:]:
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
+        # accept both --flag=value and --flag value
         if a.startswith("--mult"):
-            mult = int(a.split("=", 1)[1])
+            mult = int(a.split("=", 1)[1] if "=" in a else args[i + 1])
         if a.startswith("--queries"):
-            names = a.split("=", 1)[1].split(",")
+            names = (a.split("=", 1)[1] if "=" in a else args[i + 1]).split(",")
     from eligibility_etl_airflow_spark import registry
 
     registry.load_all()
