@@ -299,6 +299,21 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("--out-dir", default=None)
     mp.add_argument("--limit", type=int, default=20)
 
+    aq = sub.add_parser(
+        "ann-query",
+        help="ANN top-k over a curation state's persisted vector index "
+        "(index_centroids + index_vectors, the semantic-dedup byproduct)",
+    )
+    aq.add_argument("--state-dir", required=True)
+    aq.add_argument(
+        "--queries-parquet", required=True,
+        help="parquet with (vec_id, embedding) query rows",
+    )
+    aq.add_argument("--out-dir", default=None, help="write results instead of show")
+    aq.add_argument("--k", type=int, default=5)
+    aq.add_argument("--nprobe", type=int, default=4)
+    aq.add_argument("--limit", type=int, default=20)
+
     lp = sub.add_parser(
         "layout",
         help="rewrite a parquet dataset clustered for scan pruning: "
@@ -466,6 +481,19 @@ def main(argv: list[str] | None = None) -> int:
             compact_threshold=args.compact_threshold or None,
         )
         print(json.dumps(stats, default=str))
+        return 0
+
+    if args.cmd == "ann-query":
+        queries = spark.read.parquet(args.queries_parquet)
+        res = pipelines.ann_query_state(
+            spark, args.state_dir, queries, k=args.k, nprobe=args.nprobe
+        )
+        if args.out_dir:
+            from eligibility_etl_airflow_spark.sources import sinks as _sinks
+
+            _sinks.write_parquet(res, args.out_dir)
+        else:
+            res.show(args.limit, truncate=False)
         return 0
 
     if args.cmd == "layout":

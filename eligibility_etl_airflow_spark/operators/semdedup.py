@@ -126,11 +126,12 @@ def semantic_dedup_drops(
     id_col: str,
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
-    k: int = 16,
+    k: int | str = 16,
     eps: float = 0.95,
     max_cluster_size: int = 10_000,
     em_iters: int = 2,
     seed: int = 42,
+    target_cluster_size: int = 1_000,
 ) -> DataFrame:
     """(id, cluster, kept_id, sim, capped_cluster) — one row per DROPPED
     document: ``id``'s cosine to ``kept_id`` (the earlier-ranked member
@@ -141,6 +142,17 @@ def semantic_dedup_drops(
     drops — they report members of clusters over ``max_cluster_size``
     that were excluded from dedup (kept_id/sim null): silent truncation
     would read as "deduped" when it wasn't.
+
+    ``k="auto"`` scales the cluster count with the corpus —
+    ``max(16, ceil(n / target_cluster_size))`` — which is the
+    linearity knob at scale: the per-cluster compare is quadratic in
+    cluster size, so a FIXED k makes total cost grow ~quadratically
+    with the corpus (the round-8 1x/5x/20x probe measured 7.7x cost at
+    20x data with k=64), while k ∝ n keeps expected cluster size (and
+    so per-cluster cost) constant — total compare work then grows
+    linearly and the broadcast-assign scan dominates, the SemDeDup
+    paper's operating regime. Costs one extra column-pruned count of
+    ``df``; ignored when ``centroids`` is passed.
 
     Plan: broadcast-assign (persisted — the assignment feeds the size
     count, the capped report, and the member collect; same cache
@@ -159,11 +171,14 @@ def semantic_dedup_drops(
 
     if not (0.0 < eps <= 1.0):
         raise ValueError(f"eps must be in (0, 1], got {eps}")
-    cents = (
-        centroids
-        if centroids is not None
-        else kmeans_centroids(df, id_col, vec_col, k=k, em_iters=em_iters, seed=seed)
-    )
+    if centroids is None:
+        if k == "auto":
+            k = max(16, -(-df.count() // target_cluster_size))
+        elif not isinstance(k, int):
+            raise ValueError(f"k must be an int or 'auto', got {k!r}")
+        cents = kmeans_centroids(df, id_col, vec_col, k=k, em_iters=em_iters, seed=seed)
+    else:
+        cents = centroids
     vecs = df.select(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
     )

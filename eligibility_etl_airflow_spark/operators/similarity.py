@@ -741,6 +741,83 @@ def nearest_centroid_assign(
     )
 
 
+def ivf_topk_over_index(
+    index_vecs: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k over an ALREADY-BUILT index: ``index_vecs`` is
+    (id, cluster, v) — vectors stored WITH their cluster assignment —
+    and ``centroids`` is (label, centroid). No training, no assignment
+    scan, no full-corpus distance math at query time: queries rank the
+    broadcast centroid relation (k × dim — small by construction),
+    probe their ``nprobe`` best clusters, and exact cosine runs only on
+    the cluster-pruned index rows. This is the persisted-index serving
+    path: ``run_incremental_curation`` maintains exactly these two
+    relations (``index_vectors`` / ``index_centroids``) as a byproduct
+    of semantic dedup, so the curation state doubles as a ready ANN
+    index (``pipelines.ann_query_state``); any other clustering rule
+    works too — correctness is "exact top-k restricted to the probed
+    clusters" regardless of how clusters were assigned.
+
+    Scale shape: one broadcast crossJoin of queries × centroids (both
+    small), one shuffled join of the index on the cluster key with the
+    probed relation BROADCAST (queries × nprobe rows — the corpus-side
+    array relation is never the build side, per the round-7/8 broadcast
+    audit), one per-query top-k window. Output
+    (query_id, corpus_id, sim, rank); self-matches excluded."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnorm", _norm(F.col("qvec")))
+    c = centroids.select(
+        F.col("label").cast("long").alias("cluster"),
+        as_double_array(F.col("centroid")).alias("cv"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("cluster")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("csim", F.round(cosine(F.col("qvec"), F.col("cv")), 6))
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= nprobe)
+        .select("cluster", "query_id", "qvec", "qnorm")
+    )
+    v = index_vecs.select(
+        F.col("id").alias("corpus_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        as_double_array(F.col("v")).alias("cvec"),
+    )
+    scored = (
+        v.join(F.broadcast(probed), "cluster")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cnorm", _norm(F.col("cvec")))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "corpus_id", "sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def semantic_decontam_flags(
     corpus: DataFrame,
     bench: DataFrame,

@@ -2613,6 +2613,48 @@ def corpus_data_card(docs: DataFrame) -> DataFrame:
     return scalars.unionByName(shares)
 
 
+def ann_query_state(
+    spark: SparkSession,
+    state_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k over the curation state's persisted vector index — the
+    serving side of the index ``run_incremental_curation`` maintains as
+    a byproduct of semantic dedup (``index_centroids`` trained once per
+    corpus lifetime, ``index_vectors`` rows stored WITH their cluster),
+    so accepted-corpus similarity search needs no separate index build:
+    query cost is centroid-ranking (broadcast) + exact cosine inside
+    the probed clusters only (operators/similarity.py::
+    ivf_topk_over_index). Heals interrupted compactions first — the
+    same missing-relation crash window as every other state read."""
+    from eligibility_etl_airflow_spark.operators.similarity import (
+        ivf_topk_over_index,
+    )
+
+    cent_path = os.path.join(state_dir, "index_centroids")
+    vec_path = os.path.join(state_dir, "index_vectors")
+    sinks.recover_interrupted_compaction(vec_path)
+    if not (os.path.exists(cent_path) and os.path.exists(vec_path)):
+        raise FileNotFoundError(
+            f"no semantic index under {state_dir} — run "
+            "run_incremental_curation with semantic_eps= first "
+            "(index_centroids + index_vectors are its byproduct)"
+        )
+    return ivf_topk_over_index(
+        spark.read.parquet(vec_path),
+        spark.read.parquet(cent_path),
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        nprobe=nprobe,
+    )
+
+
 def state_report(spark: SparkSession, state_dir: str) -> dict:
     """Operational summary of a continuous pipeline's state directory
     (crawl ingest or incremental curation): per-relation row counts,

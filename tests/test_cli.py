@@ -200,3 +200,36 @@ def test_cli_incremental_curation_drift_flag(spark, tmp_path, capsys):
     assert rc == 0
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "batch_js_divergence" in s2
+
+
+def test_cli_ann_query_over_state(spark, tmp_path, capsys):
+    """ann-query serves top-k from a curation state's vector index."""
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.__main__ import main
+
+    state = str(tmp_path / "st")
+    rows = [
+        (i, f"doc {i} words a{i} b{i}", [float((i * 5 + d) % 7 - 3) for d in range(4)])
+        for i in range(20)
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    pipelines.run_incremental_curation(
+        spark, batch, state, semantic_eps=0.9999, semantic_k=4
+    )
+    qp = str(tmp_path / "q.parquet")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, -1.0, 2.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(qp)
+    out = str(tmp_path / "res")
+    rc = main(
+        [
+            "ann-query", "--state-dir", state, "--queries-parquet", qp,
+            "--out-dir", out, "--k", "3", "--nprobe", "4",
+        ]
+    )
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert res.columns == ["query_id", "corpus_id", "sim", "rank"]
+    assert res.count() == 3

@@ -632,3 +632,78 @@ def test_minhash_lsh_pairs_bands_none_autotunes(spark):
         ).collect()
     )
     assert auto == explicit == [(1, 2)]
+
+
+def test_ivf_topk_over_index_exact_within_probed_clusters(spark, sf_dir):
+    """The pre-built-index serving path: results must equal an exact
+    brute force RESTRICTED to each query's nprobe best clusters — and
+    with nprobe == n_clusters, equal unrestricted brute force."""
+    e = Catalog(spark, sf_dir).embeddings
+    vecs = e.select(
+        F.col("vec_id").alias("id"),
+        (F.col("vec_id") % 4).cast("long").alias("cluster"),
+        similarity.as_double_array(F.col("embedding")).alias("v"),
+    )
+    cents = (
+        vecs.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("m"))
+        .select(
+            F.col("cluster").alias("label"),
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.element_at(F.col("m"), 1)["v"]) - 1),
+                lambda i: F.aggregate(
+                    "m", F.lit(0.0), lambda acc, s: acc + F.element_at(s["v"], i + 1)
+                )
+                / F.size("m"),
+            ).alias("centroid"),
+        )
+    )
+    queries = e.filter(F.col("vec_id") < 6)
+
+    # full probe == unrestricted brute force
+    full = similarity.ivf_topk_over_index(vecs, cents, queries, k=3, nprobe=4)
+    exact = similarity.brute_force_topk(e, queries, k=3)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+    # partial probe == brute force restricted to the probed clusters
+    got = similarity.ivf_topk_over_index(vecs, cents, queries, k=3, nprobe=2)
+    probed = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            similarity.as_double_array(F.col("embedding")).alias("qv"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cents.select(
+                    F.col("label").alias("cluster"),
+                    F.col("centroid").alias("cv"),
+                )
+            )
+        )
+        .withColumn("csim", F.round(similarity.cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cluster"))
+    allowed = probed.withColumn("r", F.row_number().over(wp)).filter(
+        F.col("r") <= 2
+    ).select("query_id", "cluster", "qv")
+    restricted = (
+        vecs.join(allowed, "cluster")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(similarity.cosine(F.col("v"), F.col("qv")), 6)
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
+    want = (
+        restricted.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("id").alias("corpus_id"),
+            "sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -2164,3 +2164,48 @@ def test_closed_loop_crawl_soak_crashes_at_every_protocol_boundary(spark, tmp_pa
             for p in _glob.glob(_os.path.join(d, f"*{pref}*"))
         ]
         assert not strays, strays
+
+
+def test_ann_query_state_serves_curation_vector_index(spark, tmp_path):
+    """The curation state's semantic index (index_centroids trained
+    once, index_vectors rows stored with their cluster) doubles as a
+    ready ANN index: ann_query_state's top-k equals exact brute force
+    over the stored vectors when every cluster is probed, and raises a
+    clear error on a state without the semantic tier."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark import pipelines
+    from eligibility_etl_airflow_spark.operators import similarity
+
+    state = str(tmp_path / "vst")
+    rows = [
+        (
+            i,
+            f"unique document number {i} with its own words w{i} x{i} y{i} z{i}",
+            [float((i * 7 + d * 3) % 11 - 5) for d in range(8)],
+        )
+        for i in range(40)
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    pipelines.run_incremental_curation(
+        spark, batch, state, semantic_eps=0.9999, semantic_k=4
+    )
+    assert _os.path.exists(_os.path.join(state, "index_vectors"))
+
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.5, -0.25, 2.0, -1.5, 0.75, 0.0, 1.25])],
+        "vec_id long, embedding array<double>",
+    )
+    got = pipelines.ann_query_state(spark, state, q, k=3, nprobe=4).collect()
+    stored = spark.read.parquet(_os.path.join(state, "index_vectors")).select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    want = similarity.brute_force_topk(stored, q, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    with pytest.raises(FileNotFoundError, match="semantic index"):
+        pipelines.ann_query_state(spark, str(tmp_path / "nope"), q)

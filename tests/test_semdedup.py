@@ -238,3 +238,43 @@ def test_incremental_semantic_tier(spark, tmp_path):
     vecs = spark.read.parquet(f"{state}/index_vectors")
     assert sorted(r.id for r in vecs.collect()) == [1, 2, 11]
     assert set(vecs.columns) == {"id", "cluster", "v"}
+
+
+def test_semantic_dedup_auto_k_scales_cluster_count(spark):
+    """k='auto' sizes the clustering to the corpus (the linearity knob
+    at scale): n/target_cluster_size centroids, floored at 16 — and the
+    drop semantics stay identical to an explicit k of the same value."""
+    import numpy as np
+
+    rows = [
+        (i, [float(x) for x in np.cos(np.arange(8) * (i % 40 + 1) * 0.37)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    auto = semdedup.semantic_dedup_drops(
+        df, "vec_id", "embedding", k="auto", eps=0.999,
+        target_cluster_size=10,
+    )
+    explicit = semdedup.semantic_dedup_drops(
+        df, "vec_id", "embedding", k=20, eps=0.999,
+    )
+    a = sorted((r.id, r.kept_id) for r in auto.collect())
+    e = sorted((r.id, r.kept_id) for r in explicit.collect())
+    assert a == e and len(a) > 0  # 200/10 = 20 == explicit k
+
+    # floor: a tiny corpus never trains fewer than 16 centroids
+    tiny = spark.createDataFrame(rows[:20], "vec_id long, embedding array<double>")
+    floor = semdedup.semantic_dedup_drops(
+        tiny, "vec_id", "embedding", k="auto", eps=0.999,
+        target_cluster_size=1_000,
+    )
+    floor16 = semdedup.semantic_dedup_drops(
+        tiny, "vec_id", "embedding", k=16, eps=0.999,
+    )
+    assert sorted((r.id, r.kept_id) for r in floor.collect()) == sorted(
+        (r.id, r.kept_id) for r in floor16.collect()
+    )
+
+    with pytest.raises(ValueError, match="auto"):
+        semdedup.semantic_dedup_drops(df, "vec_id", "embedding", k="boom")

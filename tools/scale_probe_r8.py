@@ -162,6 +162,18 @@ def main() -> None:
                 emb, "vec_id", "embedding", k=64, eps=0.99
             ),
         )
+        # the linearity knob: k scaled with the corpus keeps expected
+        # cluster size constant, so the quadratic-within-cluster compare
+        # stays bounded and total cost grows ~linearly (vs the fixed-k
+        # line above, which measured 7.7x cost at 20x data)
+        timed(
+            "semantic_dedup_drops(k=auto)",
+            k,
+            lambda: semdedup.semantic_dedup_drops(
+                emb, "vec_id", "embedding", k="auto",
+                target_cluster_size=300, eps=0.99
+            ),
+        )
         spark.catalog.clearCache()
     shutil.rmtree(WORK, ignore_errors=True)
 
