@@ -19,10 +19,11 @@ tie-breaks so the mined set is deterministic.
 
 Scale shape: inherits the LSH tier's budget — shuffle-free Arrow
 signatures, band-key shuffle with capped buckets, verify join on the
-shared shingle relation; the triplet assembly on top is two
-partial-aggregatable max(struct) groupBys and one join, all keyed by
-anchor id. Nothing reaches the driver. No reference counterpart —
-training-data extension of the near-dup tier.
+shared shingle relation; the triplet assembly on top is ONE
+partial-aggregatable conditional max(struct) groupBy keyed by anchor
+id, so the candidate pass is consumed exactly once. Nothing reaches
+the driver. No reference counterpart — training-data extension of the
+near-dup tier.
 """
 
 from __future__ import annotations
@@ -81,36 +82,30 @@ def contrastive_triplets(
             "jaccard",
         )
     )
-    # best positive per anchor: max jaccard in [pos_min, pos_max];
-    # ties break to the greatest partner id (struct ordering) — any
-    # fixed rule works, and this one stays valid for string ids too
-    pos = (
-        sym.filter(
-            (F.col("jaccard") >= pos_min) & (F.col("jaccard") <= pos_max)
-        )
-        .groupBy("anchor_id")
-        .agg(F.max(F.struct("jaccard", "partner_id")).alias("w"))
+    # Both sides come out of ONE conditional aggregation over the pair
+    # stream (max(when(...)) is null-skipping), so the expensive LSH +
+    # verify lineage is consumed exactly once — two groupBys + a join
+    # here would execute the candidate pass twice (uncached lineage) and
+    # pay a third shuffle for the join. Ties break to the greatest
+    # partner id (struct ordering) — any fixed rule works, and this one
+    # stays valid for string ids too. Anchors missing either side drop
+    # at the final filter (the old inner join's semantics).
+    pos_w = F.when(
+        (F.col("jaccard") >= pos_min) & (F.col("jaccard") <= pos_max),
+        F.struct("jaccard", "partner_id"),
+    )
+    neg_w = F.when(
+        F.col("jaccard") <= neg_max, F.struct("jaccard", "partner_id")
+    )
+    return (
+        sym.groupBy("anchor_id")
+        .agg(F.max(pos_w).alias("p"), F.max(neg_w).alias("n"))
+        .filter(F.col("p").isNotNull() & F.col("n").isNotNull())
         .select(
             "anchor_id",
-            F.col("w.partner_id").alias("positive_id"),
-            F.col("w.jaccard").alias("pos_jaccard"),
+            F.col("p.partner_id").alias("positive_id"),
+            F.col("n.partner_id").alias("negative_id"),
+            F.col("p.jaccard").alias("pos_jaccard"),
+            F.col("n.jaccard").alias("neg_jaccard"),
         )
-    )
-    # hardest negative: highest jaccard still <= neg_max
-    neg = (
-        sym.filter(F.col("jaccard") <= neg_max)
-        .groupBy("anchor_id")
-        .agg(F.max(F.struct("jaccard", "partner_id")).alias("w"))
-        .select(
-            "anchor_id",
-            F.col("w.partner_id").alias("negative_id"),
-            F.col("w.jaccard").alias("neg_jaccard"),
-        )
-    )
-    return pos.join(neg, "anchor_id").select(
-        "anchor_id",
-        "positive_id",
-        "negative_id",
-        "pos_jaccard",
-        "neg_jaccard",
     )
