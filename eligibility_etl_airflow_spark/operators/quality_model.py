@@ -37,6 +37,25 @@ def _bucket_of(tok: Column, dim: int) -> Column:
     return F.pmod(F.xxhash64(tok), F.lit(dim)).cast("int")
 
 
+def _isin_literal(col: Column, values: list) -> Column:
+    """``col.isin(values)`` shipped as ONE JVM seq — ``Column.isin``
+    builds a ``lit()`` per element (one py4j round trip each), which is
+    seconds of driver time at sample_size=2048+. Unlike
+    ``urls._isin_bulk`` the seq is NOT cached: sample-id sets are
+    per-corpus, caching them would leak. Falls back to plain ``isin``
+    on Spark Connect (literal conversion is client-side and cheap)."""
+    try:
+        from pyspark.sql.classic.column import Column as _ClassicColumn, _to_seq
+    except ImportError:  # pragma: no cover - Connect-only distribution
+        return col.isin(values)
+    if not isinstance(col, _ClassicColumn):  # pragma: no cover - Connect
+        return col.isin(values)
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return _ClassicColumn(col._jc.isin(_to_seq(sc, list(values))))
+
+
 def hashed_token_features(
     df: DataFrame, id_col: str, text_col: str, dim: int = 1024
 ) -> DataFrame:
@@ -85,12 +104,24 @@ def train_quality_classifier(
         F.col(text_col).alias("text"),
         F.col(label_col).cast("double").alias("y"),
     )
-    sample_ids = (
+    # Pass 1 projects ONLY the id (plus the label-null filter) and
+    # collects the md5-ranked winners — bounded at sample_size rows, the
+    # same transfer the training collect already pays. Pass 2 then
+    # re-reads by ``id IN (...)``: the membership predicate reaches the
+    # scan (PushedFilters / row-group skipping), so the label expression
+    # and the featurization evaluate over sample_size rows, not the
+    # corpus. The former left_semi-join form kept the full labeled
+    # relation (and any expensive computed label column) in the training
+    # plan 2-3x — a corpus-sized cost per extra evaluation at 100 TB.
+    sample_id_rows = (
         labeled.select("id")
         .orderBy(F.md5(F.concat(F.lit("qc-sample-v1|"), F.col("id").cast("string"))))
         .limit(sample_size)
+        .collect()
     )
-    sample = labeled.join(sample_ids, "id", "left_semi")
+    sample = labeled.filter(
+        _isin_literal(F.col("id"), [r["id"] for r in sample_id_rows])
+    )
     feats = hashed_token_features(sample, "id", "text", dim)
     # one collect of (sample_size × avg-distinct-buckets) sparse triples.
     # LEFT join from the labeled sample: token-less docs (whitespace/
@@ -251,12 +282,19 @@ def train_softmax_classifier(
             f"{max_classes} — not a classification label column"
         )
     cls_idx = {c: k for k, c in enumerate(classes)}
-    sample_ids = (
+    # same two-pass shape as train_quality_classifier: collect the
+    # bounded md5-ranked id set, push it back as a scan-level IN filter
+    # so the label expression and gram featurization never evaluate
+    # outside the sample
+    sample_id_rows = (
         labeled.select("id")
         .orderBy(F.md5(F.concat(F.lit("sm-sample-v1|"), F.col("id").cast("string"))))
         .limit(sample_size)
+        .collect()
     )
-    sample = labeled.join(sample_ids, "id", "left_semi")
+    sample = labeled.filter(
+        _isin_literal(F.col("id"), [r["id"] for r in sample_id_rows])
+    )
     feats = hashed_char_features(sample, "id", "text", dim, n)
     rows = (
         sample.select("id", "y")
