@@ -93,8 +93,9 @@ def bm25_topk(
 
     1. postings restricted to ``query_terms`` (filter-before-aggregate —
        cost ∝ Σ df(term), not corpus size);
-    2. per-term document frequency from those postings (tiny — ≤ one row
-       per query term — broadcast back onto the postings);
+    2. per-term document frequency as a count window over those postings
+       (one shuffle of the restricted postings; the lineage — a corpus
+       explode — is consumed exactly once);
     3. score per (doc, term), sum per doc, global top-k via window over a
        single partition *of matched docs only* (bounded by the postings,
        and k rows survive).
@@ -108,11 +109,19 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
     post = term_postings(df, id_col, text_col, terms=query_terms)
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    # dfreq as a window over the postings, not a second aggregate joined
+    # back: the postings lineage (a full corpus explode) is consumed
+    # exactly once — the aggregate+broadcast-join form re-executed the
+    # explode scan (no exchange reuse across the differing subtrees),
+    # i.e. one extra corpus text pass per query at 100 TB. The window
+    # only shuffles the already-term-restricted postings (cost ∝ matched
+    # postings, never the corpus).
+    post = post.withColumn(
+        "dfreq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     dl = doc_lengths(df, id_col, text_col)
     scored = (
-        post.join(F.broadcast(dfreq), "term")
-        .join(dl, "id")
+        post.join(dl, "id")
         .crossJoin(F.broadcast(_corpus_stats(dl)))
         .withColumn(
             "idf",
@@ -187,11 +196,15 @@ def bm25_topk_batch(
     # vocabulary semi join applies BEFORE the postings aggregate — the
     # shuffle never carries non-query terms
     post = term_postings(df, id_col, text_col, terms_df=vocab)
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    # dfreq via window — same single-consumption rationale as bm25_topk:
+    # the vocabulary-restricted postings shuffle once on term instead of
+    # the aggregate+join form re-running the corpus explode
+    post = post.withColumn(
+        "dfreq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     dl = doc_lengths(df, id_col, text_col)
     scored = (
         post.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
         .join(dl, "id")
         .crossJoin(F.broadcast(_corpus_stats(dl)))
         .withColumn(
