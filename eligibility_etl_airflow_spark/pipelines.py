@@ -839,6 +839,12 @@ def run_incremental_curation(
     Nothing ever re-reads accepted TEXT: fuzzy verification runs against
     the stored shingle sets.
 
+    Contract: ``doc_id`` is the document's IDENTITY — new content must
+    arrive under a new id. A batch row that reuses an already-accepted
+    doc_id is indistinguishable from a replay of that doc and is dropped
+    by the id-keyed appends regardless of its text (the per-stage stats,
+    which count before the append, will still show it as accepted).
+
     ``semantic_eps`` adds the SemDeDup tier's incremental form: the
     batch's ``embedding_col`` vectors (docs without one survive by
     construction) check against a persisted VECTOR index — k-means
@@ -1202,8 +1208,13 @@ def run_incremental_curation(
                 kind="acc",
             )
 
-        # idempotent index + corpus maintenance (doc_id-keyed appends)
-        sinks.append_dedup(
+        # idempotent index + corpus maintenance (doc_id-keyed appends).
+        # The corpus append's return value is the id-reuse detector: a
+        # row the stage stats counted as accepted but the id-keyed
+        # append skipped is either a replayed doc (normal, n_accepted is
+        # then 0 anyway) or NEW content under an already-accepted doc_id
+        # — an upstream id-allocation bug worth surfacing, not hiding
+        n_docs_appended = sinks.append_dedup(
             spark, docs_path, accepted.drop("content_hash"), ["doc_id"]
         )
         sinks.append_dedup(
@@ -1265,6 +1276,10 @@ def run_incremental_curation(
         "n_after_fuzzy_vs_state": n_vs_state,
         "n_after_byte_dedup": n_after_byte,
         "n_accepted": n_accepted,
+        # accepted-by-stages minus actually-appended: >0 means rows
+        # reused an already-accepted doc_id (id-allocation bug upstream
+        # or a partially-replayed batch) — see the docstring contract
+        "n_id_reuse_skipped": n_accepted - n_docs_appended,
         "n_corpus_total": (
             spark.read.parquet(docs_path).count() if os.path.exists(docs_path) else 0
         ),
@@ -2059,7 +2074,7 @@ def run_incremental_crawl_ingest(
         # an un-checkpointed lineage reading these paths would lazily
         # recompute against the just-updated state (append_dedup's
         # documented caller contract)
-        sinks.append_dedup(
+        n_docs_appended = sinks.append_dedup(
             spark, docs_path, accepted.drop("content_hash"), keys=["doc_id"]
         )
         sinks.append_dedup(
@@ -2125,6 +2140,9 @@ def run_incremental_crawl_ingest(
         "n_batch": n_batch,
         "n_new_urls": n_new_urls,
         "n_accepted": n_accepted,
+        # same id-reuse detector as run_incremental_curation: rows the
+        # stages accepted but the doc_id-keyed corpus append skipped
+        "n_id_reuse_skipped": n_accepted - n_docs_appended,
         "n_total_accepted": spark.read.parquet(docs_path).count(),
     }
     if compacted:

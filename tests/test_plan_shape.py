@@ -244,6 +244,12 @@ def test_bm25_broadcasts_stats_and_filters_before_aggregate(spark, sf_dir):
     assert "vector" in plan and "merge" in plan and "stream" in plan
     # map-side partial aggregation on the postings build
     assert plan.count("HashAggregate") >= 2
+    # the postings lineage is consumed ONCE: dfreq is a window over the
+    # restricted postings, not a second aggregate joined back (which
+    # re-executed the corpus explode — exchange reuse does not cover the
+    # differing subtrees). Exactly 3 corpus scans: postings explode,
+    # doc-lengths join side, corpus-stats aggregate.
+    assert plan.count("Scan parquet") == 3, plan
 
 
 def test_verify_joins_never_broadcast_array_sides(spark, sf_dir):

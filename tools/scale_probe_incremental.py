@@ -63,7 +63,15 @@ def file_counts(state_dir: str) -> dict[str, int]:
 
 
 def build_batch(spark, k: int, cycle_tag: str, id_base: int, reingest_of=None):
-    """k x 5k docs with content made unique by (replica, cycle_tag).
+    """k x 5k docs with content fully distinct per (doc, replica, cycle).
+
+    Distinctness must hold at the SHINGLE level, not just the hash: a
+    suffix-perturbed real document keeps ~95% of its 5-gram shingles, so
+    every replica/cycle would be dropped by the fuzzy-vs-state tier as a
+    near-dup and the state would never grow with k. Each doc is instead
+    40 md5-derived 8-char tokens seeded by (doc_id, cycle, replica) —
+    ~same length as the real corpus rows (~300 chars), zero shared
+    shingles across docs, replicas, or cycles.
 
     ``reingest_of`` mixes in 30% of another batch's TEXT under fresh
     doc ids — the re-ingested-duplicate shape the hash index must catch.
@@ -71,15 +79,22 @@ def build_batch(spark, k: int, cycle_tag: str, id_base: int, reingest_of=None):
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     parts = []
     for r in range(k):
+        seed = F.concat(
+            F.col("doc_id").cast("string"), F.lit(f"|{cycle_tag}|r{r}|")
+        )
+        synth = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.substring(
+                    F.md5(F.concat(seed, i.cast("string"))), 1, 8
+                ),
+            ),
+        )
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(id_base + r * 10_000_000)).alias("doc_id"),
-                # replica/cycle-specific suffix: distinct hashes AND
-                # distinct shingle tails, so fresh content is genuinely
-                # fresh to every tier
-                F.concat(
-                    F.col("text"), F.lit(f" probe-{cycle_tag}-r{r}")
-                ).alias("text"),
+                synth.alias("text"),
             )
         )
     out = parts[0]
@@ -90,7 +105,9 @@ def build_batch(spark, k: int, cycle_tag: str, id_base: int, reingest_of=None):
         dup = (
             reingest_of.filter(F.col("doc_id") % 10 < 3)
             # new identity, identical content — the hash-index case
-            .select((F.col("doc_id") + F.lit(500_000_000)).alias("doc_id"), "text")
+            .select(
+                (F.col("doc_id") + F.lit(10_000_000_000)).alias("doc_id"), "text"
+            )
         )
         out = fresh.unionByName(dup)
     return out
@@ -109,12 +126,17 @@ def main() -> None:
         shutil.rmtree(state_dir, ignore_errors=True)
         os.makedirs(state_dir, exist_ok=True)
 
+        # cycle id bases must clear the replica span (k x 10M) at EVERY
+        # scale: at 20x a 100M base collided with the cold batch's
+        # replicas 10-19, and the engine correctly treated the id-reused
+        # rows as replays (doc_id is the identity key), which read as a
+        # false idempotency failure in the probe's stats
         batches = {
             "cold": build_batch(spark, k, "c1", 0),
-            "fresh": build_batch(spark, k, "c2", 100_000_000),
+            "fresh": build_batch(spark, k, "c2", 1_000_000_000),
         }
         batches["mixed"] = build_batch(
-            spark, k, "c3", 200_000_000, reingest_of=batches["fresh"]
+            spark, k, "c3", 2_000_000_000, reingest_of=batches["fresh"]
         )
         batches["replay"] = batches["mixed"]
 
