@@ -51,7 +51,16 @@ def js_divergence_by_slice(
             )
         ).alias("tok"),
     )
-    sc = toks.groupBy("slice", "tok").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark import StorageLevel
+
+    # slice-x-vocab-sized with THREE consumers (per-slice totals, global
+    # counts, the scoring join) — persisted so each does not re-run the
+    # corpus scan + explode + aggregate that builds it
+    sc = (
+        toks.groupBy("slice", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     stot = sc.groupBy("slice").agg(
         F.sum("c").alias("n_slice"), F.count(F.lit(1)).alias("vocab_slice")
     )
@@ -112,8 +121,19 @@ def js_divergence_pair(
     per-batch monitor beside run_incremental_crawl_ingest: a batch that
     suddenly diverges (new spam pattern, encoding regression, topic
     shift) shows up as one number before it pollutes the corpus."""
+    from pyspark import StorageLevel
+
+    # each side's counts are vocab-sized and consumed twice inside
+    # js_divergence_counts (the totals broadcast and the shared-vocab
+    # join) — persisted here, at the raw-text entry point, so neither
+    # consumer re-reads corpus text. js_divergence_counts itself stays
+    # persist-free: the incremental monitor calls it with an already-
+    # checkpointed batch side and a parquet-backed index side, where a
+    # re-read is vocab-cheap and extra cache entries per cycle would
+    # escape the loop's cache hygiene.
     return js_divergence_counts(
-        unigram_counts(df_a, text_col), unigram_counts(df_b, text_col),
+        unigram_counts(df_a, text_col).persist(StorageLevel.MEMORY_AND_DISK),
+        unigram_counts(df_b, text_col).persist(StorageLevel.MEMORY_AND_DISK),
         round_to=round_to,
     )
 

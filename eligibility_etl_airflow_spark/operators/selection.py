@@ -42,12 +42,22 @@ def importance_log_weights(
     tokens take the smoothed floor on whichever side lacks them
     (absence is evidence). Positive log_weight = looks more like the
     target than like the raw corpus."""
+    from pyspark import StorageLevel
+
     toks = lm._token_stream(corpus, id_col, text_col)
-    src = lm.unigram_model(corpus, id_col, text_col).withColumnRenamed(
-        "tok_count", "src_count"
+    # both models are vocab-sized with two consumers each (their totals
+    # aggregate and the scoring join) — persisted so neither consumer
+    # re-runs the corpus/target scan that builds the counts; the
+    # corpus-sized token stream stays unpersisted (recompute trade)
+    src = (
+        lm.unigram_model(corpus, id_col, text_col)
+        .withColumnRenamed("tok_count", "src_count")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tgt = lm.unigram_model(target, id_col, text_col).withColumnRenamed(
-        "tok_count", "tgt_count"
+    tgt = (
+        lm.unigram_model(target, id_col, text_col)
+        .withColumnRenamed("tok_count", "tgt_count")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     src_tot = src.agg(
         F.sum("src_count").alias("src_total"), F.count(F.lit(1)).alias("src_vocab")

@@ -739,10 +739,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    # dfreq as a count window over tf — the aggregate-joined-back form
+    # consumed the tf lineage twice, re-running the corpus explode (the
+    # bm25 single-consumption fix, same class); the window shuffles the
+    # (doc, term, tf) relation by term, never re-reads text
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "dfreq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")))
     )
@@ -1526,12 +1531,23 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     d = cat.documents
     e = cat.embeddings
-    lex = search.bm25_topk(d, "doc_id", "text", list(BM25_TERMS), k=20).select(
-        F.col("id").cast("long").alias("doc_id"), F.col("rnk")
+    # both rankings are <=20-row relations with TWO consumers (the
+    # fusion and the evidence join-back) — persisted, or each consumer
+    # re-runs the full retrieval lineage (3 corpus scans for BM25, the
+    # whole cosine scan for the ANN side)
+    lex = (
+        search.bm25_topk(d, "doc_id", "text", list(BM25_TERMS), k=20)
+        .select(F.col("id").cast("long").alias("doc_id"), F.col("rnk"))
+        .persist()
     )
-    sem = similarity.brute_force_topk(
-        e, e.filter(F.col("vec_id") == 3), k=20
-    ).select(F.col("corpus_id").cast("long").alias("doc_id"), F.col("rank").alias("rnk"))
+    sem = (
+        similarity.brute_force_topk(e, e.filter(F.col("vec_id") == 3), k=20)
+        .select(
+            F.col("corpus_id").cast("long").alias("doc_id"),
+            F.col("rank").alias("rnk"),
+        )
+        .persist()
+    )
     fused = search.rrf_fuse(
         [("lex", lex), ("sem", sem)], k=10, k_rrf=60, by=None, id_col="doc_id"
     )
