@@ -252,6 +252,14 @@ def test_bm25_broadcasts_stats_and_filters_before_aggregate(spark, sf_dir):
     assert plan.count("Scan parquet") == 3, plan
 
 
+def test_tfidf_single_corpus_explode(spark, sf_dir):
+    """Same single-consumption guard for TF-IDF: document frequency is a
+    count window over the tf relation, not an aggregate joined back —
+    exactly 2 corpus scans (the tokenize/explode and the n_docs count)."""
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert plan.count("Scan parquet") == 2, plan
+
+
 def test_verify_joins_never_broadcast_array_sides(spark, sf_dir):
     """Round-7 scale-probe regression: Catalyst sizes a relation from
     its (compressed, pruned) scan bytes, but shingle/docset ARRAYS
