@@ -131,11 +131,23 @@ def js_divergence_pair(
     # checkpointed batch side and a parquet-backed index side, where a
     # re-read is vocab-cheap and extra cache entries per cycle would
     # escape the loop's cache hygiene.
-    return js_divergence_counts(
-        unigram_counts(df_a, text_col).persist(StorageLevel.MEMORY_AND_DISK),
-        unigram_counts(df_b, text_col).persist(StorageLevel.MEMORY_AND_DISK),
-        round_to=round_to,
-    )
+    #
+    # Cache lifecycle (ADVICE r8): the result is exactly ONE row, so the
+    # call materializes it eagerly (a bounded scalar collect, the same
+    # class as the engine's other audited collect sites) and unpersists
+    # both sides in a finally — a long-lived driver scoring many batch
+    # pairs no longer accumulates disk-backed cache entries it was never
+    # handed a handle to. Callers still receive a DataFrame (a one-row
+    # local relation with the original schema).
+    ca = unigram_counts(df_a, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    cb = unigram_counts(df_b, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    res = js_divergence_counts(ca, cb, round_to=round_to)
+    try:
+        rows = res.collect()  # exactly 1 row by construction
+        return df_a.sparkSession.createDataFrame(rows, res.schema)
+    finally:
+        ca.unpersist()
+        cb.unpersist()
 
 
 def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

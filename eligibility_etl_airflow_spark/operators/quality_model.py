@@ -43,17 +43,26 @@ def _isin_literal(col: Column, values: list) -> Column:
     seconds of driver time at sample_size=2048+. Unlike
     ``urls._isin_bulk`` the seq is NOT cached: sample-id sets are
     per-corpus, caching them would leak. Falls back to plain ``isin``
-    on Spark Connect (literal conversion is client-side and cheap)."""
+    on Spark Connect (literal conversion is client-side and cheap).
+
+    The fast path reaches into private PySpark internals (``_to_seq``,
+    ``Column._jc``, Scala ``isin(Any*)`` literal wrapping), so ANY
+    failure — a signature change in a future Spark minor, a py4j
+    conversion error on an exotic id type — falls back to the public
+    ``col.isin(values)``, which is semantically identical (just slower
+    to build). tests/test_quality_model.py asserts fast path and
+    fallback select the same rows."""
     try:
         from pyspark.sql.classic.column import Column as _ClassicColumn, _to_seq
-    except ImportError:  # pragma: no cover - Connect-only distribution
-        return col.isin(values)
-    if not isinstance(col, _ClassicColumn):  # pragma: no cover - Connect
-        return col.isin(values)
-    from pyspark import SparkContext
 
-    sc = SparkContext._active_spark_context
-    return _ClassicColumn(col._jc.isin(_to_seq(sc, list(values))))
+        if not isinstance(col, _ClassicColumn):  # pragma: no cover - Connect
+            return col.isin(values)
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        return _ClassicColumn(col._jc.isin(_to_seq(sc, list(values))))
+    except Exception:  # pragma: no cover - future-Spark / py4j drift
+        return col.isin(values)
 
 
 def hashed_token_features(
@@ -107,12 +116,18 @@ def train_quality_classifier(
     # Pass 1 projects ONLY the id (plus the label-null filter) and
     # collects the md5-ranked winners — bounded at sample_size rows, the
     # same transfer the training collect already pays. Pass 2 then
-    # re-reads by ``id IN (...)``: the membership predicate reaches the
-    # scan (PushedFilters / row-group skipping), so the label expression
-    # and the featurization evaluate over sample_size rows, not the
-    # corpus. The former left_semi-join form kept the full labeled
-    # relation (and any expensive computed label column) in the training
-    # plan 2-3x — a corpus-sized cost per extra evaluation at 100 TB.
+    # re-reads by ``id IN (...)``: the predicate reaches the parquet
+    # scan (PushedFilters) — above
+    # spark.sql.parquet.pushdown.inFilterThreshold (default 10) it is
+    # pushed as a min/max RANGE over the id list (row-group skipping by
+    # bounds, not exact membership), which still skips most row groups
+    # when ids are write-ordered; raise the threshold in the session
+    # config if exact IN pushdown is needed. The bigger win is
+    # plan-side either way: the label expression and the featurization
+    # evaluate over sample_size rows, not the corpus. The former
+    # left_semi-join form kept the full labeled relation (and any
+    # expensive computed label column) in the training plan 2-3x — a
+    # corpus-sized cost per extra evaluation at 100 TB.
     sample_id_rows = (
         labeled.select("id")
         .orderBy(F.md5(F.concat(F.lit("qc-sample-v1|"), F.col("id").cast("string"))))

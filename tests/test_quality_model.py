@@ -317,3 +317,38 @@ def test_softmax_sparse_model_classes_compete_at_bias(spark):
     assert rows[0]["pred_label"] == "zz"
     # denominator includes all three classes: confidence < 1
     assert 0.5 < rows[0]["confidence"] < 1.0
+
+
+def test_isin_literal_fast_path_matches_fallback(spark, monkeypatch):
+    """_isin_literal's JVM-seq fast path and its public col.isin fallback
+    must select identical rows — the fallback is the contract, the fast
+    path only an optimization (ADVICE r8: a future-Spark signature change
+    must degrade to correct-but-slower, never to a JVM throw)."""
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], "id long, name string"
+    )
+    vals = [3, 7, 11, 39]
+    fast = sorted(
+        r["id"]
+        for r in df.filter(
+            quality_model._isin_literal(F.col("id"), vals)
+        ).collect()
+    )
+    # force the except-path by simulating internal-API drift: the fast
+    # path re-imports `_to_seq` per call — a future Spark dropping or
+    # renaming it surfaces as ImportError there. A shim module without
+    # the symbol reproduces exactly that, while the real classic.column
+    # machinery (which the public col.isin fallback runs on) stays
+    # intact.
+    import sys
+    import types
+
+    import pyspark.sql.classic.column as _cc
+
+    fake = types.ModuleType("pyspark.sql.classic.column")
+    fake.Column = _cc.Column  # keep the class, drop _to_seq
+    monkeypatch.setitem(sys.modules, "pyspark.sql.classic.column", fake)
+    slow_col = quality_model._isin_literal(F.col("id"), vals)
+    monkeypatch.undo()
+    slow = sorted(r["id"] for r in df.filter(slow_col).collect())
+    assert fast == slow == vals

@@ -114,10 +114,19 @@ def build_batch(spark, k: int, cycle_tag: str, id_base: int, reingest_of=None):
 
 
 def main() -> None:
-    scales = [1, 5, 20]
-    for i, a in enumerate(sys.argv):
-        if a == "--scales":
-            scales = [int(x) for x in sys.argv[i + 1].split(",")]
+    # argparse (ADVICE r8): the old positional scan read sys.argv[i+1]
+    # unchecked — `--scales` with no value died with IndexError after
+    # the Spark session was already up
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--scales",
+        default="1,5,20",
+        help="comma-separated replica multipliers (default 1,5,20)",
+    )
+    opts = ap.parse_args()
+    scales = [int(x) for x in opts.scales.split(",")]
 
     spark = get_spark(app_name="scale_probe_incremental")
     summary = []
@@ -168,8 +177,9 @@ def main() -> None:
             print(json.dumps(line), flush=True)
             summary.append(line)
 
-    # invariant sweep: replay accepted zero; mixed caught its re-ingests
-    for k in scales:
+        # invariants asserted PER SCALE, right after its replay cycle
+        # (ADVICE r8: a failure at 1x must not wait for 20x to finish):
+        # replay accepted zero; mixed caught its re-ingests
         by = {s["cycle"]: s for s in summary if s["scale"] == k}
         assert by["replay"]["n_accepted"] == 0, by["replay"]
         assert by["mixed"]["dropped_exact_vs_state"] > 0, by["mixed"]

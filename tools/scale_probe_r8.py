@@ -100,13 +100,15 @@ def tfidf_top3(docs):
 
 
 def main() -> None:
-    scales = [1, 5, 20]
-    args = sys.argv[1:]
-    for i, a in enumerate(args):
-        if a.startswith("--scales"):
-            # accept both --scales=1,5,20 and --scales 1,5,20
-            val = a.split("=", 1)[1] if "=" in a else args[i + 1]
-            scales = [int(x) for x in val.split(",")]
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--scales",
+        default="1,5,20",
+        help="comma-separated replica multipliers (default 1,5,20)",
+    )
+    scales = [int(x) for x in ap.parse_args().scales.split(",")]
     spark = get_spark("scale-probe-r8")
     spark.sparkContext.setLogLevel("ERROR")
     from eligibility_etl_airflow_spark.operators import search, semdedup, similarity

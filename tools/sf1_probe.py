@@ -92,15 +92,18 @@ def build(spark, mult: int) -> str:
 
 
 def main() -> None:
-    mult = 10
-    names = QUERIES
-    args = sys.argv[1:]
-    for i, a in enumerate(args):
-        # accept both --flag=value and --flag value
-        if a.startswith("--mult"):
-            mult = int(a.split("=", 1)[1] if "=" in a else args[i + 1])
-        if a.startswith("--queries"):
-            names = (a.split("=", 1)[1] if "=" in a else args[i + 1]).split(",")
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mult", type=int, default=10, help="table replica multiplier")
+    ap.add_argument(
+        "--queries",
+        default=",".join(QUERIES),
+        help="comma-separated registered query names",
+    )
+    opts = ap.parse_args()
+    mult = opts.mult
+    names = opts.queries.split(",")
     from eligibility_etl_airflow_spark import registry
 
     registry.load_all()
