@@ -145,8 +145,13 @@ def bpe_segment(
     id_type = dict(df.dtypes)[id_col]
 
     # tokens_of coalesces null text to an empty token list (0 words,
-    # 0 tokens), not a null the Python stage would trip over
-    src = df.select(
+    # 0 tokens), not a null the Python stage would trip over.
+    # ensure_parallelism: the per-word merge loop is the CPU-heavy part
+    # and a small single-file scan would otherwise run it as ONE Python
+    # task (see operators/parallel.py; no-op on production-scale scans)
+    from eligibility_etl_airflow_spark.operators.parallel import ensure_parallelism
+
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), tokens_of(F.col(text_col)).alias("words")
     )
 

@@ -19,59 +19,20 @@ The standard LLM-corpus dedup stack, built Spark-first:
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark.operators.text import normalize_text
 
-def _parse_byte_size(raw: str) -> int:
-    """Spark byte-size conf strings: bare bytes ('134217728') or a unit
-    suffix ('512m', '1g', '128MB') — mis-parsing must not silently fall
-    back to a default, or the partition estimate diverges 4× from the
-    scan's real behavior on clusters that tune this conf."""
-    s = raw.strip().lower()
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    if s.endswith("b"):
-        s = s[:-1]
-    mult = 1
-    if s and s[-1] in units:
-        mult = units[s[-1]]
-        s = s[:-1]
-    return int(s) * mult
-
-
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Spread a narrow input (e.g. one small parquet file) across the
-    cluster before CPU-heavy per-row work; inputs that already have
-    enough partitions pass through untouched (no shuffle at 100 TB,
-    where the scan itself provides thousands of partitions).
-
-    The partition estimate comes from the input files' total size vs
-    ``spark.sql.files.maxPartitionBytes`` (``inputFiles`` is an
-    analysis-only call) — NOT ``df.rdd.getNumPartitions()``, which
-    builds the physical RDD DAG on every invocation. Non-file inputs
-    (in-memory test relations) estimate 0 and get repartitioned, which
-    is correct for them too."""
-    import urllib.parse
-    import urllib.request
-
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    max_bytes = _parse_byte_size(raw)
-    files = df.inputFiles()
-    total = 0
-    for uri in files:
-        p = urllib.request.url2pathname(urllib.parse.urlparse(uri).path)
-        try:
-            total += os.path.getsize(p)
-        except OSError:
-            return df  # non-local storage: trust the scan's own splitting
-    est = max(len(files), -(-total // max_bytes) if total else 0)
-    if est < target:
-        return df.repartition(target)
-    return df
+# _parse_byte_size / _ensure_parallelism moved to operators/parallel.py
+# (shared by every CPU-heavy Python stage); re-exported here for the
+# module's original call sites and external importers.
+from eligibility_etl_airflow_spark.operators.parallel import (  # noqa: E402
+    ensure_parallelism as _ensure_parallelism,
+    parse_byte_size as _parse_byte_size,
+)
 
 
 def char_shingles(col: Column, k: int = 5) -> Column:
@@ -485,7 +446,15 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # np.asarray(None) blows up in the executor)
     text = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
-    hashed = df.select(
+    # _ensure_parallelism BEFORE the tokenize+hash+Python stage: a small
+    # single-file input otherwise scans as ONE partition and the whole
+    # signature stage runs as one single-threaded Python task — measured
+    # 43.8 s cold / 2.2 s warm at sf0.1 on the 1-partition plan vs
+    # 2.3 s cold / 1.2 s warm at 32 (the r8 "dedup_simhash watch item":
+    # a lone long task can neither use the other 31 cores nor hide this
+    # box's documented scheduler stalls). At 100 TB the scan itself
+    # provides thousands of partitions and this is a no-op passthrough.
+    hashed = _ensure_parallelism(df).select(
         F.col(id_col).alias(id_col),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
     )
@@ -609,6 +578,7 @@ def winnow_fingerprints(
     text_col: str,
     shingle_k: int = 5,
     window_w: int = 4,
+    hash_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
     scheme): hash every k-gram, then keep the minimum hash of each
@@ -617,7 +587,18 @@ def winnow_fingerprints(
     while storing ~2/(w+1) of the hashes — the compact rolling-hash
     fingerprint family for overlap detection. Pure column expressions;
     matching is a bucket join on fingerprint values (explode → join),
-    never pairwise text comparison."""
+    never pairwise text comparison.
+
+    ``hash_fn`` selects the k-gram hash (a Column → Column expression).
+    Default is ``F.xxhash64`` — the cheap 64-bit JVM hash, the right
+    production choice. Pass ``F.md5`` to get a cross-engine-reproducible
+    fingerprinting (window-min is then the lexicographic min of hex
+    strings) — the form the DuckDB-oracle-graded twin query uses; the
+    winnowing GUARANTEE is hash-agnostic (any deterministic hash keeps
+    the shared-substring property, only WHICH position wins a window
+    changes)."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     # Stage normalized text, then the k-gram hash array, each as a
     # materialized column before the window pass. Inlining either into a
     # downstream lambda would re-evaluate it once per element (the regex
@@ -633,7 +614,7 @@ def winnow_fingerprints(
     hashed = normed.select(
         "id",
         F.transform(
-            starts, lambda i: F.xxhash64(F.substring(norm, i, shingle_k))
+            starts, lambda i: hash_fn(F.substring(norm, i, shingle_k))
         ).alias("_hashes"),
     )
     wins = F.sequence(

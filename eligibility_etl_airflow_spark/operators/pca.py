@@ -91,7 +91,14 @@ def fit_pca(
             )
             yield pd.DataFrame({"d": [int(x.shape[1])], "m": [m.tolist()]})
 
-    parts = df.select(vec_col).mapInPandas(moments, "d int, m array<double>")
+    # spread a narrow scan before the O(n·d²) Python moment pass — a
+    # single small parquet file otherwise runs it as ONE task (see
+    # operators/parallel.py; no-op on production-scale scans)
+    from eligibility_etl_airflow_spark.operators.parallel import ensure_parallelism
+
+    parts = ensure_parallelism(df.select(vec_col)).mapInPandas(
+        moments, "d int, m array<double>"
+    )
     rows = (
         parts.select("d", F.posexplode("m").alias("i", "v"))
         .groupBy("d", "i")

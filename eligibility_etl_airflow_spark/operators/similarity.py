@@ -543,9 +543,15 @@ def pq_topk(
     id_type = corpus.schema[id_col].dataType.simpleString()
     spark = corpus.sparkSession
 
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        as_double_array(F.col(vec_col)).alias("cvec"),
+    # spread a narrow scan before the encode pandas_udf + ADC Python
+    # stages (see operators/parallel.py; no-op on production-scale scans)
+    from eligibility_etl_airflow_spark.operators.parallel import ensure_parallelism
+
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            as_double_array(F.col(vec_col)).alias("cvec"),
+        )
     ).withColumn("codes", encode(F.col("cvec"))).withColumn("cn", _norm(F.col("cvec")))
 
     n_keep = refine * k

@@ -533,6 +533,56 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.heavy_hitters(o, "o_orderpriority", min_share=0.05, eps=1e-3)
 
 
+HEAVY_HITTERS_VERIFIED_ORACLE = """
+WITH v AS (
+  SELECT CAST(user_id AS VARCHAR) AS value FROM events
+  WHERE user_id IS NOT NULL
+),
+n AS (SELECT count(*) AS n FROM v),
+c AS (SELECT value, count(*) AS exact_count FROM v GROUP BY 1)
+SELECT value,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       round(exact_count * 1.0 / n.n, 6) AS exact_share
+FROM c CROSS JOIN n
+WHERE exact_count >= 0.007 * n.n
+"""
+
+
+@query("heavy_hitters_verified", oracle=HEAVY_HITTERS_VERIFIED_ORACLE)
+def heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-then-verify heavy hitters — the production two-phase shape
+    and the oracle-gradable twin of ``heavy_hitters_sketch``: phase 1
+    finds candidates with the Count-Min sketch (never under-counts, so
+    candidates ⊇ true hitters; the seeded sample puts every ≥min_share
+    value in the candidate set w.p. ≥ 1−e^−50), phase 2 joins the
+    bounded candidate set back for EXACT counts and keeps only values
+    whose exact frequency clears min_share. The exact filter trims the
+    sketch's one-sided over-estimates, so the output equals the plain
+    GROUP BY / HAVING truth — which is exactly what the DuckDB oracle
+    computes. At 100 TB phase 2 touches only candidate keys (a broadcast
+    semi-join), never a full-cardinality aggregate spill."""
+    from eligibility_etl_airflow_spark.operators import sketches
+
+    e = Catalog(spark, sf_dir).events
+    min_share = 0.007
+    cands = sketches.heavy_hitters(e, "user_id", min_share=min_share, eps=1e-3)
+    vals = e.select(F.col("user_id").cast("string").alias("value")).where(
+        F.col("value").isNotNull()
+    )
+    exact = vals.groupBy("value").agg(F.count(F.lit(1)).alias("exact_count"))
+    n = vals.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        exact.join(F.broadcast(cands.select("value")), "value")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("exact_count") >= min_share * F.col("n"))
+        .select(
+            "value",
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.round(F.col("exact_count") / F.col("n"), 6).alias("exact_share"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic train/test split + contiguous id assignment
 # --------------------------------------------------------------------------

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark.catalog import Catalog
 from eligibility_etl_airflow_spark.operators import neardup, similarity, text
+from eligibility_etl_airflow_spark.operators.parallel import ensure_parallelism
 from eligibility_etl_airflow_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -516,7 +517,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     with_bin = (
-        d.select("doc_id")
+        ensure_parallelism(d.select("doc_id"))
         .mapInPandas(synth, schema="doc_id long, payload binary")
         .withColumn("meta", multimodal.binary_metadata(F.col("payload")))
         .select("doc_id", "payload", "meta.n_bytes", "meta.format", "meta.content_md5")
@@ -581,7 +582,7 @@ def image_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     d = Catalog(spark, sf_dir).documents
-    imgs = d.select("doc_id").mapInPandas(synth, schema="doc_id long, payload binary")
+    imgs = ensure_parallelism(d.select("doc_id")).mapInPandas(synth, schema="doc_id long, payload binary")
     pairs = multimodal.image_neardup_pairs(imgs, "doc_id", "payload", max_hamming=3)
     # aggregate to hamming-level counts: the pair relation is quadratic
     # in the planted group sizes (deterministic but large) — the graded
@@ -628,7 +629,7 @@ def audio_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     d = Catalog(spark, sf_dir).documents
-    clips = d.select("doc_id").mapInPandas(synth, schema="doc_id long, payload binary")
+    clips = ensure_parallelism(d.select("doc_id")).mapInPandas(synth, schema="doc_id long, payload binary")
     pairs = multimodal.audio_neardup_pairs(clips, "doc_id", "payload", max_hamming=3)
     return pairs.groupBy("hamming").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -777,6 +778,66 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signal) and would only fuel quadratic pair expansion — the MOSS
     # analogue of dropping stopwords. Without it the templated synthetic
     # corpus exploded to ~25k pairs/doc and dominated the whole bench.
+    return neardup.fingerprint_overlap_pairs(fps, min_shared=3, max_bucket_size=64)
+
+
+# The winnowing algorithm is fully deterministic given the k-gram hash,
+# so swapping xxhash64 (JVM-only) for md5 (identical in Spark and
+# DuckDB) makes the ENTIRE pipeline — shingle hash, window-min
+# selection, bucket join, shared-print counts — SQL-expressible and
+# driver-gradable. Window-min over md5 hex strings is the lexicographic
+# min; everything downstream is value-agnostic.
+WINNOW_MD5_ORACLE = r"""
+WITH d AS (
+  -- explicit class == Java \s (RE2 \s lacks \x0b): operators/text.py
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[ \t\n\f\r\x0b]+', ' ', 'g')) AS norm
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(norm) - 4, 1)),
+           i -> md5(substr(norm, i, 5))
+         ) AS hashes
+  FROM d
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(hashes) - 4, 0)),
+           i -> list_aggregate(hashes[i + 1 : i + 4], 'min')
+         )) AS prints
+  FROM h
+),
+inv AS (SELECT doc_id, unnest(prints) AS fp_val FROM fp),
+ok AS (
+  SELECT fp_val FROM inv GROUP BY fp_val
+  HAVING count(*) BETWEEN 2 AND 64
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN ok USING (fp_val) JOIN inv b USING (fp_val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fingerprints
+FROM p GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+@query("winnow_overlap_pairs_md5", oracle=WINNOW_MD5_ORACLE)
+def winnow_overlap_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gradable twin of ``winnow_fingerprint_pairs``: the same
+    winnowing operator pipeline (operators/neardup.py::
+    winnow_fingerprints + fingerprint_overlap_pairs, same k=5/w=4/
+    min_shared=3/max_bucket_size=64) with ``hash_fn=F.md5`` so DuckDB
+    can reproduce the k-gram hashing bit-for-bit — this converts the
+    winnow machinery from rows-only to driver-graded. The production
+    query keeps xxhash64 (cheaper by a wide margin at 100 TB; the MOSS
+    guarantee is hash-agnostic)."""
+    d = Catalog(spark, sf_dir).documents
+    fps = neardup.winnow_fingerprints(d, "doc_id", "text", hash_fn=F.md5)
     return neardup.fingerprint_overlap_pairs(fps, min_shared=3, max_bucket_size=64)
 
 

@@ -208,15 +208,75 @@ _ROTATED_OUT_R8 = (
     "token_frequency_spectrum",
 )
 
+# Round-9 rotation (#4 — the independent-confirmation program finished
+# in r8, so this is the first pure FRESHNESS cycle): demote 12 rows
+# that were driver-graded green in BOTH r7 and r8 (the policy's ≥2
+# consecutive-green bar), promote the 10 longest-ungraded stable rows
+# (the relational tier demoted in r6, last graded r5) plus the round's
+# 2 NEW oracle-backed queries (the r8 verdict item: oracle-ize the
+# derivable rows-only ops):
+#   - winnow_overlap_pairs_md5 — the winnowing pipeline with hash_fn=md5
+#     so DuckDB reproduces it (plans/llm_pipeline.py)
+#   - heavy_hitters_verified — Count-Min candidates verified by exact
+#     counts, output = GROUP BY/HAVING truth (plans/extras.py)
+# Machinery of every demotion stays in-window: map_explode_fields →
+# chat_turns_extract + script_profile_mixed; repetition_metrics →
+# lm_fluency/lm_bigram/ngram_novelty; pivot/unpivot/cube → the promoted
+# grouped_multi_agg + kpi_scalar_aggs + date_rollup_daily;
+# session_gap_events / gap_fill_timeseries → stream_interval_join +
+# rolling_zscore_anomalies; unicode_nfc_normalize → mojibake_metrics +
+# script_profile_mixed; blocklist_filter → substring_decontam_flags;
+# url_domain_stats → anchor_text_pairs; shard_manifest →
+# balanced_token_shards; line_dedup_boilerplate → dedup_global_segments.
+_ROTATED_OUT_R9 = (
+    "map_explode_fields",
+    "repetition_metrics",
+    "pivot_status_matrix",
+    "unpivot_measures",
+    "cube_revenue",
+    "session_gap_events",
+    "gap_fill_timeseries",
+    "unicode_nfc_normalize",
+    "blocklist_filter",
+    "url_domain_stats",
+    "shard_manifest",
+    "line_dedup_boilerplate",
+)
+
+# r6-demoted relational rows returning to the window in r9 (freshness:
+# last driver-graded r5). Pinned in tests/test_registry.py::PROMOTED_R9.
+_PROMOTED_R9 = (
+    "predicates_in_like_window",
+    "semi_join_key_set",
+    "anti_join_resume",
+    "coalesce_key_join",
+    "latest_order_row_number",
+    "string_agg_per_group",
+    "topk_frequency",
+    "kpi_scalar_aggs",
+    "date_rollup_daily",
+    "grouped_multi_agg",
+)
+
 # Oracle-backed queries currently outside the 50-slot window. All keep
-# local DuckDB parity via tests/test_oracle_parity.py. The round-7 and
-# round-8 rotations promoted the former tail of this tuple (pinned in
-# tests/test_registry.py::PROMOTED_R7/_R8); after round 8 every
-# oracle-backed query has been driver-graded at least once, so future
-# rotations simply cycle the stable pool for freshness.
-_DEFERRED = _ROTATED_OUT + _ROTATED_OUT_R7 + _ROTATED_OUT_R8 + (
-    "regex_text_ops",
-    "split_explode_keys",
+# local DuckDB parity via tests/test_oracle_parity.py. Each round's
+# rotation removes its promotions and appends its demotions (pins in
+# tests/test_registry.py::PROMOTED_R7/_R8/_R9); after round 8 every
+# oracle-backed query has been driver-graded at least once, so
+# rotations now cycle the stable pool for freshness.
+_DEFERRED = tuple(
+    n
+    for n in (
+        _ROTATED_OUT
+        + _ROTATED_OUT_R7
+        + _ROTATED_OUT_R8
+        + (
+            "regex_text_ops",
+            "split_explode_keys",
+        )
+        + _ROTATED_OUT_R9
+    )
+    if n not in _PROMOTED_R9
 )
 
 

@@ -686,3 +686,21 @@ def test_no_registered_query_uses_row_python_except_the_honest_udf(spark, sf_dir
         if s.batch_eval_python > 0 and name not in allowed_row_python:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python in: {offenders}"
+
+
+def test_python_signature_stages_are_parallelized(spark, sf_dir):
+    """The r8 dedup_simhash watch item: a small single-file scan feeds
+    the signature mapInPandas as ONE partition, so the whole Python
+    stage ran as one single-threaded task (43.8 s cold vs 2.3 s at 32
+    on identical sf0.1 data). ensure_parallelism (operators/parallel.py)
+    must spread every raw-scan Python stage — pinned here on the plan:
+    a round-robin exchange appears below the Python eval."""
+    import re
+
+    for name in ("dedup_simhash", "multimodal_features", "similarity_topk_pq"):
+        plan = _plan(spark, sf_dir, name)
+        assert re.search(r"Exchange RoundRobinPartitioning", plan), (
+            f"{name}: no repartition before its Python stage — the "
+            "signature/synth/encode work would run single-threaded on a "
+            "narrow scan (ensure_parallelism dropped?)"
+        )

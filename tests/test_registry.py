@@ -22,54 +22,49 @@ def test_window_is_all_oracle_backed():
     assert not missing, f"window slots without an oracle: {missing}"
 
 
-# The round-8 rotation's 29 deliberate promotions — the FINAL
-# never-driver-graded oracle-backed queries (completes the program:
-# after round 8, 100% of oracle-backed queries have been driver-graded
-# at least once). All hold local DuckDB parity on every pytest run.
-# Update this pin together with registry._ROTATED_OUT_R8 when the next
-# rotation runs.
-PROMOTED_R8 = {
-    "balanced_token_shards", "bloom_semi_join_scan", "centroid_assignments",
-    "cohort_retention", "column_profile", "contiguous_row_ids",
-    "data_budget_plan", "data_quality_report", "dedup_global_segments",
-    "duplicate_span_partners", "epoch_shuffle_order",
-    "feature_correlations", "funnel_signup_click_purchase",
-    "fuzzy_pairs_levenshtein", "group_sample_deterministic",
-    "incremental_rollup", "llm_cost_metrics", "lm_bigram_scores",
-    "lm_fluency_scores", "ngram_novelty_scores", "price_histogram",
-    "quality_rank_blend", "rank_family_windows",
-    "rolling_zscore_anomalies", "set_ops_customers",
-    "skew_profile_events", "stream_static_enrich",
-    "train_test_split_hash", "weighted_sample_docs",
+# The round-9 rotation's promotions: the 10 longest-ungraded stable
+# relational rows (demoted r6, last driver-graded r5 — pure freshness
+# cycling now that the confirmation program is complete) plus the two
+# NEW oracle-backed queries from the r8 verdict's "oracle-ize the
+# derivable rows-only ops" item. Update this pin together with
+# registry._ROTATED_OUT_R9 when the next rotation runs.
+PROMOTED_R9 = set(registry._PROMOTED_R9) | {
+    "winnow_overlap_pairs_md5",
+    "heavy_hitters_verified",
 }
 
 
 def test_window_matches_rotated_graded_set():
     """The 50 in-window queries must be exactly (last round's graded set
-    − the deliberate _ROTATED_OUT_R8 demotions) ∪ the pinned promotions —
+    − the deliberate _ROTATED_OUT_R9 demotions) ∪ the pinned promotions —
     an ACCIDENTAL displacement (registering a new oracle-backed query
     without updating _DEFERRED) still fails loudly, while the rotation
     policy's deliberate swaps are recorded here."""
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r07.json")
-    graded_r7 = set(json.load(open(path)))
-    expected = (graded_r7 - set(registry._ROTATED_OUT_R8)) | PROMOTED_R8
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r08.json")
+    graded_r8 = set(json.load(open(path)))
+    expected = (graded_r8 - set(registry._ROTATED_OUT_R9)) | PROMOTED_R9
     window = set(list(registry.QUERIES)[:WINDOW])
     assert window == expected, (
         f"window gained {sorted(window - expected)}, "
         f"lost {sorted(expected - window)}"
     )
-    # rotation hygiene: every demotion really was graded last round, and
-    # every promotion had never been driver-graded when the rotation was
-    # designed (rounds 1-7 only — round 8's own grading of the promoted
-    # set is the point, not a violation)
-    assert set(registry._ROTATED_OUT_R8) <= graded_r7
-    graded_before: set[str] = set()
-    for rnd in range(1, 8):
+    # rotation hygiene: every demotion held a green driver-graded row in
+    # BOTH r7 and r8 (the ≥2-consecutive-green demotion bar), and every
+    # promotion is either brand-new this round or last graded in r5 (the
+    # freshness rationale — not graded in any of r6-r8)
+    graded_r7 = set(
+        json.load(
+            open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r07.json"))
+        )
+    )
+    assert set(registry._ROTATED_OUT_R9) <= (graded_r8 & graded_r7)
+    recent: set[str] = set()
+    for rnd in range(6, 9):
         p = os.path.join(
             os.path.dirname(__file__), "..", f"CORRECTNESS_r{rnd:02d}.json"
         )
-        graded_before |= set(json.load(open(p)))
-    assert not (PROMOTED_R8 & graded_before)
+        recent |= set(json.load(open(p)))
+    assert not (PROMOTED_R9 & recent)
 
 
 def test_every_deferred_query_exists_and_has_coverage():
