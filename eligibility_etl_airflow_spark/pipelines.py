@@ -117,7 +117,7 @@ def run_corpus_curation_pipeline(
     fluency_cut: float | None = None,
     semantic_eps: float | None = None,
     embeddings: DataFrame | None = None,
-    semantic_k: int = 16,
+    semantic_k: int | str = "auto",
     quality_model: dict | None = None,
     quality_model_min: float = 0.5,
     lang_model: dict | None = None,
@@ -144,7 +144,12 @@ def run_corpus_curation_pipeline(
     aggregate. All read the cached quality-filtered relation — no extra
     source scans. ``semantic_eps`` (e.g. 0.95) adds a SemDeDup-style
     semantic stage AFTER the byte-level dedup tiers: k-means the
-    survivors' embeddings (``semantic_k`` clusters; ``embeddings``
+    survivors' embeddings (``semantic_k`` clusters — default ``"auto"``,
+    k ∝ corpus/1000, the linearity knob: fixed k makes the per-cluster
+    quadratic compare grow ~quadratically with the corpus (the r8 probe
+    measured 7.7× cost at 20× data at fixed k=64) while auto-k holds
+    expected cluster size constant; pin an int to freeze the clustering
+    instead. ``embeddings``
     defaults to the catalog's embeddings table keyed vec_id==doc_id)
     and drop within-cluster members ``eps``-cosine-close to an
     earlier-kept one — the paraphrase tier that shingle-based dedup
@@ -749,6 +754,22 @@ def run_training_prep_pipeline(
     return stats
 
 
+# Pruning layout applied when a state index is compacted (the rewrite
+# happens anyway, so clustering is free): files come out key-disjoint
+# and internally sorted on the keys each index is PROBED by, making
+# parquet row-group min/max stats selective for the per-batch key-scoped
+# reads. accepted_docs is deliberately absent: it is read whole (corpus
+# counts, survival feedback), never key-probed, so plain compaction is
+# the right layout.
+STATE_INDEX_CLUSTER_KEYS: dict[str, list[str]] = {
+    "index_hashes": ["content_hash"],
+    "index_bands": ["band_idx", "band_sig"],
+    "index_shingles": ["id"],
+    "index_vectors": ["cluster", "id"],
+    "index_urls": ["url_canonical"],
+}
+
+
 def _maybe_compact_state_indexes(
     spark: SparkSession,
     paths: list[str],
@@ -795,8 +816,12 @@ def _maybe_compact_state_indexes(
         total_bytes = sum(os.path.getsize(f) for f in files)
         expected = max(1, -(-total_bytes // target_file_bytes))
         if n_files > max(threshold, 2 * expected):
-            report[os.path.basename(path)] = sinks.compact_parquet(
-                spark, path, target_file_bytes
+            base = os.path.basename(path)
+            report[base] = sinks.compact_parquet(
+                spark,
+                path,
+                target_file_bytes,
+                cluster_by=STATE_INDEX_CLUSTER_KEYS.get(base),
             )
     return report
 
@@ -812,7 +837,7 @@ def run_incremental_curation(
     boilerplate_band_cap: int = 1000,
     semantic_eps: float | None = None,
     embedding_col: str = "embedding",
-    semantic_k: int = 16,
+    semantic_k: int | str = "auto",
     drift_report: bool = False,
     compact_threshold: int | None = 32,
 ) -> dict:
@@ -915,10 +940,22 @@ def run_incremental_curation(
         n_internal = internal.count()
 
         if has_state:
+            # state-shuffle-free anti-join (the r9 scaling fix): the
+            # naive batch-anti-state shape shuffle-sorts the ENTIRE hash
+            # index per batch. Instead scan the index once against a
+            # broadcast of the batch's (bounded) hash set to get the
+            # ``present`` intersection, then anti-join that — both joins
+            # broadcast; the index contributes one column-pruned scan,
+            # zero shuffle, at any state size.
             seen = spark.read.parquet(hash_path).select("content_hash")
-            fresh = internal.join(seen, "content_hash", "left_anti").persist(
-                StorageLevel.MEMORY_AND_DISK
+            present = seen.join(
+                F.broadcast(internal.select("content_hash")),
+                "content_hash",
+                "left_semi",
             )
+            fresh = internal.join(
+                F.broadcast(present), "content_hash", "left_anti"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             caches.append(fresh)
         else:
             fresh = internal
@@ -936,15 +973,33 @@ def run_incremental_curation(
             state_bands = spark.read.parquet(band_path)
             from pyspark.sql.window import Window
 
+            # state-shuffle-free band probe (r9): only bands the BATCH
+            # actually probes matter, so restrict the index first with a
+            # broadcast semi-join against the batch's (bounded) band set
+            # — one scan of the index, zero state shuffle — instead of
+            # the old shape, which both group-aggregated the ENTIRE
+            # index (the boilerplate-cap count) and shuffle-joined the
+            # ENTIRE index per batch. The output is bounded by the
+            # probed bands' state fan-out, which the cap below then
+            # trims exactly as before: counting hot bands within the
+            # probed subset is equivalent to the global count for every
+            # band that can produce a candidate.
+            probe = band_tab.select("band_idx", "band_sig").distinct()
+            state_hits = state_bands.join(
+                F.broadcast(probe), ["band_idx", "band_sig"], "left_semi"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            caches.append(state_hits)
             # boilerplate cap on the STATE side: a band shared by
             # everyone has no discriminative signal but linear fan-out
             hot = (
-                state_bands.groupBy("band_idx", "band_sig")
+                state_hits.groupBy("band_idx", "band_sig")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .filter(F.col("n") > boilerplate_band_cap)
                 .select("band_idx", "band_sig")
             )
-            pruned = state_bands.join(hot, ["band_idx", "band_sig"], "left_anti")
+            pruned = state_hits.join(
+                F.broadcast(hot), ["band_idx", "band_sig"], "left_anti"
+            )
             cand = (
                 band_tab.withColumnRenamed("id", "new_id")
                 .join(
@@ -955,6 +1010,14 @@ def run_incremental_curation(
                 .distinct()
             )
             state_sh = spark.read.parquet(shingle_path)
+            # the shingle fetch reads only candidate partners' rows: a
+            # broadcast semi-join against the (small, distinct) old_id
+            # set — one scan, no state shuffle. With the clustered
+            # compaction layout (STATE_INDEX_CLUSTER_KEYS: id) the scan
+            # also row-group-skips on id min/max once the index has been
+            # compacted. The heavy shingle ARRAY column is only
+            # materialized for surviving rows either way.
+            old_ids = cand.select(F.col("old_id").alias("id")).distinct()
             dup_new = (
                 cand.join(
                     sh.select(
@@ -963,15 +1026,21 @@ def run_incremental_curation(
                     "new_id",
                 )
                 .join(
-                    # merge hint: the state shingle index must never
-                    # broadcast — its Catalyst estimate is parquet scan
-                    # bytes while the shingle arrays occupy ~50x on the
-                    # heap (the mis-broadcast OOM found by the round-7
-                    # scale probe in lsh_pairs_from_shingles; same
-                    # relation shape here)
-                    state_sh.select(
+                    # the state shingle index must never broadcast — its
+                    # Catalyst estimate is parquet scan bytes while the
+                    # shingle arrays occupy ~50x on the heap (the
+                    # mis-broadcast OOM found by the round-7 scale probe
+                    # in lsh_pairs_from_shingles; same relation here).
+                    # Restricting via broadcast-semi BEFORE the join
+                    # keeps the state side scan-only.
+                    state_sh.join(F.broadcast(old_ids), "id", "left_semi")
+                    .select(
                         F.col("id").alias("old_id"), F.col("shingles").alias("sh_o")
-                    ).hint("merge"),
+                    )
+                    # merge hint retained: even restricted, the relation
+                    # carries shingle arrays (~50x heap vs scan-bytes
+                    # estimate) — never let Catalyst broadcast it
+                    .hint("merge"),
                     "old_id",
                 )
                 .withColumn(
@@ -1045,7 +1114,18 @@ def run_incremental_curation(
                 # nothing, so a later batch that does carry embeddings
                 # still gets to train — an empty centroid file would
                 # silently disable the tier forever.
-                cents = semdedup.kmeans_centroids(bvec, "doc_id", "v", k=semantic_k)
+                # auto-k resolves against the FIRST embedding-carrying
+                # batch (centroids are frozen for the corpus lifetime by
+                # the persisted-index contract — re-index to rescale k);
+                # same k ∝ n/1000 rule as semantic_dedup_drops(k="auto")
+                k_resolved = semantic_k
+                if semantic_k == "auto":
+                    k_resolved = max(16, -(-bvec.count() // 1000))
+                elif not isinstance(semantic_k, int):
+                    raise ValueError(
+                        f"semantic_k must be an int or 'auto', got {semantic_k!r}"
+                    )
+                cents = semdedup.kmeans_centroids(bvec, "doc_id", "v", k=k_resolved)
                 if cents.limit(1).count() > 0:
                     cents.write.mode("overwrite").parquet(cent_path)
                     cents = spark.read.parquet(cent_path)
@@ -1069,7 +1149,10 @@ def run_incremental_curation(
                     state_vecs = (
                         spark.read.parquet(vec_path)
                         .select(F.col("id").alias("doc_id"), "cluster", "v")
-                        .join(bvec.select("doc_id"), "doc_id", "left_anti")
+                        # broadcast the (bounded) batch id set so the
+                        # vector index streams through the anti-join
+                        # without shuffling (r9 state-shuffle-free shape)
+                        .join(F.broadcast(bvec.select("doc_id")), "doc_id", "left_anti")
                     )
                     # eager checkpoint, not a bare persist: the drop
                     # relations nest the full bipartite/assignment trees,
@@ -1860,14 +1943,29 @@ def run_incremental_crawl_ingest(
         batch_urls = with_url.join(keeper, id_col, "left_semi")
         recrawls_src = None
         if has_state:
+            # state-shuffle-free URL dedup (r9, same shape as the hash
+            # index in run_incremental_curation): scan the url index
+            # once against a broadcast of the batch's URL set; the
+            # resulting ``present`` intersection (≤ batch rows) then
+            # serves BOTH the update-mode semi and the anti — the index
+            # never shuffles, whatever its size.
             seen_urls = spark.read.parquet(url_index).select("url_canonical")
+            url_present = seen_urls.join(
+                F.broadcast(batch_urls.select("url_canonical")),
+                "url_canonical",
+                "left_semi",
+            )
             if recrawl_policy == "update":
                 batch_urls = batch_urls.persist(StorageLevel.MEMORY_AND_DISK)
                 caches.append(batch_urls)
+                url_present = url_present.persist(StorageLevel.MEMORY_AND_DISK)
+                caches.append(url_present)
                 recrawls_src = batch_urls.join(
-                    seen_urls, "url_canonical", "left_semi"
+                    F.broadcast(url_present), "url_canonical", "left_semi"
                 )
-            url_deduped = batch_urls.join(seen_urls, "url_canonical", "left_anti")
+            url_deduped = batch_urls.join(
+                F.broadcast(url_present), "url_canonical", "left_anti"
+            )
         else:
             url_deduped = batch_urls
         url_deduped = url_deduped.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1918,8 +2016,16 @@ def run_incremental_crawl_ingest(
         ckeeper = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
         deduped = hashed.join(ckeeper.select(id_col), id_col, "left_semi")
         if has_state and os.path.exists(hash_index):
+            # same state-shuffle-free present shape as the url index
             seen_hashes = spark.read.parquet(hash_index).select("content_hash")
-            deduped = deduped.join(seen_hashes, "content_hash", "left_anti")
+            hash_present = seen_hashes.join(
+                F.broadcast(deduped.select("content_hash")),
+                "content_hash",
+                "left_semi",
+            )
+            deduped = deduped.join(
+                F.broadcast(hash_present), "content_hash", "left_anti"
+            )
 
         accepted = _stable(
             deduped.select(

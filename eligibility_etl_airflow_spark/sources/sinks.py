@@ -120,9 +120,28 @@ def merge_upsert(
         os.rename(tmp, target_path)
 
 
-def append_dedup(spark: SparkSession, target_path: str, batch: DataFrame, keys: list[str]) -> int:
+def append_dedup(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    broadcast_batch: bool = True,
+) -> int:
     """Idempotent append: only rows whose key is absent from the sink are
     written, so a retried batch is a no-op. Returns rows appended.
+
+    Join shape (the r9 state-scaling fix): the sink side NEVER shuffles.
+    The naive ``batch LEFT ANTI sink`` shuffle-joins the ever-growing
+    sink by key on EVERY append — O(state) network+sort per micro-batch,
+    the dominant term of the r8 incremental probe's 9.1× mixed-cycle
+    slope. Instead the sink's key columns are scanned ONCE against a
+    broadcast of the (micro-batch-sized) incoming key set to produce the
+    ``present`` intersection (≤ batch rows), and the batch anti-joins
+    THAT — both joins broadcast, zero state shuffle, state cost reduced
+    to one column-pruned scan. ``broadcast_batch=False`` restores the
+    shuffle shape for bulk loads whose batch key set may exceed the
+    broadcast ceiling (micro-batch appenders — the incremental loops —
+    keep the default).
 
     Caller contract for MULTI-INDEX maintenance: this write triggers
     Spark's refresh-by-path, invalidating any cached plan whose lineage
@@ -134,7 +153,13 @@ def append_dedup(spark: SparkSession, target_path: str, batch: DataFrame, keys: 
     fresh = batch.dropDuplicates(keys)
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path).select(*keys)
-        fresh = fresh.join(existing, keys, "left_anti")
+        if broadcast_batch:
+            present = existing.join(
+                F.broadcast(fresh.select(*keys)), keys, "left_semi"
+            )
+            fresh = fresh.join(F.broadcast(present), keys, "left_anti")
+        else:
+            fresh = fresh.join(existing, keys, "left_anti")
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(target_path)
@@ -369,7 +394,10 @@ def recover_interrupted_compaction(path: str) -> dict:
 
 
 def compact_parquet(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Rewrite a parquet directory into ~``target_file_bytes`` files.
 
@@ -379,6 +407,15 @@ def compact_parquet(
     is the standard fix: one distributed read → repartition to the target
     count → staged write → atomic-enough directory swap (same swap
     discipline as ``merge_upsert``). Returns before/after file counts.
+
+    ``cluster_by`` gives the rewrite a PRUNING layout at zero extra
+    passes (the compaction rewrites anyway): range-partition + sort
+    within files on the given keys, so files come out key-disjoint with
+    selective row-group min/max stats — point/range/IN predicates on the
+    cluster keys then skip whole files at the scan. This is the r8
+    verdict's state-index item: the incremental loops' vs-state indexes
+    are read every batch, and a clustered layout turns their key-scoped
+    reads from full scans into zone-map-pruned ones.
 
     LOCAL-FILESYSTEM ONLY: the directory swap is two ``os.rename`` calls,
     which have no meaning on an object store — on s3a/hdfs paths this
@@ -405,10 +442,15 @@ def compact_parquet(
         p = urllib.request.url2pathname(urllib.parse.urlparse(uri).path)
         total_bytes += os.path.getsize(p)
     n_target = max(1, -(-total_bytes // target_file_bytes)) if total_bytes else 1
-    if n_before <= n_target:
+    if n_before <= n_target and not cluster_by:
         return {"files_before": n_before, "files_after": n_before, "skipped": True}
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    if cluster_by:
+        df.repartitionByRange(n_target, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        ).write.mode("overwrite").parquet(tmp)
+    else:
+        df.repartition(n_target).write.mode("overwrite").parquet(tmp)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)

@@ -278,3 +278,38 @@ def test_semantic_dedup_auto_k_scales_cluster_count(spark):
 
     with pytest.raises(ValueError, match="auto"):
         semdedup.semantic_dedup_drops(df, "vec_id", "embedding", k="boom")
+
+
+def test_incremental_semantic_auto_k_default(spark, tmp_path):
+    """semantic_k defaults to "auto" (r8 verdict #4): the first
+    embedding-carrying batch resolves k = max(16, ceil(n/1000)) and the
+    pipeline runs end to end without a pinned k; a non-int non-auto
+    value raises before any state mutation."""
+    import pytest as _pytest
+
+    from eligibility_etl_airflow_spark import pipelines
+
+    state = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [
+            (i, f"document number {i} with words {i * 7} and {i * 13}",
+             [1.0 if j == i else 0.0 for j in range(30)])
+            for i in range(30)
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    s = pipelines.run_incremental_curation(spark, batch, state, semantic_eps=0.99)
+    assert s["n_accepted"] == 30  # pairwise-orthogonal embeddings, no drops
+    # auto resolved (30 docs -> k=16 floor) and trained the frozen index
+    import os
+
+    assert os.path.exists(f"{state}/index_centroids")
+
+    with _pytest.raises(ValueError, match="semantic_k"):
+        pipelines.run_incremental_curation(
+            spark,
+            batch,
+            str(tmp_path / "state2"),
+            semantic_eps=0.99,
+            semantic_k="sixteen",
+        )

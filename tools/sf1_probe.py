@@ -29,6 +29,7 @@ from eligibility_etl_airflow_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/sf1_probe"
+DOCS_MULT = 10  # overridden by --docs-mult
 
 QUERIES = [
     "eligibility_flagship",
@@ -38,6 +39,14 @@ QUERIES = [
     "percentile_stats",
     "salted_join_skew",
     "grouped_multi_agg",
+    # text/dedup tier (r9, verdict #6): runs against documents scaled by
+    # --docs-mult IN THE SAME SESSION as the 10x relational tables — the
+    # combined executor memory pressure is exactly what had never been
+    # probed
+    "duplicate_text_spans",
+    "dedup_span_removal",
+    "dedup_minhash_lsh",
+    "set_similarity_pairs",
 ]
 
 
@@ -74,13 +83,41 @@ def build(spark, mult: int) -> str:
             "event_id", F.col("event_id") + F.lit(r * offs["e"])
         ).withColumn("user_id", F.col("user_id") + F.lit(r * offs["u"])),
     }
-    mult_needed = {"documents", "embeddings"}  # some queries scan these; copy 1x
-    for t in mult_needed:
+    # embeddings stay 1x (the ANN tier has its own 1/5/20x probe);
+    # documents replicate by --docs-mult with doc_id offsets AND a
+    # per-replica token re-hash: identical replicated text would hand
+    # the pair operators an artificial 10-clique per document (a
+    # pathological corpus, not a scale-up), while token-rehashed
+    # replicas keep doc lengths / within-replica near-dup structure and
+    # are shingle-disjoint ACROSS replicas — pair counts then scale
+    # linearly, the honest 10x.
+    for t in ("embeddings",):
         src = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(src):
             spark.read.parquet(src).write.mode("overwrite").parquet(
                 os.path.join(out, f"{t}.parquet")
             )
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    doc_parts = [docs]
+    for r in range(1, DOCS_MULT):
+        salt = F.lit(f"|r{r}")
+        doc_parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+            .withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda w: F.substring(F.md5(F.concat(w, salt)), 1, 7),
+                    ),
+                ),
+            )
+        )
+    drel = doc_parts[0]
+    for p in doc_parts[1:]:
+        drel = drel.unionByName(p)
+    drel.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     for t, bump in specs.items():
         base = spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
         parts = [bump(base, r) for r in range(mult)]
@@ -97,12 +134,20 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mult", type=int, default=10, help="table replica multiplier")
     ap.add_argument(
+        "--docs-mult",
+        type=int,
+        default=10,
+        help="documents replica multiplier (token-rehashed per replica)",
+    )
+    ap.add_argument(
         "--queries",
         default=",".join(QUERIES),
         help="comma-separated registered query names",
     )
     opts = ap.parse_args()
     mult = opts.mult
+    global DOCS_MULT
+    DOCS_MULT = opts.docs_mult
     names = opts.queries.split(",")
     from eligibility_etl_airflow_spark import registry
 
