@@ -65,15 +65,22 @@ def build_batches(spark, kind: str, n_batches: int, rows: int) -> str:
                             F.md5(
                                 F.concat_ws(
                                     "|",
-                                    # 20% of rows reuse the previous
-                                    # batch's content (id mod 5 == 0)
+                                    # 20% of rows (id mod 5 == 0) reuse
+                                    # content that REALLY existed in the
+                                    # previous batch: its row id+1, which
+                                    # was fresh there (id+1 mod 5 == 1)
                                     F.when(
                                         (F.col("id") % 5 == 0) & (F.lit(b) > 0),
                                         F.lit(b - 1),
                                     )
                                     .otherwise(F.lit(b))
                                     .cast("string"),
-                                    F.col("id").cast("string"),
+                                    F.when(
+                                        (F.col("id") % 5 == 0) & (F.lit(b) > 0),
+                                        F.col("id") + 1,
+                                    )
+                                    .otherwise(F.col("id"))
+                                    .cast("string"),
                                     i.cast("string"),
                                 )
                             ),
