@@ -440,14 +440,22 @@ def test_decontamination_stages_token_array(spark, sf_dir):
     assert plan.count("split(lower") <= 4, plan.count("split(lower")
 
 
-def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+def test_semantic_dedup_assignment_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semantic_dedup_label")
-    # centroid attach is a broadcast (nested-loop on the k-row centroid
-    # relation), never a CartesianProduct over the corpus
-    assert "BroadcastNestedLoopJoin" in plan
+    # r9 E-step shape: assignment is an Arrow matmul map (centroid
+    # matrix in the closure) — NO crossJoin row blow-up over the corpus
+    # (the old BroadcastNestedLoopJoin form materialized and shuffled
+    # n × k scored rows, which under auto-k is n²/target), and never a
+    # CartesianProduct
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # within-cluster work is ONE Arrow map over the collected clusters
-    assert plan.count("MapInPandas") == 1
+    # TWO Arrow maps do the work — the assignment matmul + the
+    # per-cluster compare; the persisted assignment's cached plan is
+    # inlined under InMemoryTableScan in the plan STRING, so its
+    # MapInPandas can print once more (2-3 occurrences, never 4+ —
+    # 4 would mean a new Python stage crept into the tier)
+    assert 2 <= plan.count("MapInPandas") <= 3
+    assert "BatchEvalPython" not in plan
 
 
 def test_quality_scoring_is_broadcast_join_no_python(spark, sf_dir):
