@@ -3,6 +3,10 @@ CORRECTNESS_r*.json files the driver writes each round.
 
 Usage: python tools/coverage_history.py            # rewrites COVERAGE.md
        python tools/coverage_history.py --print    # emit section to stdout
+       python tools/coverage_history.py --check    # exit 1 if the committed
+           table is stale (registry or CORRECTNESS files changed since the
+           last regeneration) — run this after EVERY query registration,
+           before committing; it needs no Spark session and finishes in ~1 s
        python tools/coverage_history.py --round N  # label the in-window
            column rN (default max(rounds)+1 — wrong once the CURRENT
            round's CORRECTNESS file is already on disk, e.g. when
@@ -102,6 +106,24 @@ def main() -> None:
         print(section, end="")
         return
     path = os.path.join(REPO, "COVERAGE.md")
+    if "--check" in sys.argv:
+        text = open(path).read()
+        committed = text[text.index(MARKER):] if MARKER in text else ""
+        # The committed table may label an older in-window round; compare
+        # against a regeneration at the SAME label so --check flags real
+        # registry/CORRECTNESS drift, not the round-number cosmetic.
+        m = re.search(r"In-window \(r(\d+)\)", committed)
+        if m and cur is None:
+            section = render(int(m.group(1)))
+        if committed.strip() != section.strip():
+            raise SystemExit(
+                "COVERAGE.md driver-graded-history table is STALE — a query "
+                "was (de)registered or a CORRECTNESS file landed since the "
+                "last regeneration. Fix: python tools/coverage_history.py "
+                "&& git add COVERAGE.md"
+            )
+        print("COVERAGE.md history table is current")
+        return
     text = open(path).read()
     if MARKER in text:
         text = text[: text.index(MARKER)].rstrip() + "\n\n" + section
