@@ -21,6 +21,7 @@ def resample_to_mix(
     target_mix: dict[str, float],
     total_rows: int | None = None,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Sample ``df`` so the expected stratum proportions equal
     ``target_mix`` (shares; must sum to ~1). Strata absent from the mix
@@ -32,10 +33,19 @@ def resample_to_mix(
     alternative — upsampling scarce strata — means duplicating rows,
     which is a different operator with different training implications).
 
-    Sampling is Bernoulli per stratum (``sampleBy``): proportions hold
-    in expectation with O(1/√n) noise, the price of a single-pass,
-    shuffle-free draw. Deterministic for a fixed seed + partitioning of
-    the source (columnar scans of the same files are stable).
+    Sampling is Bernoulli per stratum: proportions hold in expectation
+    with O(1/√n) noise, the price of a single-pass, shuffle-free draw.
+    Two membership rules, same fractions:
+
+    - ``id_col=None`` (default): seeded ``sampleBy`` — deterministic for
+      a fixed seed + partitioning of the source (columnar scans of the
+      same files are stable), but a property of the LAYOUT, not the key.
+    - ``id_col`` given: keep a row iff ``hash_uniform(seed, id) <=
+      fraction(stratum)`` — membership is a pure function of the key
+      like :func:`assign_split`, so it is rerun-stable on ANY layout and
+      engine-portable (DuckDB reproduces the md5 draw bit-for-bit).
+      Still map-only: the per-stratum fractions arrive as a literal map
+      expression, no join.
     """
     shares = {k: v for k, v in target_mix.items() if v > 0}
     ssum = sum(shares.values())
@@ -57,6 +67,13 @@ def resample_to_mix(
     fractions = {
         s: min(1.0, (total * share) / counts[s]) for s, share in shares.items()
     }
+    if id_col is not None:
+        u = hash_uniform(f"mix{seed}", id_col)
+        frac_map = F.create_map(
+            *[lit for s, fr in fractions.items() for lit in (F.lit(s), F.lit(fr))]
+        )
+        # absent strata -> null fraction -> predicate null -> row dropped
+        return df.filter(u <= frac_map[F.col(stratum_col)])
     return df.sampleBy(stratum_col, fractions, seed)
 
 
@@ -292,6 +309,7 @@ def temperature_mix(
     alpha: float,
     total_rows: int | None = None,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based mixture resampling — the multilingual/
     multi-domain "alpha sampling" rule (mBERT/XLM-R, NLLB): target
@@ -317,7 +335,7 @@ def temperature_mix(
     raised = {s: float(n) ** alpha for s, n in counts.items()}
     z = sum(raised.values())
     shares = {s: v / z for s, v in raised.items()}
-    return resample_to_mix(df, stratum_col, shares, total_rows, seed)
+    return resample_to_mix(df, stratum_col, shares, total_rows, seed, id_col=id_col)
 
 
 def plan_data_budget(

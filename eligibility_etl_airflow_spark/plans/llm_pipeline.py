@@ -951,19 +951,40 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(d, "doc_id", "n_tokens", budget=512, n_shards=16)
 
 
-@query("domain_mix_resample")
+DOMAIN_MIX_ORACLE = """
+WITH sh(s, share) AS (VALUES ('en', 0.5), ('de', 0.2), ('es', 0.2), ('fr', 0.1)),
+c AS (
+  SELECT sh.s, sh.share, count(*) AS n
+  FROM sh JOIN documents d ON d.lang = sh.s
+  GROUP BY sh.s, sh.share
+),
+f AS (
+  SELECT s, LEAST(1.0, MIN(n / share) OVER () * share / n) AS frac FROM c
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN f ON d.lang = f.s
+WHERE (CAST(('0x' || substring(md5('mix7' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) + 1) / 4294967297.0 <= f.frac
+"""
+
+
+@query("domain_mix_resample", oracle=DOMAIN_MIX_ORACLE)
 def domain_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample the corpus to a target language mix (operators/
-    sampling.py): count per stratum, derive per-stratum Bernoulli
-    fractions for the largest feasible corpus at the requested shares,
-    seeded sampleBy. Rows-only: membership is Spark-seed-specific; the
-    proportion/feasibility/determinism invariants live in
+    sampling.py::resample_to_mix): count per stratum, derive
+    per-stratum Bernoulli fractions for the largest feasible corpus at
+    the requested shares, then the key-hash membership rule — keep iff
+    md5-uniform(seed, doc_id) <= fraction(lang). Membership is a pure
+    function of the key (rerun-stable on any layout), so DuckDB
+    reproduces the draw exactly: the oracle re-derives the fractions
+    with the same min-feasibility window and applies the same md5
+    threshold. Proportion/feasibility invariants in
     tests/test_packing.py."""
     from eligibility_etl_airflow_spark.operators import sampling
 
     d = Catalog(spark, sf_dir).documents
     mix = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
-    return sampling.resample_to_mix(d, "lang", mix, seed=7).select(
+    return sampling.resample_to_mix(d, "lang", mix, seed=7, id_col="doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
 

@@ -378,20 +378,41 @@ def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("temperature_mix_resample")
+TEMPERATURE_MIX_ORACLE = """
+WITH c AS (
+  SELECT lang AS s, count(*) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+sh AS (
+  SELECT s, n, pow(CAST(n AS DOUBLE), 0.5) / SUM(pow(CAST(n AS DOUBLE), 0.5)) OVER () AS share
+  FROM c
+),
+f AS (
+  SELECT s, LEAST(1.0, MIN(n / share) OVER () * share / n) AS frac FROM sh
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN f ON d.lang = f.s
+WHERE (CAST(('0x' || substring(md5('mix7' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) + 1) / 4294967297.0 <= f.frac
+"""
+
+
+@query("temperature_mix_resample", oracle=TEMPERATURE_MIX_ORACLE)
 def temperature_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha = 0.5) mixture resampling over the language
     strata (operators/sampling.py:temperature_mix) — the multilingual
     alpha-sampling rule: scarce languages upweighted toward uniform
-    without row duplication. Rows-only like domain_mix_resample
-    (membership is Spark-seed-specific); the share-derivation and
-    proportion invariants are unit-tested."""
+    without row duplication. Shares ∝ count^alpha; the draw is the same
+    key-hash Bernoulli as domain_mix_resample, so the oracle re-derives
+    shares (pow/sum window), fractions (min-feasibility window) and the
+    md5 threshold in SQL. Share-derivation and proportion invariants
+    are unit-tested."""
     from eligibility_etl_airflow_spark.operators import sampling
 
     d = Catalog(spark, sf_dir).documents
-    return sampling.temperature_mix(d, "lang", alpha=0.5, seed=7).select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    return sampling.temperature_mix(
+        d, "lang", alpha=0.5, seed=7, id_col="doc_id"
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 # --------------------------------------------------------------------------

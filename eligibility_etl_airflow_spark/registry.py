@@ -258,10 +258,83 @@ _PROMOTED_R9 = (
     "grouped_multi_agg",
 )
 
+# Round-10 rotation (#5 — retires the staleness TAIL: after this cycle
+# the max staleness across all 135 oracle-backed queries is ≤4 rounds):
+# demote 19 rows driver-graded green in BOTH r8 and r9 (the ≥2
+# consecutive-green bar; eight of them carry three consecutive greens
+# r7-r9), promote the 17 longest-ungraded rows — regex_text_ops +
+# split_explode_keys (last graded r2) and the full r5-graded relational
+# block — plus the round's 2 NEWLY ORACLE-IZED queries (the r9 verdict
+# item: temperature_mix_resample + domain_mix_resample now draw by the
+# same engine-portable md5-uniform rule as weighted_sample_docs, so
+# DuckDB reproduces membership exactly; rows-only set shrinks 25 → 23).
+# Machinery of every demotion stays in-window or returns via a
+# promotion: regex/normalization (script_profile_mixed, mojibake_metrics)
+# → promoted regex_text_ops; map/struct explode (chat_turns_extract) →
+# promoted split_explode_keys + struct_expand (LLM G-tier machinery
+# stays via llm_cost_metrics, which re-executes the pipeline); dedup
+# segments/spans → promoted keep_last_dedup + dedup_exact_hash +
+# duplicate_detection_label; decontam (substring_) →
+# semantic_decontam_flags stays; streaming interval join →
+# stream_static_enrich stays; rollup (incremental_rollup) → promoted
+# rollup_revenue; hash-split (train_test_split_hash) + md5-rank
+# (epoch_shuffle_order) → weighted_sample_docs stays + the two promoted
+# resamples; LM scores (lm_fluency/lm_bigram) → ngram_novelty_scores
+# stays; analytics (cohort_retention, quality_rank_blend,
+# data_quality_report) → funnel_signup_click_purchase,
+# rank_family_windows, column_profile stay; crawl tier
+# (anchor_text_pairs, corpus_drift_js, source_dup_diagnostics,
+# fuzzy_pairs_levenshtein) → winnow_overlap_pairs_md5 +
+# heavy_hitters_verified stay.
+_ROTATED_OUT_R10 = (
+    "source_dup_diagnostics",
+    "stream_interval_join",
+    "chat_turns_extract",
+    "substring_decontam_flags",
+    "script_profile_mixed",
+    "anchor_text_pairs",
+    "corpus_drift_js",
+    "mojibake_metrics",
+    "quality_rank_blend",
+    "fuzzy_pairs_levenshtein",
+    "dedup_global_segments",
+    "duplicate_span_partners",
+    "lm_fluency_scores",
+    "lm_bigram_scores",
+    "incremental_rollup",
+    "train_test_split_hash",
+    "cohort_retention",
+    "data_quality_report",
+    "epoch_shuffle_order",
+)
+
+# The staleness tail returning to the window in r10 (last driver-graded
+# r2/r5; the two resamples are newly oracle-backed and enter the window
+# directly). Pinned in tests/test_registry.py::PROMOTED_R10.
+_PROMOTED_R10 = (
+    "regex_text_ops",
+    "split_explode_keys",
+    "age_birthday_corrected",
+    "business_rule_updates",
+    "dedup_exact_hash",
+    "distinct_key_set",
+    "doc_fingerprint",
+    "dropna_filters",
+    "duplicate_detection_label",
+    "global_topk_orders",
+    "json_field_extract",
+    "keep_last_dedup",
+    "multi_format_date_parse",
+    "predictions_auto_reject",
+    "rollup_revenue",
+    "running_total_window",
+    "struct_expand",
+)
+
 # Oracle-backed queries currently outside the 50-slot window. All keep
 # local DuckDB parity via tests/test_oracle_parity.py. Each round's
 # rotation removes its promotions and appends its demotions (pins in
-# tests/test_registry.py::PROMOTED_R7/_R8/_R9); after round 8 every
+# tests/test_registry.py::PROMOTED_R7/_R8/_R9/_R10); after round 8 every
 # oracle-backed query has been driver-graded at least once, so
 # rotations now cycle the stable pool for freshness.
 _DEFERRED = tuple(
@@ -275,8 +348,9 @@ _DEFERRED = tuple(
             "split_explode_keys",
         )
         + _ROTATED_OUT_R9
+        + _ROTATED_OUT_R10
     )
-    if n not in _PROMOTED_R9
+    if n not in _PROMOTED_R9 and n not in _PROMOTED_R10
 )
 
 

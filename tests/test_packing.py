@@ -109,6 +109,30 @@ def test_resample_deterministic_and_validated(spark, sf_dir):
         sampling.resample_to_mix(d, "lang", {"en": 0.5, "klingon": 0.5}, seed=7)
 
 
+def test_resample_keyhash_membership_is_layout_independent(spark, sf_dir):
+    """id_col path: membership is a pure function of (seed, doc_id) —
+    the same rows survive under any repartitioning, unlike sampleBy
+    whose draw depends on the partition layout. This is the property
+    the domain/temperature mix oracles rely on."""
+    d = Catalog(spark, sf_dir).documents
+    mix = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
+    base = sampling.resample_to_mix(d, "lang", mix, seed=7, id_col="doc_id")
+    shuffled = sampling.resample_to_mix(
+        d.repartition(13, "source"), "lang", mix, seed=7, id_col="doc_id"
+    )
+    a = {r.doc_id for r in base.select("doc_id").collect()}
+    b = {r.doc_id for r in shuffled.select("doc_id").collect()}
+    assert a == b and len(a) > 0
+    # proportions still hold under the key-hash rule
+    counts = {
+        r.lang: r.n
+        for r in base.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    for lang, share in mix.items():
+        assert counts.get(lang, 0) / total == pytest.approx(share, abs=0.15)
+
+
 def test_resample_total_rows_cap(spark, sf_dir):
     d = Catalog(spark, sf_dir).documents
     mix = {"en": 0.5, "de": 0.5}

@@ -22,49 +22,50 @@ def test_window_is_all_oracle_backed():
     assert not missing, f"window slots without an oracle: {missing}"
 
 
-# The round-9 rotation's promotions: the 10 longest-ungraded stable
-# relational rows (demoted r6, last driver-graded r5 — pure freshness
-# cycling now that the confirmation program is complete) plus the two
-# NEW oracle-backed queries from the r8 verdict's "oracle-ize the
-# derivable rows-only ops" item. Update this pin together with
-# registry._ROTATED_OUT_R9 when the next rotation runs.
-PROMOTED_R9 = set(registry._PROMOTED_R9) | {
-    "winnow_overlap_pairs_md5",
-    "heavy_hitters_verified",
+# The round-10 rotation's promotions: the staleness tail — 17 rows last
+# driver-graded in r2/r5 — plus the two NEWLY ORACLE-IZED resample
+# queries (r9 verdict item #6: temperature/domain mix now draw by the
+# engine-portable md5-uniform rule, never driver-graded before). Update
+# this pin together with registry._ROTATED_OUT_R10 when the next
+# rotation runs.
+PROMOTED_R10 = set(registry._PROMOTED_R10) | {
+    "temperature_mix_resample",
+    "domain_mix_resample",
 }
 
 
 def test_window_matches_rotated_graded_set():
     """The 50 in-window queries must be exactly (last round's graded set
-    − the deliberate _ROTATED_OUT_R9 demotions) ∪ the pinned promotions —
+    − the deliberate _ROTATED_OUT_R10 demotions) ∪ the pinned promotions —
     an ACCIDENTAL displacement (registering a new oracle-backed query
     without updating _DEFERRED) still fails loudly, while the rotation
     policy's deliberate swaps are recorded here."""
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r08.json")
-    graded_r8 = set(json.load(open(path)))
-    expected = (graded_r8 - set(registry._ROTATED_OUT_R9)) | PROMOTED_R9
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r09.json")
+    graded_r9 = set(json.load(open(path)))
+    expected = (graded_r9 - set(registry._ROTATED_OUT_R10)) | PROMOTED_R10
     window = set(list(registry.QUERIES)[:WINDOW])
     assert window == expected, (
         f"window gained {sorted(window - expected)}, "
         f"lost {sorted(expected - window)}"
     )
     # rotation hygiene: every demotion held a green driver-graded row in
-    # BOTH r7 and r8 (the ≥2-consecutive-green demotion bar), and every
-    # promotion is either brand-new this round or last graded in r5 (the
-    # freshness rationale — not graded in any of r6-r8)
-    graded_r7 = set(
+    # BOTH r8 and r9 (the ≥2-consecutive-green demotion bar), and every
+    # promotion is either newly oracle-backed this round or last graded
+    # in r5 or earlier (the freshness rationale — not graded in any of
+    # r6-r9)
+    graded_r8 = set(
         json.load(
-            open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r07.json"))
+            open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r08.json"))
         )
     )
-    assert set(registry._ROTATED_OUT_R9) <= (graded_r8 & graded_r7)
+    assert set(registry._ROTATED_OUT_R10) <= (graded_r9 & graded_r8)
     recent: set[str] = set()
-    for rnd in range(6, 9):
+    for rnd in range(6, 10):
         p = os.path.join(
             os.path.dirname(__file__), "..", f"CORRECTNESS_r{rnd:02d}.json"
         )
         recent |= set(json.load(open(p)))
-    assert not (PROMOTED_R9 & recent)
+    assert not (PROMOTED_R10 & recent)
 
 
 def test_every_deferred_query_exists_and_has_coverage():
