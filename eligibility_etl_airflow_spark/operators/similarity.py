@@ -715,6 +715,7 @@ def nearest_centroid_assign(
     centroids: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
+    max_closure_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine —
     the E-step of k-means / the inference step of a nearest-prototype
@@ -722,34 +723,50 @@ def nearest_centroid_assign(
     :func:`label_centroids` (or any centroid relation). Similarity is
     rounded to 6 dp BEFORE the argmax so the winner never rides on
     last-ulp float noise, with the LOWEST label as the deterministic
-    tie-break. Output: (id, assigned_label, sim, n_candidates).
+    tie-break. Output: (id, assigned_label, sim, n_candidates) — every
+    input id appears exactly once; rows with a NULL vector get a null
+    label and null sim (they cannot be scored, but dropping them would
+    silently shrink the relation).
 
-    Shape (r9): one Arrow-batched numpy matmul — the centroid matrix
-    (k × dim, the same relation the old form broadcast) rides in the
-    closure; each batch computes ``X @ C.T`` and an argmax. MAP-ONLY:
-    no crossJoin row blow-up, no per-id window shuffle. The previous
-    relational form materialized and SHUFFLED n × k scored rows, which
-    with the auto-k SemDeDup regime (k ∝ n) made the E-step cost
-    n²/target — measured 212 s for one assignment pass at 100k vectors
-    × 334 centroids vs ~2 s for this form. A dense-matmul inner loop is
-    exactly the documented escape hatch from built-in expressions: the
-    work is BLAS, not a join."""
+    NaN semantics (defined, not inherited): a NaN similarity — a
+    zero-norm CENTROID against any vector — is masked to −inf before
+    the argmax, so it can never beat a real score; only when EVERY
+    candidate is NaN (a zero-norm QUERY vector) does the lowest label
+    win, with a null sim — NaN collapses to null at the Arrow
+    boundary. (The pre-r10 relational form let Spark's
+    NaN-sorts-greatest rule hand such ties to a zero-norm centroid —
+    an accident of ordering, not a semantic.)
+
+    Shape (r9): one Arrow-batched numpy matmul — each batch computes
+    ``X @ C.T`` and an argmax. MAP-ONLY: no crossJoin row blow-up, no
+    per-id window shuffle. The previous relational form materialized
+    and SHUFFLED n × k scored rows, which with the auto-k SemDeDup
+    regime (k ∝ n) made the E-step cost n²/target — measured 212 s for
+    one assignment pass at 100k vectors × 334 centroids vs ~2 s for
+    this form. A dense-matmul inner loop is exactly the documented
+    escape hatch from built-in expressions: the work is BLAS, not a
+    join.
+
+    Closure bound (r10): auto-k sets k ∝ n, so at billion-vector
+    corpora the k × dim matrix reaches GBs — too big to collect to the
+    driver or ship in every task closure. When the estimated matrix
+    size exceeds ``max_closure_bytes`` the operator switches shape
+    instead of OOMing: centroids stream through the driver in label
+    order (``toLocalIterator`` — peak driver memory is ONE chunk),
+    land as ≤-ceiling .npz chunk files distributed to executors via
+    ``SparkFiles`` (disk, not task closure), and the same single
+    map-only pass folds a running per-row best across chunks. Chunks
+    are visited in ascending-label order and a later chunk wins only
+    on a STRICTLY greater masked sim, so the result is bit-identical
+    to the in-closure form (asserted in tests/test_similarity.py).
+    Exactness is why this fallback is chunked-exact rather than
+    two-level IVF: coarse-quantized probing is approximate, and the
+    repo already exposes that trade explicitly via
+    :func:`ivf_topk_over_index`."""
     import numpy as np
     import pandas as pd
 
-    # the same k × dim relation the old form broadcast — collected once,
-    # labels sorted ascending so numpy's first-max argmax IS the
-    # lowest-label tie-break
-    crows = centroids.select(
-        "label", as_double_array(F.col("centroid")).alias("cv")
-    ).collect()
-    # labels keep their own type (int cluster ids, string class labels);
-    # UTF-8 byte order == code-point order, so Python sorted() matches
-    # Spark's asc() for strings too
-    order = sorted(range(len(crows)), key=lambda i: crows[i]["label"])
-    labels = np.array([crows[i]["label"] for i in order])
-    C = np.asarray([crows[i]["cv"] for i in order], dtype=np.float64)
-    k = len(labels)
+    from eligibility_etl_airflow_spark.operators.parallel import ensure_parallelism
 
     id_field = df.select(F.col(id_col).alias("id")).schema["id"]
     id_type = id_field.dataType.simpleString()
@@ -758,9 +775,81 @@ def nearest_centroid_assign(
         f"id {id_type}, assigned_label {label_type}, "
         "sim double, n_candidates long"
     )
+
+    csel = centroids.select("label", as_double_array(F.col("centroid")).alias("cv"))
+    stats = csel.agg(
+        F.count(F.lit(1)).alias("k"), F.max(F.size("cv")).alias("dim")
+    ).collect()[0]
+    k, dim = stats["k"], stats["dim"] or 0
     if k == 0:  # no centroids: nothing can be assigned (old form: empty cross join)
         return df.sparkSession.createDataFrame([], out_schema)
-    cn = np.sqrt((C * C).sum(axis=1))  # zero-norm centroid → NaN sim, as before
+
+    def load_chunks():
+        """Yield (labels, C, cnorm) centroid chunks in ascending-label
+        order. Executor memory is bounded by one chunk regardless of k."""
+        raise NotImplementedError  # replaced below per shape
+
+    if k * dim * 8 <= max_closure_bytes:
+        # in-closure fast path: the whole k × dim matrix rides in the
+        # task closure, one chunk. Labels sorted ascending so numpy's
+        # first-max argmax IS the lowest-label tie-break (labels keep
+        # their own type — int cluster ids, string class labels; UTF-8
+        # byte order == code-point order, so Python sorted() matches
+        # Spark's asc() for strings too).
+        crows = csel.collect()
+        order = sorted(range(len(crows)), key=lambda i: crows[i]["label"])
+        labels = np.array([crows[i]["label"] for i in order])
+        C = np.asarray([crows[i]["cv"] for i in order], dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        chunk_data = [(labels, C, cn)]
+
+        def load_chunks():
+            return iter(chunk_data)
+
+    else:
+        # chunked-exact path: stream label-ordered centroids through the
+        # driver into ≤-ceiling .npz files, distribute via SparkFiles.
+        import os
+        import tempfile
+        import uuid
+
+        sc = df.sparkSession.sparkContext
+        tmpdir = tempfile.mkdtemp(prefix="centroid_chunks_")
+        rows_per_chunk = max(1, max_closure_bytes // (max(dim, 1) * 8))
+        chunk_names: list[str] = []
+        buf_labels: list = []
+        buf_vecs: list = []
+
+        def flush():
+            if not buf_vecs:
+                return
+            name = f"cchunk_{uuid.uuid4().hex}_{len(chunk_names):05d}.npz"
+            path = os.path.join(tmpdir, name)
+            np.savez(
+                path,
+                labels=np.array(buf_labels),
+                C=np.asarray(buf_vecs, dtype=np.float64),
+            )
+            sc.addFile(path)
+            chunk_names.append(name)
+            buf_labels.clear()
+            buf_vecs.clear()
+
+        for row in csel.orderBy("label").toLocalIterator():
+            buf_labels.append(row["label"])
+            buf_vecs.append(row["cv"])
+            if len(buf_vecs) >= rows_per_chunk:
+                flush()
+        flush()
+        names = list(chunk_names)
+
+        def load_chunks():
+            from pyspark import SparkFiles
+
+            for name in names:
+                z = np.load(SparkFiles.get(name), allow_pickle=False)
+                C = z["C"]
+                yield z["labels"], C, np.sqrt((C * C).sum(axis=1))
 
     v = df.select(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
@@ -770,26 +859,45 @@ def nearest_centroid_assign(
         for pdf in frames:
             if not len(pdf):
                 continue
-            X = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
-            )
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round(
-                    (X @ C.T) / (np.sqrt((X * X).sum(axis=1))[:, None] * cn[None, :]),
-                    6,
+            notnull = pdf["v"].notna().to_numpy()
+            lab_out = np.empty(len(pdf), dtype=object)
+            sim_out = np.empty(len(pdf), dtype=object)
+            lab_out[:] = None
+            sim_out[:] = None
+            if notnull.any():
+                X = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"][notnull]]
                 )
-            best = np.argmax(sims, axis=1)  # first max = lowest label
-            rows = np.arange(len(best))
+                xn = np.sqrt((X * X).sum(axis=1))
+                rows = np.arange(len(X))
+                best = None  # (masked, raw, label) running per-row winner
+                for labels_c, C, cn in load_chunks():
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sims = np.round(
+                            (X @ C.T) / (xn[:, None] * cn[None, :]), 6
+                        )
+                    masked = np.where(np.isnan(sims), -np.inf, sims)
+                    idx = np.argmax(masked, axis=1)  # first max = lowest label
+                    m, r, lab = masked[rows, idx], sims[rows, idx], labels_c[idx]
+                    if best is None:
+                        best = [m, r, lab]
+                    else:
+                        # strictly greater only: chunks arrive in ascending
+                        # label order, so ties keep the lower label
+                        upd = m > best[0]
+                        best[0][upd] = m[upd]
+                        best[1][upd] = r[upd]
+                        best[2][upd] = lab[upd]
+                lab_out[notnull] = best[2]
+                sim_out[notnull] = best[1]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "assigned_label": labels[best],
-                    "sim": sims[rows, best],
-                    "n_candidates": np.full(len(best), k, dtype=np.int64),
+                    "assigned_label": lab_out,
+                    "sim": sim_out,
+                    "n_candidates": np.full(len(pdf), k, dtype=np.int64),
                 }
             )
-
-    from eligibility_etl_airflow_spark.operators.parallel import ensure_parallelism
 
     return ensure_parallelism(v).mapInPandas(assign, schema=out_schema)
 

@@ -240,6 +240,78 @@ def test_nearest_centroid_tie_breaks_on_label(spark):
     assert r.sim == pytest.approx(1.0)
 
 
+def test_nearest_centroid_null_vector_gets_null_row(spark):
+    """A NULL embedding cannot be scored but must not crash the Arrow
+    batch (np.asarray over mixed None/vector is inhomogeneous) nor drop
+    the row: it comes back with null label + null sim, preserving the
+    every-id-appears-once invariant."""
+    from eligibility_etl_airflow_spark.operators import similarity
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "label int, centroid array<double>"
+    )
+    out = {r.id: r for r in similarity.nearest_centroid_assign(e, cents, "vec_id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].assigned_label == 0 and out[3].assigned_label == 1
+    assert out[2].assigned_label is None and out[2].sim is None
+    assert out[2].n_candidates == 2
+
+
+def test_nearest_centroid_zero_norm_centroid_never_wins(spark):
+    """Defined NaN semantics: a zero-norm centroid's NaN sim is masked
+    to −inf before the argmax, so it cannot beat any real score; a
+    zero-norm QUERY vector (all sims NaN) falls to the lowest label
+    with a null sim (NaN collapses to null at the Arrow boundary)."""
+    from eligibility_etl_airflow_spark.operators import similarity
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        # zero-norm centroid carries the LOWEST label — the old
+        # NaN-sorts-greatest accident would have handed it every row
+        [(0, [0.0, 0.0]), (1, [0.9, 0.1])],
+        "label int, centroid array<double>",
+    )
+    out = {r.id: r for r in similarity.nearest_centroid_assign(e, cents, "vec_id").collect()}
+    assert out[1].assigned_label == 1 and out[1].sim > 0.9
+    assert out[2].assigned_label == 0 and out[2].sim is None
+
+
+def test_nearest_centroid_chunked_fallback_bit_identical(spark):
+    """Closure byte ceiling: forcing the SparkFiles-chunked shape (tiny
+    max_closure_bytes → several centroid chunk files) must reproduce
+    the in-closure result exactly — same winners, same sims, same
+    tie-breaks across chunk boundaries."""
+    import random
+
+    from eligibility_etl_airflow_spark.operators import similarity
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ] + [(200, None)]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(17)],
+        "label int, centroid array<double>",
+    )
+    flat = similarity.nearest_centroid_assign(e, cents, "vec_id")
+    # 8 dims × 8 B = 64 B/centroid; 192-byte ceiling → 3 rows per chunk,
+    # 6 chunk files — every cross-chunk combine path exercised
+    chunked = similarity.nearest_centroid_assign(
+        e, cents, "vec_id", max_closure_bytes=192
+    )
+    a = sorted(map(tuple, flat.collect()))
+    b = sorted(map(tuple, chunked.collect()))
+    assert a == b and len(a) == 201
+
+
 # --------------------------------------------------- skew diagnostics
 
 
