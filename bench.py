@@ -220,8 +220,23 @@ def main() -> None:
         "times + methodology are on the preceding stdout line and in "
         "BENCH_DETAIL.json",
     }
+    # keep the line under the driver's ~2 kB tail-capture: shed slowest-
+    # query entries rather than aborting AFTER the whole suite already
+    # ran (an assert here would lose the run's numbers — and vanish
+    # under python -O)
     out = json.dumps(compact)
-    assert len(out) < 1500, f"compact bench line grew to {len(out)} B"
+    while len(out) >= 1500 and compact["queries"]:
+        dropped = list(compact["queries"])[-1]
+        del compact["queries"][dropped]
+        compact["queries_note"] = (
+            f"{len(compact['queries'])} slowest (truncated to fit the "
+            "driver line cap); full detail in BENCH_DETAIL.json"
+        )
+        print(
+            f"bench: compact line over 1500 B, dropping {dropped}",
+            file=sys.stderr,
+        )
+        out = json.dumps(compact)
     print(out)
 
 
