@@ -120,28 +120,92 @@ def merge_upsert(
         os.rename(tmp, target_path)
 
 
+def _sink_file_bytes(path: str) -> int:
+    """On-disk bytes of a parquet sink (data files only) — the cheap
+    driver-side state-size signal for :func:`choose_append_shape`. No
+    Spark job."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def choose_append_shape(
+    batch_plan_bytes: int,
+    sink_bytes: int,
+    broadcast_ceiling: int = 192 << 20,
+    state_ratio: int = 4,
+) -> str:
+    """Pick the vs-state anti-join shape for an idempotent append:
+    ``"broadcast_present"`` (sink never shuffles — the r9 slope win) or
+    ``"shuffle"`` (plain anti-join — the cheaper constant when state is
+    small or the batch is too big to broadcast).
+
+    Signals are both job-free: the batch's Catalyst ``sizeInBytes``
+    estimate (exact for the eager-checkpointed relations the incremental
+    loops append) and the sink's on-disk parquet bytes. Units differ —
+    plan bytes are in-memory-ish, sink bytes are compressed — but the
+    decision only needs order-of-magnitude: broadcast-present costs two
+    batch-sized broadcasts and wins when the state scan dominates, so it
+    is chosen only when the sink is at least ``state_ratio`` × the batch
+    estimate AND the batch fits comfortably under the broadcast ceiling
+    (default 192 MB < Spark's 8 GB hard limit with a wide margin — the
+    r9 ADVICE item: an unconditional broadcast default put bulk loads at
+    the ceiling)."""
+    if batch_plan_bytes > broadcast_ceiling:
+        return "shuffle"
+    if sink_bytes <= state_ratio * batch_plan_bytes:
+        return "shuffle"
+    return "broadcast_present"
+
+
 def append_dedup(
     spark: SparkSession,
     target_path: str,
     batch: DataFrame,
     keys: list[str],
-    broadcast_batch: bool = True,
+    broadcast_batch: bool | None = None,
 ) -> int:
     """Idempotent append: only rows whose key is absent from the sink are
     written, so a retried batch is a no-op. Returns rows appended.
 
-    Join shape (the r9 state-scaling fix): the sink side NEVER shuffles.
-    The naive ``batch LEFT ANTI sink`` shuffle-joins the ever-growing
-    sink by key on EVERY append — O(state) network+sort per micro-batch,
-    the dominant term of the r8 incremental probe's 9.1× mixed-cycle
-    slope. Instead the sink's key columns are scanned ONCE against a
-    broadcast of the (micro-batch-sized) incoming key set to produce the
-    ``present`` intersection (≤ batch rows), and the batch anti-joins
-    THAT — both joins broadcast, zero state shuffle, state cost reduced
-    to one column-pruned scan. ``broadcast_batch=False`` restores the
-    shuffle shape for bulk loads whose batch key set may exceed the
-    broadcast ceiling (micro-batch appenders — the incremental loops —
-    keep the default).
+    Join shape (r9 state-scaling fix, r10 made ADAPTIVE): with
+    ``broadcast_batch=None`` the shape is picked per append by
+    :func:`choose_append_shape` from the sink's on-disk bytes vs the
+    batch's Catalyst size estimate — no extra job. Large state + small
+    batch → the sink side NEVER shuffles: the sink's key columns are
+    scanned ONCE against a broadcast of the incoming key set to produce
+    the ``present`` intersection (≤ batch rows), and the batch
+    anti-joins THAT — both joins broadcast, zero state shuffle, state
+    cost reduced to one column-pruned scan (the naive ``batch LEFT ANTI
+    sink`` shuffle-joins the ever-growing sink on EVERY append —
+    O(state) network+sort per micro-batch, the dominant term of the r8
+    incremental probe's 9.1× slope). Small state or a
+    broadcast-ceiling-sized batch → the plain anti-join, whose constant
+    is ~2× cheaper at 1× state (SCALING.md r9 trade table). Pass
+    True/False to force a shape.
+
+    The append executes its plan ONCE and submits ONE Spark job (r10):
+    the appended-row count is OBSERVED during the write itself
+    (``Observation``/CollectMetrics) instead of a separate count action
+    — previously each append paid its plan twice (count, then write).
+    In local profiling the per-cycle wall was dominated by job-submission
+    overhead (167 jobs summing to 21 s of executor time inside a 169 s
+    cycle), so job count is the per-batch floor's real lever.
+    Micro-batch appends (≤ 64 MB plan estimate) additionally repartition
+    to ONE output file, so the sink grows ~1 file per batch instead of
+    one per task — without it the compaction threshold re-triggers every
+    few batches and the rewrite cost lands on the micro-batch path.
+    Larger appends keep their natural partitioning (a forced exchange
+    over bulk-load bytes would be a new shuffle at exactly the scale
+    where it hurts). A replayed (fully duplicate) batch appends one
+    empty part file — harmless to every reader and reclaimed by the next
+    compaction; the idempotency invariants are row-based.
 
     Caller contract for MULTI-INDEX maintenance: this write triggers
     Spark's refresh-by-path, invalidating any cached plan whose lineage
@@ -150,8 +214,21 @@ def append_dedup(
     nothing. Eagerly checkpoint (``components._stable``) every
     to-append relation BEFORE the first write of the group;
     ``run_incremental_curation`` is the reference call site."""
+    from pyspark.sql import Observation
+
     fresh = batch.dropDuplicates(keys)
+    try:
+        plan_bytes = int(
+            fresh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # py4j/API drift: assume big — safe both decisions
+        plan_bytes = 1 << 62
     if os.path.exists(target_path):
+        if broadcast_batch is None:
+            broadcast_batch = (
+                choose_append_shape(plan_bytes, _sink_file_bytes(target_path))
+                == "broadcast_present"
+            )
         existing = spark.read.parquet(target_path).select(*keys)
         if broadcast_batch:
             present = existing.join(
@@ -160,10 +237,12 @@ def append_dedup(
             fresh = fresh.join(F.broadcast(present), keys, "left_anti")
         else:
             fresh = fresh.join(existing, keys, "left_anti")
-    n = fresh.count()
-    if n:
-        fresh.write.mode("append").parquet(target_path)
-    return n
+    obs = Observation()
+    out = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+    if plan_bytes <= 64 << 20:
+        out = out.repartition(1)
+    out.write.mode("append").parquet(target_path)
+    return int(obs.get["n"])
 
 
 def resume_filter(df: DataFrame, spark: SparkSession, sink_path: str, keys: list[str]) -> DataFrame:
@@ -707,15 +786,20 @@ def append_dedup_jdbc(
         # documents as the single-cursor guard
         existing = read_jdbc(spark, url, f"SELECT {q} FROM {table}", driver=driver).load()
         fresh = fresh.join(existing, keys, "left_anti")
-    n = fresh.count()
-    if n:
-        (
-            fresh.write.format("jdbc")
-            .option("url", url)
-            .option("driver", driver)
-            .option("dbtable", table)
-            .option("batchsize", str(batch_size))
-            .mode("append")
-            .save()
-        )
-    return n
+    # single execution: the appended-row count is observed during the
+    # write job itself, so the remote table is read exactly once (same
+    # contract as the parquet append above)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode("append")
+        .save()
+    )
+    return int(obs.get["n"])

@@ -41,6 +41,40 @@ def test_append_dedup_is_idempotent(spark, target):
     assert spark.read.parquet(target).count() == 3
 
 
+def test_choose_append_shape_decision_table():
+    """The adaptive vs-state join pick (r9 verdict #4): broadcast-present
+    only when the state dwarfs the batch AND the batch is comfortably
+    broadcastable; plain shuffle otherwise (small state: cheaper
+    constant; huge batch: broadcast-ceiling risk — the r9 ADVICE item)."""
+    mb = 1 << 20
+    # micro-batch vs large state → the r9 slope-win shape
+    assert sinks.choose_append_shape(8 * mb, 10_000 * mb) == "broadcast_present"
+    # tiny/fresh state → plain anti-join (r8 constants)
+    assert sinks.choose_append_shape(8 * mb, 0) == "shuffle"
+    assert sinks.choose_append_shape(8 * mb, 20 * mb) == "shuffle"
+    # bulk load past the broadcast ceiling → never broadcast
+    assert sinks.choose_append_shape(500 * mb, 1_000_000 * mb) == "shuffle"
+    # boundary: exactly ratio×batch stays shuffle, just above flips
+    assert sinks.choose_append_shape(10 * mb, 40 * mb) == "shuffle"
+    assert sinks.choose_append_shape(10 * mb, 40 * mb + 1) == "broadcast_present"
+
+
+def test_append_dedup_adaptive_and_forced_shapes_agree(spark, target):
+    """Whatever shape the decision picks, results are identical — and
+    both forced shapes stay idempotent."""
+    first = _df(spark, [(i, "x", 1) for i in range(1, 6)])
+    assert sinks.append_dedup(spark, target, first, ["k"]) == 5
+    nxt = _df(spark, [(4, "dup", 2), (5, "dup", 2), (6, "new", 1), (7, "new", 1)])
+    for forced in (True, False, None):
+        t2 = target + f"_shape_{forced}"
+        sinks.append_dedup(spark, t2, first, ["k"])
+        assert sinks.append_dedup(spark, t2, nxt, ["k"], broadcast_batch=forced) == 2
+        assert spark.read.parquet(t2).count() == 7
+        assert (
+            sinks.append_dedup(spark, t2, nxt, ["k"], broadcast_batch=forced) == 0
+        )
+
+
 def test_resume_filter_skips_processed(spark, target):
     sinks.write_parquet(_df(spark, [(1, "a", 1), (2, "b", 1)]), target)
     incoming = _df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)])

@@ -149,13 +149,17 @@ def main() -> None:
             ("in_closure", 1 << 40),
             ("chunked", args.ceiling_bytes),
         ):
+            # best-of-2: the first execution at each (k, shape) pays
+            # worker/page-cache warmup that is not the shape's cost
             sampler = RssSampler()
             sampler.start()
-            t0 = time.perf_counter()
-            nearest_centroid_assign(
-                vecs, cents, "vec_id", "embedding", max_closure_bytes=ceiling
-            ).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
+            dt = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                nearest_centroid_assign(
+                    vecs, cents, "vec_id", "embedding", max_closure_bytes=ceiling
+                ).write.mode("overwrite").format("noop").save()
+                dt = min(dt, time.perf_counter() - t0)
             peak_kb = sampler.stop()
             n_chunks = 1 if shape == "in_closure" else max(
                 1, -(-kc * 64 * 8 // max(1, (args.ceiling_bytes // (64 * 8)) * 64 * 8))
