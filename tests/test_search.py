@@ -615,3 +615,42 @@ def test_containment_exact_boundary(spark):
     # small doc has 6 2-shingles, 5 shared ('f g' missing, 'e f' present)
     assert rows[0]["inter_size"] == 5 and rows[0]["len_b"] == 6
     assert rows[0]["containment_b"] == 0.833333
+
+
+def test_nearest_centroid_block_boundary_matches_numpy(spark):
+    """The in-closure path processes centroids in 512-column matmul
+    blocks (the memory bound); with k > 512 the cross-block combine
+    must reproduce a plain full-matrix argmax exactly — including ties
+    that straddle a block boundary."""
+    import numpy as np
+
+    from eligibility_etl_airflow_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    k, dim, n = 600, 4, 64
+    C = rng.uniform(-1, 1, (k, dim))
+    # force boundary-straddling ties: centroid 700 duplicates centroid 3
+    # (same direction → identical rounded sim; lower label must win)
+    C[599] = C[3]
+    X = rng.uniform(-1, 1, (n, dim))
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(k)],
+        "label int, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.id: (r.assigned_label, r.sim)
+        for r in similarity.nearest_centroid_assign(vecs, cents, "vec_id").collect()
+    }
+    sims = np.round(
+        (X @ C.T)
+        / (np.sqrt((X * X).sum(1))[:, None] * np.sqrt((C * C).sum(1))[None, :]),
+        6,
+    )
+    want = np.argmax(sims, axis=1)  # numpy first-max == lowest label
+    for i in range(n):
+        assert got[i][0] == want[i], (i, got[i], want[i])
+        assert got[i][1] == pytest.approx(sims[i, want[i]], abs=1e-9)
