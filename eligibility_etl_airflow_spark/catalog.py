@@ -10,6 +10,7 @@ and pushdown/pruning are the two levers that matter most.
 from __future__ import annotations
 
 import os
+import weakref
 
 import pyarrow.parquet as _pq
 import pyarrow.types as _pat
@@ -47,6 +48,38 @@ def nanos_timestamp_columns(path: str) -> list[str]:
     ]
 
 
+# Session-scoped relation cache: (path, mtime, size) -> DataFrame, per
+# SparkSession (weak-keyed so a stopped session's entries die with it).
+# A metastore-backed deployment gets this for free — resolving a catalog
+# table does not re-list files or re-probe footers on every query — and
+# Spark itself caches file listings per session (guide §6). The bare-path
+# reader here paid that probe (pyarrow footer read + InMemoryFileIndex
+# build, ~0.2 s/table locally) on EVERY query construction: ~1/3 of each
+# trivial query's wall time was re-deriving immutable metadata. Only the
+# *unresolved relation* (logical plan + schema) is cached — execution
+# still scans the parquet files fresh on every action, so bench/oracle
+# runs always compute from the inputs; the (mtime, size) key drops the
+# entry the moment a file is rewritten.
+_RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _file_stamp(path: str) -> tuple:
+    """(mtime_ns, size) identity of a file or of a parquet directory's
+    direct children — changes whenever the data is rewritten."""
+    st = os.stat(path)
+    if os.path.isdir(path):
+        parts = tuple(
+            (f, os.stat(os.path.join(path, f)).st_mtime_ns,
+             os.stat(os.path.join(path, f)).st_size)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+        return (st.st_mtime_ns, parts)
+    return (st.st_mtime_ns, st.st_size)
+
+
 class Catalog:
     """Lazy parquet-backed catalog for one scale-factor directory."""
 
@@ -58,6 +91,14 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
             path = os.path.join(self.sf_dir, f"{name}.parquet")
+            try:
+                key = (os.path.abspath(path), _file_stamp(path))
+            except OSError:
+                key = None  # vanished/racing file: let the read raise below
+            per_session = _RELATION_CACHE.setdefault(self.spark, {})
+            if key is not None and key in per_session:
+                self._cache[name] = per_session[key]
+                return self._cache[name]
             # nanosAsLong is a runtime-settable SQL conf; set it here (not
             # only at session build) so a caller-supplied SparkSession —
             # e.g. the grading harness's conf-less one — can still scan
@@ -73,6 +114,8 @@ class Catalog:
                     col,
                     F.timestamp_micros(F.expr(f"`{col}` div 1000")),
                 )
+            if key is not None:
+                per_session[key] = df
             self._cache[name] = df
         return self._cache[name]
 
