@@ -385,39 +385,91 @@ def ngram_jaccard_pairs(
     exactness at higher per-probe cost — the same contract
     ``set_similarity_join`` makes unconditionally.
 
-    Cache lifecycle (same contract as ``minhash_lsh_pairs``): Spark's
-    CacheManager dedupes by analyzed plan, so repeated invocations over
-    the same input reuse ONE entry; distinct corpora leave entries behind
-    until LRU eviction — a long-lived driver cycling many corpora should
-    ``spark.catalog.clearCache()`` between jobs (the disk-spillable
-    storage level bounds the memory side)."""
-    from pyspark import StorageLevel
+    Execution shape (changed in the r10 optimization round, guide §2.3 +
+    §4.2): one shuffle of each shingle SET on the block key into a
+    per-block bucket (collect_list), then pairwise sorted-array
+    intersection in numpy inside one Arrow-batched map. The previous
+    block self-join evaluated ``array_intersect``/``array_union`` per
+    candidate pair in non-codegen JVM land — measured ~0.4 ms/pair
+    (256+ s of task time for the 588 k sf0.1 candidate pairs, the
+    single hottest stage of the component-clustering queries) — and
+    shuffled every shingle set once per partner instead of once. The
+    intersection COUNT is exact either way, and the jaccard division +
+    rounding stays in JVM columns so the emitted doubles are
+    bit-identical to the join form's. Block-local memory is
+    members × set-size (the blocking key bounds block size by design;
+    an unbounded key belongs on ``set_similarity_join``'s
+    prefix-filtered tier instead — this operator's contract is exact
+    ALL pairs per block, which no cap may prune)."""
+    import numpy as np
+    import pandas as pd
 
     shingler = hashed_shingles_of_norm if hashed else string_shingles_of_norm
-    sh = (
-        _with_normalized_text(df, id_col, text_col, extra={"block": F.col(block_col)})
-        .select(
-            "id",
-            "block",
-            shingler(F.col("_norm"), shingle_k).alias("sh"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _with_normalized_text(
+        df, id_col, text_col, extra={"block": F.col(block_col)}
+    ).select(
+        "id",
+        "block",
+        shingler(F.col("_norm"), shingle_k).alias("sh"),
     )
-    a = sh.select(F.col("id").alias("id_a"), "block", F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), "block", F.col("sh").alias("sh_b"))
-    return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "block",
-            "id_a",
-            "id_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
+    buckets = (
+        sh.groupBy("block")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    id_type = sh.schema["id"].dataType.simpleString()
+    block_type = sh.schema["block"].dataType.simpleString()
+
+    def expand(frames):
+        for pdf in frames:
+            blocks, ia, ib, inter, la, lb = [], [], [], [], [], []
+            for blk, members in zip(pdf["block"], pdf["members"]):
+                ids = [m["id"] for m in members]
+                sets = [np.sort(np.asarray(m["sh"])) for m in members]
+                sizes = [len(s) for s in sets]
+                m = len(ids)
+                for i in range(m - 1):
+                    si = sets[i]
+                    for j in range(i + 1, m):
+                        n_common = np.intersect1d(
+                            si, sets[j], assume_unique=True
+                        ).size
+                        blocks.append(blk)
+                        ia.append(ids[i])
+                        ib.append(ids[j])
+                        inter.append(n_common)
+                        la.append(sizes[i])
+                        lb.append(sizes[j])
+            yield pd.DataFrame(
+                {
+                    "block": pd.Series(blocks, dtype=object),
+                    "id_a": ia,
+                    "id_b": ib,
+                    "inter": np.asarray(inter, dtype=np.int64),
+                    "len_a": np.asarray(la, dtype=np.int64),
+                    "len_b": np.asarray(lb, dtype=np.int64),
+                }
+            )
+
+    counted = buckets.mapInPandas(
+        expand,
+        schema=(
+            f"block {block_type}, id_a {id_type}, id_b {id_type}, "
+            "inter long, len_a long, len_b long"
+        ),
+    )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| (sets are array_distinct by
+    # construction); division + round stay JVM-side so the doubles match
+    # the old array_union form exactly.
+    return counted.select(
+        "block",
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter")
+            / (F.col("len_a") + F.col("len_b") - F.col("inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
     )
 
 
