@@ -562,9 +562,19 @@ def image_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from eligibility_etl_airflow_spark.operators import multimodal
 
-    def synth(batches):
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    # synth + perceptual hash FUSED into one Python stage (r10, guide §4.1):
+    # the former synth-mapInPandas → media_hash_table-mapInPandas chain ran
+    # two Python runners per task, paying the JVM↔Python transpose twice for
+    # the intermediate BMP payload column that only existed to be re-parsed
+    # by the very next stage. The bytes produced and hashed are identical
+    # (same encode_bmp_rgb24 → average_hash64 composition); only the
+    # boundary crossings change. multimodal.image_neardup_pairs keeps the
+    # unfused shape for callers whose binary column already exists.
+    def synth_hash(batches):
         for pdf in batches:
-            payloads = []
+            hashes = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 rng = (did % 64) * 0x9E3779B97F4A7C15 % (1 << 64)
@@ -574,16 +584,21 @@ def image_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 g = bits * 200
                 if did % 128 >= 64:
                     g[did % 8, (did // 128) % 8] = 200 - g[did % 8, (did // 128) % 8]
-                payloads.append(
-                    multimodal.encode_bmp_rgb24(
-                        np.repeat(g[:, :, None].astype(np.uint8), 3, axis=2)
-                    )
+                payload = multimodal.encode_bmp_rgb24(
+                    np.repeat(g[:, :, None].astype(np.uint8), 3, axis=2)
                 )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+                hashes.append(multimodal.average_hash64(payload))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": pd.array(hashes, dtype="Int64")}
+            )
 
     d = Catalog(spark, sf_dir).documents
-    imgs = ensure_parallelism(d.select("doc_id")).mapInPandas(synth, schema="doc_id long, payload binary")
-    pairs = multimodal.image_neardup_pairs(imgs, "doc_id", "payload", max_hamming=3)
+    sigs = (
+        ensure_parallelism(d.select("doc_id"))
+        .mapInPandas(synth_hash, schema="doc_id long, simhash long")
+        .filter(F.col("simhash").isNotNull())
+    )
+    pairs = neardup.simhash_block_pairs(sigs, "doc_id", max_hamming=3)
     # aggregate to hamming-level counts: the pair relation is quadratic
     # in the planted group sizes (deterministic but large) — the graded
     # evidence is the distance histogram + the id checksum, constant-size
@@ -611,10 +626,17 @@ def audio_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from eligibility_etl_airflow_spark.operators import multimodal
 
-    def synth(batches):
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    # synth + fingerprint FUSED into one Python stage (r10, guide §4.1) —
+    # same rationale as image_neardup_pairs_q: the WAV payload column only
+    # existed to cross the JVM↔Python boundary twice. Identical bytes
+    # through encode_wav_pcm16 → audio_fingerprint64, so the fingerprints
+    # (and the graded histogram) are unchanged.
+    def synth_hash(batches):
         bases = {}
         for pdf in batches:
-            payloads = []
+            hashes = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 grp = did % 64
@@ -623,14 +645,19 @@ def audio_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     b = rng.randn(800)
                     bases[grp] = b / np.abs(b).max()
                 gain = 0.2 + 0.2 * ((did // 64) % 4)
-                payloads.append(
-                    multimodal.encode_wav_pcm16(gain * bases[grp], 8000)
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+                payload = multimodal.encode_wav_pcm16(gain * bases[grp], 8000)
+                hashes.append(multimodal.audio_fingerprint64(payload))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": pd.array(hashes, dtype="Int64")}
+            )
 
     d = Catalog(spark, sf_dir).documents
-    clips = ensure_parallelism(d.select("doc_id")).mapInPandas(synth, schema="doc_id long, payload binary")
-    pairs = multimodal.audio_neardup_pairs(clips, "doc_id", "payload", max_hamming=3)
+    sigs = (
+        ensure_parallelism(d.select("doc_id"))
+        .mapInPandas(synth_hash, schema="doc_id long, simhash long")
+        .filter(F.col("simhash").isNotNull())
+    )
+    pairs = neardup.simhash_block_pairs(sigs, "doc_id", max_hamming=3)
     return pairs.groupBy("hamming").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_sum"),
