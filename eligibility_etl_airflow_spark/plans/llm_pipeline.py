@@ -287,16 +287,39 @@ FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
 """
 
 
+def _blocked_jaccard_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared staging relation for the component-clustering family: the
+    documents relation with the lang+length blocking key, and the exact
+    blocked 3-gram-Jaccard pair relation over it. FOUR registered
+    queries consume the pair relation (``ngram_jaccard_pairs`` itself,
+    ``dedup_connected_components``, ``cluster_representatives``,
+    ``leakage_safe_split``), so it is persisted (r10, guide §2.4/§5):
+    CacheManager dedupes by analyzed plan, so within one session the
+    shingle + bucket-collect + pairwise-intersection work runs once and
+    every consumer probes the cached rows — the shingle-table contract.
+    Lifecycle is LRU / the bench's rep-boundary clearCache; every fresh
+    process still computes from the parquet inputs."""
+    from pyspark import StorageLevel
+
+    d = Catalog(spark, sf_dir).documents.withColumn(
+        "block",
+        F.concat_ws("#", F.col("lang"), (F.col("n_chars") / 100).cast("long").cast("string")),
+    )
+    pairs = neardup.ngram_jaccard_pairs(
+        d, "doc_id", "text", "block", shingle_k=3
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return d, pairs
+
+
 @query("ngram_jaccard_pairs", oracle=NGRAM_JACCARD_ORACLE)
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for all pairs within a blocking key
     (language × length bucket). Blocking bounds the pair explosion — the
     join shuffles once on the block key, never corpus²."""
-    d = Catalog(spark, sf_dir).documents.withColumn(
-        "block",
-        F.concat_ws("#", F.col("lang"), (F.col("n_chars") / 100).cast("long").cast("string")),
-    )
-    return neardup.ngram_jaccard_pairs(d, "doc_id", "text", "block", shingle_k=3).select(
+    _, pairs = _blocked_jaccard_pairs(spark, sf_dir)
+    return pairs.select(
         "block",
         F.col("id_a"),
         F.col("id_b"),
@@ -920,22 +943,29 @@ def blocked_component_labels(
     side and the composed oracles cannot drift apart.
 
     Returns ``(docs_with_block, labels)`` where labels is
-    (doc_id long, cluster_id long)."""
+    (doc_id long, cluster_id long).
+
+    r10 (guide §2.4/§5): both the pair relation (via
+    ``_blocked_jaccard_pairs``) and the label relation are persisted —
+    three registered queries consume these labels, and before the
+    staging persist each of them recomputed the full shingle → pairwise
+    intersection → closure chain from the parquet scan."""
+    from pyspark import StorageLevel
+
     from eligibility_etl_airflow_spark.operators import components
 
-    d = Catalog(spark, sf_dir).documents.withColumn(
-        "block",
-        F.concat_ws("#", F.col("lang"), (F.col("n_chars") / 100).cast("long").cast("string")),
+    d, pairs = _blocked_jaccard_pairs(spark, sf_dir)
+    prs = pairs.filter(F.col("jaccard") >= 0.6)
+    labels = (
+        components.attach_components(
+            d.select(F.col("doc_id").cast("long").alias("doc_id")),
+            "doc_id",
+            prs,
+            block_col="block",
+        )
+        .select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prs = neardup.ngram_jaccard_pairs(d, "doc_id", "text", "block", shingle_k=3).filter(
-        F.col("jaccard") >= 0.6
-    )
-    labels = components.attach_components(
-        d.select(F.col("doc_id").cast("long").alias("doc_id")),
-        "doc_id",
-        prs,
-        block_col="block",
-    ).select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
     return d, labels
 
 
