@@ -83,6 +83,26 @@ TRACKING_PREFIXES = ("utm_",)
 TRACKING_NAMES = ("fbclid", "gclid", "ref")
 
 
+def _bound(col: Column, fn) -> Column:
+    """Evaluate ``col`` exactly ONCE per row and hand the result to
+    ``fn`` as a bound lambda variable (single-element ``transform``) —
+    the antidote to the multi-reference re-evaluation trap: a Column
+    expression referenced k times is inlined and EVALUATED k times, and
+    when stages chain (canonicalize(resolve(canonicalize(url)))) the
+    duplication compounds multiplicatively. ``registered_domain``
+    pioneered the trick for its PSL ladder; ``extract_link_edges``
+    binds its resolved-target tree the same way (r10 — the unbound
+    link-edge chain produced a 780 KB physical plan whose per-row
+    evaluation was the whole cost of the link_graph_edges bench line).
+    Use it ONLY when the input is an expensive tree referenced many
+    times: the single-element ``transform`` is interpreted, not
+    codegen'd, and binding a plain column was measured at 2-2.5x pure
+    overhead (url_domain_stats, r10). NULL flows through unchanged:
+    ``array(col)`` is a one-element array holding the NULL, and the
+    lambda sees it exactly as the unbound expression would."""
+    return F.try_element_at(F.transform(F.array(col), fn), F.lit(1))
+
+
 def url_part(col: Column, group: int) -> Column:
     """One captured component of the URL grammar (see URL_REGEX groups);
     empty string when the component is absent or the URL is malformed."""
@@ -241,7 +261,19 @@ def canonical_url(col: Column) -> Column:
     kept), empty path folded to "/", tracking params stripped, fragment
     dropped. Malformed URLs (no grammar match) canonicalize to NULL so
     callers can route them to quarantine instead of silently grouping
-    them under ''."""
+    them under ''.
+
+    The input expression is referenced ~8 times by the component
+    regexes below. That is fine for a plain column (an attribute
+    reference is free), so this entry point stays UNBOUND — wrapping it
+    in the ``_bound`` lambda indirection was measured (r10) to cost
+    2-2.5x on the plain-column consumers (``url_domain_stats`` exec
+    0.74 s → 1.86 s): a single-element ``transform`` is interpreted,
+    not codegen'd. Callers whose input is itself an expensive
+    expression tree (the resolved-target when-chain in
+    :func:`extract_link_edges`) must bind it FIRST —
+    ``_bound(tree, canonical_url)`` — or the tree is inlined and
+    re-evaluated once per reference."""
     scheme = F.lower(url_part(col, 1))
     host = url_host(col)
     explicit_port = F.regexp_extract(_host_port(col), r":([0-9]+)$", 1)
@@ -363,8 +395,12 @@ def extract_link_edges(
         F.col("_raw").startswith("/"),
         F.concat(authority, F.col("_raw")),
     )
+    # resolved is a sizeable when-chain; canonical_url references its
+    # input ~8 times, and the isNotNull filter pushdown would copy the
+    # inlined result again — so bind resolved ONCE (r10: exec 6.1 s →
+    # 3.3 s on the link-graph bench line; the plan shrinks ~8x)
     edges = exploded.select(
-        "_src", canonical_url(resolved).alias("_dst")
+        "_src", _bound(resolved, canonical_url).alias("_dst")
     ).filter(F.col("_dst").isNotNull())
     if domain_grain:
         edges = edges.select(
