@@ -282,6 +282,66 @@ def line_dedup(
     )
 
 
+def span_tokens(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, _toks) tokenized relation shared by the span family —
+    whitespace tokens of the ORIGINAL text (WS_CLASS, the cross-engine
+    class; see :func:`duplicate_spans`). Exposed so callers running
+    several span operators over ONE corpus can stage (and persist) the
+    tokenization once."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        # explicit whitespace class == Java \s exactly; spelled out so
+        # the DuckDB oracle twin can use the IDENTICAL class (RE2's \s
+        # lacks U+000B vertical tab, Java's includes it — a \x0b in a
+        # document would otherwise tokenize differently per engine)
+        F.filter(
+            F.split(F.col(text_col), WS_CLASS), lambda t: t != ""
+        ).alias("_toks"),
+    )
+
+
+def token_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 16,
+    hashed: bool = True,
+    toked: DataFrame | None = None,
+) -> DataFrame:
+    """(id, pos, wk) stride-1 ``min_tokens``-token window relation —
+    the staging input every span operator starts from (``wk`` is the
+    window text, or its xxhash64 when ``hashed``). This is the span
+    family's single most expensive stage (the window explode multiplies
+    the token stream ~``min_tokens``×), and it is IDENTICAL across the
+    locator, the partner-attribution and the removal operators — so
+    callers running more than one of them should build it once, persist
+    it, and pass it via their operators' ``windows=`` parameter (the
+    r10 span-family staging in plans/llm_pipeline.py does exactly
+    that)."""
+    k = min_tokens
+    if k < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {k}")
+    if toked is None:
+        toked = span_tokens(df, id_col, text_col)
+    # windows staged as a projection alias referencing _toks (multi-
+    # referenced attribute — the HOF lambda must not re-split per
+    # element; see tests/test_plan_shape.py's lambdafunction guard)
+    wins = toked.filter(F.size("_toks") >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.array_join(F.slice("_toks", i + 1, k), " "),
+            )
+        ).alias("pos", "w"),
+    )
+    key = F.xxhash64("w") if hashed else F.col("w")
+    return wins.select("id", "pos", key.alias("wk"))
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -290,6 +350,7 @@ def duplicate_spans(
     min_tokens: int = 16,
     hashed: bool = True,
     with_partner: bool = False,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans, Lee-et-al-2022 style ("Dedupli-
     cating Training Data Makes Language Models Better"): every
@@ -338,34 +399,20 @@ def duplicate_spans(
     aggregate (a window repeated a million times collapses map-side),
     hits rejoin by key, and the chain is a per-document window function
     — one shuffle on the window key, one on the doc id; no driver
-    participation, nothing corpus-sized collected."""
+    participation, nothing corpus-sized collected.
+
+    ``windows=`` injects a prebuilt (persisted) :func:`token_windows`
+    relation — it MUST have been built with the same (min_tokens,
+    hashed); the span-family staging contract."""
     k = min_tokens
     if k < 2:
         raise ValueError(f"min_tokens must be >= 2, got {k}")
-    toked = df.select(
-        F.col(id_col).alias("id"),
-        # explicit whitespace class == Java \s exactly; spelled out so
-        # the DuckDB oracle twin can use the IDENTICAL class (RE2's \s
-        # lacks U+000B vertical tab, Java's includes it — a \x0b in a
-        # document would otherwise tokenize differently per engine)
-        F.filter(
-            F.split(F.col(text_col), WS_CLASS), lambda t: t != ""
-        ).alias("_toks"),
-    ).filter(F.size("_toks") >= k)
-    # windows staged as a projection alias referencing _toks (multi-
-    # referenced attribute — the HOF lambda must not re-split per
-    # element; see tests/test_plan_shape.py's lambdafunction guard)
-    wins = toked.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - k),
-                lambda i: F.array_join(F.slice("_toks", i + 1, k), " "),
-            )
-        ).alias("pos", "w"),
+    toked = span_tokens(df, id_col, text_col).filter(F.size("_toks") >= k)
+    keyed = (
+        windows
+        if windows is not None
+        else token_windows(df, id_col, text_col, min_tokens=k, hashed=hashed)
     )
-    key = F.xxhash64("w") if hashed else F.col("w")
-    keyed = wins.select("id", "pos", key.alias("wk"))
     rn = F.row_number().over(Window.partitionBy("id").orderBy("pos"))
     if with_partner:
         # the removal path's min(struct) first-occurrence partial agg,
@@ -448,6 +495,7 @@ def remove_duplicate_spans(
     *,
     min_tokens: int = 16,
     hashed: bool = True,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """The removal step over :func:`duplicate_spans`' location step —
     Lee et al. 2022's actual intervention: for every duplicated
@@ -481,28 +529,19 @@ def remove_duplicate_spans(
     first-occurrence shape of dedup_repeated_segments — a window
     repeated a million times collapses map-side, no row_number over a
     hot partition), and the rebuild is a per-token filter against the
-    doc's own (small) removal-span array — map-only after the joins."""
+    doc's own (small) removal-span array — map-only after the joins.
+
+    ``windows=`` injects a prebuilt (persisted) :func:`token_windows`
+    relation — same (min_tokens, hashed) contract as duplicate_spans."""
     k = min_tokens
     if k < 2:
         raise ValueError(f"min_tokens must be >= 2, got {k}")
-    toked = df.select(
-        F.col(id_col).alias("id"),
-        # WS_CLASS, not \s — cross-engine parity; see duplicate_spans
-        F.filter(
-            F.split(F.col(text_col), WS_CLASS), lambda t: t != ""
-        ).alias("_toks"),
+    toked = span_tokens(df, id_col, text_col)
+    keyed = (
+        windows
+        if windows is not None
+        else token_windows(df, id_col, text_col, min_tokens=k, hashed=hashed)
     )
-    wins = toked.filter(F.size("_toks") >= k).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - k),
-                lambda i: F.array_join(F.slice("_toks", i + 1, k), " "),
-            )
-        ).alias("pos", "w"),
-    )
-    key = F.xxhash64("w") if hashed else F.col("w")
-    keyed = wins.select("id", "pos", key.alias("wk"))
     firsts = keyed.groupBy("wk").agg(
         F.min(F.struct("id", "pos")).alias("f"),
         F.count(F.lit(1)).alias("n"),
