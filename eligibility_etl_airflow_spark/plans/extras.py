@@ -141,14 +141,31 @@ GROUP BY l_returnflag
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile`` ==
     DuckDB ``quantile_cont``); at 100 TB swap in approx_percentile —
-    same plan shape, sketch-mergeable."""
+    same plan shape, sketch-mergeable.
+
+    Both quantiles come from ONE ``percentile(col, array(...))`` call
+    (r10, guide §2.3): two scalar calls each build their own
+    full-value-list aggregation buffer and ship it through the
+    exchange — one array-form call halves the buffer and the shuffled
+    bytes, with bit-identical interpolation."""
     li = Catalog(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    pcts = F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pcts.alias("_p"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p").getItem(0), 4).alias("p50"),
+            F.round(F.col("_p").getItem(1), 4).alias("p95"),
+            "min_price",
+            "max_price",
+            "avg_price",
+        )
     )
 
 
@@ -160,14 +177,29 @@ def percentile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     group). Registered rows-only because the sketch result is
     rank-error-bounded, not value-exact; tests/test_extras.py pins the
     error bound against the exact query. ``accuracy=10000`` bounds rank
-    error at 1/accuracy = 0.01% of rows per group."""
+    error at 1/accuracy = 0.01% of rows per group. Both quantiles come
+    from ONE sketch via the array form (r10, guide §2.3 — the scalar
+    form builds and shuffles two identical KLL sketches)."""
     li = Catalog(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).alias("p50"),
-        F.round(F.expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).alias("p95"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pcts.alias("_p"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p").getItem(0), 4).alias("p50"),
+            F.round(F.col("_p").getItem(1), 4).alias("p95"),
+            "min_price",
+            "max_price",
+            "avg_price",
+        )
     )
 
 
