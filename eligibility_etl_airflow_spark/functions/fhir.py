@@ -228,13 +228,20 @@ def parse_limits(bundle: Column) -> Column:
 # --------------------------------------------------------------------------
 
 
-@F.udf(returnType=ArrayType(StringType()))
+@F.udf(returnType=ArrayType(StringType()), useArrow=True)
 def find_keys(raw, key):
     """Collect every value of ``key`` anywhere in the JSON document, in
     document order, each re-serialized as JSON (eligibility.py:547-559).
     Scalar UDF by necessity: unknown-depth recursion isn't expressible in
     the Column DSL. Not for hot paths — schema-first extractors above
-    cover every known field."""
+    cover every known field.
+
+    ``useArrow=True`` (r10, guide §4.3): the function body is unchanged
+    (still called per row) but batches cross the JVM↔Python boundary as
+    Arrow instead of pickled rows — the array<string> return type is
+    exactly the nested shape the pickle path serializes worst. Return
+    values are honestly typed (list[str] | [] | None), so the
+    Arrow-vs-pickle coercion difference cannot bite."""
     if raw is None:
         return None
     try:
