@@ -185,35 +185,62 @@ def train_quality_classifier(
 def score_quality(
     df: DataFrame, id_col: str, text_col: str, model: dict
 ) -> DataFrame:
-    """(id, score) sigmoid quality score per document — pure relational
-    arithmetic: explode → bucket → broadcast-join the (bucket, weight)
-    relation → per-doc weighted sum → sigmoid. Token-less docs score
-    ``sigmoid(bias)`` (outer-join semantics: absence of evidence is the
-    prior, not a crash)."""
-    spark = df.sparkSession
+    """(id, score) sigmoid quality score per document — MAP-ONLY column
+    arithmetic (r10, guide §2.4 "remove shuffles outright"): the doc's
+    token buckets are sorted and run-length-folded in one higher-order
+    ``aggregate`` against the weight vector shipped as a single array
+    literal, so z = Σ_b log1p(cnt_b)·w_b is computed entirely inside the
+    scan stage. The previous shape (explode → (id, bucket) partial-agg
+    shuffle → broadcast weight join → per-doc sum shuffle → corpus-wide
+    left join back to ids) moved the whole token stream through two
+    exchanges and a join to compute a per-row scalar; at 100 TB scoring
+    is now embarrassingly parallel. Summation order is bucket-ascending
+    per doc — deterministic, unlike the old shuffle-order float sum.
+    Token-less docs have an empty bucket array, fold to z = 0, and score
+    ``sigmoid(bias)`` — the prior, exactly the old outer-join
+    semantics."""
     dim = int(model["dim"])
     bias = float(model["bias"])
-    wtab = spark.createDataFrame(
-        [(i, float(wi)) for i, wi in enumerate(model["weights"])],
-        "bucket int, w double",
-    )
-    feats = hashed_token_features(df, id_col, text_col, dim)
-    contrib = (
-        feats.withColumn("x", F.log1p(F.col("cnt")))
-        .join(F.broadcast(wtab), "bucket")
-        .groupBy("id")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
-    )
-    ids = df.select(F.col(id_col).alias("id"))
-    return (
-        ids.join(contrib, "id", "left")
-        .select(
-            "id",
-            (
-                F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("z"), F.lit(0.0)) + F.lit(bias))))
-            ).alias("score"),
+    w_arr = F.lit([float(wi) for wi in model["weights"]])
+
+    def _flush(s: Column) -> Column:
+        # fold the finished run into the accumulator: log1p(count)·w[b]
+        return s["acc"] + F.when(
+            s["run"] > 0.0,
+            F.log1p(s["run"]) * F.element_at(w_arr, s["prev"] + 1),
+        ).otherwise(F.lit(0.0))
+
+    def _merge(s: Column, b: Column) -> Column:
+        return F.when(
+            b == s["prev"],
+            F.struct(
+                s["prev"].alias("prev"),
+                (s["run"] + 1.0).alias("run"),
+                s["acc"].alias("acc"),
+            ),
+        ).otherwise(
+            F.struct(
+                b.alias("prev"), F.lit(1.0).alias("run"), _flush(s).alias("acc")
+            )
         )
+
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.transform(tokens_of(F.col(text_col)), lambda t: _bucket_of(t, dim))
+        ).alias("_b"),
+    )
+    z = F.aggregate(
+        F.col("_b"),
+        F.struct(
+            F.lit(-1).alias("prev"), F.lit(0.0).alias("run"), F.lit(0.0).alias("acc")
+        ),
+        _merge,
+        _flush,
+    )
+    return staged.select(
+        "id",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(z + F.lit(bias))))).alias("score"),
     )
 
 

@@ -458,11 +458,16 @@ def test_semantic_dedup_assignment_is_map_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_quality_scoring_is_broadcast_join_no_python(spark, sf_dir):
+def test_quality_scoring_is_map_only_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "quality_classifier_scores")
-    # learned weights broadcast to the exploded token stream
-    assert "BroadcastHashJoin" in plan
-    # the scoring path is pure JVM arithmetic — no Python islands at all
+    # r10 scoring shape: the weight vector ships as an array literal and
+    # z folds per doc in one higher-order aggregate — the whole scoring
+    # plan is Scan → Project: NO shuffle, NO join of any kind (the old
+    # shape was explode → (id,bucket) agg shuffle → broadcast weight
+    # join → per-doc sum shuffle → corpus-wide left join)
+    for node in ("Exchange", "Join", "HashAggregate", "Generate"):
+        assert node not in plan, node
+    # and still pure JVM arithmetic — no Python islands at all
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert node not in plan, node
 
