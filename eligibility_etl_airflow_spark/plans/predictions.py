@@ -243,7 +243,22 @@ def llm_predictions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("input_tokens"),
         F.lit(0).cast("long").alias("output_tokens"),
     )
-    return llm_side.unionByName(approved_side)
+    # llm_side persisted (r10, guide §5): TWO registered queries execute
+    # this exact plan — this one and llm_cost_metrics' rollup (forced by
+    # the self-contained-registration contract to re-run the pipeline).
+    # CacheManager dedupes by analyzed plan, so within one session the
+    # applyInPandas LLM fan-out runs ONCE and the second consumer scans
+    # the cached rows. Only the Python-boundary side is cached — the
+    # approved side is plain column work that each consumer prunes
+    # better lazily (caching the full union cost the rollup +1.2 s in
+    # materialization and lost its column pruning). Lifecycle is LRU /
+    # the bench's rep-boundary clearCache; a fresh process still
+    # computes from the parquet inputs.
+    from pyspark import StorageLevel
+
+    return llm_side.persist(StorageLevel.MEMORY_AND_DISK).unionByName(
+        approved_side
+    )
 
 
 # --------------------------------------------------------------------------
