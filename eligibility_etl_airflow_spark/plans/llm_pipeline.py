@@ -596,21 +596,32 @@ def image_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary crossings change. multimodal.image_neardup_pairs keeps the
     # unfused shape for callers whose binary column already exists.
     def synth_hash(batches):
+        # the synthetic image is a pure function of
+        # (did % 64, did % 128 >= 64, (did // 128) % 8) — did % 8 is
+        # implied by did % 64 — so the distinct payload domain is ≤576;
+        # memoize encode+hash per task (r10, guide §4.5: amortize
+        # heavyweight per-row work across the partition) instead of
+        # re-encoding a BMP per row. Identical bytes → identical hashes.
+        memo = {}
         for pdf in batches:
             hashes = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                rng = (did % 64) * 0x9E3779B97F4A7C15 % (1 << 64)
-                bits = np.array(
-                    [(rng >> i) & 1 for i in range(64)], dtype=np.uint8
-                ).reshape(8, 8)
-                g = bits * 200
-                if did % 128 >= 64:
-                    g[did % 8, (did // 128) % 8] = 200 - g[did % 8, (did // 128) % 8]
-                payload = multimodal.encode_bmp_rgb24(
-                    np.repeat(g[:, :, None].astype(np.uint8), 3, axis=2)
-                )
-                hashes.append(multimodal.average_hash64(payload))
+                key = (did % 64, did % 128 >= 64, (did // 128) % 8)
+                h = memo.get(key)
+                if h is None:
+                    rng = (did % 64) * 0x9E3779B97F4A7C15 % (1 << 64)
+                    bits = np.array(
+                        [(rng >> i) & 1 for i in range(64)], dtype=np.uint8
+                    ).reshape(8, 8)
+                    g = bits * 200
+                    if did % 128 >= 64:
+                        g[did % 8, (did // 128) % 8] = 200 - g[did % 8, (did // 128) % 8]
+                    payload = multimodal.encode_bmp_rgb24(
+                        np.repeat(g[:, :, None].astype(np.uint8), 3, axis=2)
+                    )
+                    h = memo[key] = multimodal.average_hash64(payload)
+                hashes.append(h)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "simhash": pd.array(hashes, dtype="Int64")}
             )
@@ -657,19 +668,29 @@ def audio_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through encode_wav_pcm16 → audio_fingerprint64, so the fingerprints
     # (and the graded histogram) are unchanged.
     def synth_hash(batches):
+        # the synthetic recording is a pure function of
+        # (did % 64, (did // 64) % 4) — ≤256 distinct payloads — so
+        # memoize encode+fingerprint per task (r10, guide §4.5), the
+        # same pattern the `bases` dict already used for the noise
+        # bases. Identical bytes → identical fingerprints.
         bases = {}
+        memo = {}
         for pdf in batches:
             hashes = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 grp = did % 64
-                if grp not in bases:
-                    rng = np.random.RandomState(1000 + grp)
-                    b = rng.randn(800)
-                    bases[grp] = b / np.abs(b).max()
-                gain = 0.2 + 0.2 * ((did // 64) % 4)
-                payload = multimodal.encode_wav_pcm16(gain * bases[grp], 8000)
-                hashes.append(multimodal.audio_fingerprint64(payload))
+                gain_idx = (did // 64) % 4
+                h = memo.get((grp, gain_idx))
+                if h is None:
+                    if grp not in bases:
+                        rng = np.random.RandomState(1000 + grp)
+                        b = rng.randn(800)
+                        bases[grp] = b / np.abs(b).max()
+                    gain = 0.2 + 0.2 * gain_idx
+                    payload = multimodal.encode_wav_pcm16(gain * bases[grp], 8000)
+                    h = memo[(grp, gain_idx)] = multimodal.audio_fingerprint64(payload)
+                hashes.append(h)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "simhash": pd.array(hashes, dtype="Int64")}
             )
