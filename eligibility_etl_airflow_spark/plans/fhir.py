@@ -29,8 +29,16 @@ _PAYER_URLS = [
 def synth_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → (order_key, raw_bundle): API errors for k%7=0, claim
     rejections for k%3=0, missing outcome for k%5=0, else complete —
-    with payer-variant benefit placement keyed by k%4."""
-    o = Catalog(spark, sf_dir).orders
+    with payer-variant benefit placement keyed by k%4.
+
+    The orders scan is parallelism-staged (r10): at bench scale it is
+    ONE parquet split, so the whole synth → parse → extract chain ran
+    as a single task (fhir_extract_bundle 4.85 s single-threaded,
+    stage-profile-measured); ensure_parallelism spreads it and is a
+    no-op at scale where the scan itself provides the partitions."""
+    from eligibility_etl_airflow_spark.operators.parallel import ensure_parallelism
+
+    o = ensure_parallelism(Catalog(spark, sf_dir).orders)
     k = F.col("o_orderkey")
     p = F.col("o_totalprice")
     s = F.col("o_orderstatus")
