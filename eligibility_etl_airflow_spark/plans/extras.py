@@ -147,7 +147,11 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r10, guide §2.3): two scalar calls each build their own
     full-value-list aggregation buffer and ship it through the
     exchange — one array-form call halves the buffer and the shuffled
-    bytes, with bit-identical interpolation."""
+    bytes, with bit-identical interpolation. (A round-robin
+    parallelism stage was tried and reverted — r10 A/B: the repartition
+    shuffle of the raw rows cost more than the single-task partial
+    aggregate it parallelized; columnar agg work is ~cheap per row,
+    unlike the FHIR JSON synth where the same staging won 6×.)"""
     li = Catalog(spark, sf_dir).lineitem
     pcts = F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))")
     return (

@@ -41,6 +41,16 @@ def get_spark(app_name: str = "eligibility-etl-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # NOTE (r10): a spark.sql.files.minPartitionNum scan-parallelism
+        # floor was tried and REVERTED — the bench parquet files hold a
+        # single row group each, so byte-range splitting produced 32
+        # tasks of which 31 were empty and one still read the whole
+        # file (a (31+1)/32 straggler in every scan stage, measured
+        # slower across the board). Scan-level parallelism is
+        # structurally impossible on single-row-group files; CPU-heavy
+        # post-scan stages use operators/parallel.ensure_parallelism
+        # (an input-size-adaptive round-robin repartition that is a
+        # passthrough at scale) instead.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # TIMESTAMP(NANOS) parquet columns (events.ts) are otherwise
