@@ -70,18 +70,29 @@ def contrastive_triplets(
         jaccard_threshold=0.0,
         max_bucket_size=max_bucket_size,
     )
-    # symmetrize: every pair serves both ends as anchor
+    # symmetrize: every pair serves both ends as anchor. ONE pass via
+    # explode, NOT a two-branch union (r10): the union form embedded the
+    # whole LSH + verify lineage once per branch, and the Arrow-batched
+    # bucket-expansion stage defeats exchange reuse (Python eval nodes
+    # do not canonicalize equal), so candidate generation executed
+    # twice — the stage profile showed the ~6 MB signature/bucket
+    # shuffles written 4× per run. Same rows out, half the lineage.
     sym = pairs.select(
-        F.col("id_a").alias("anchor_id"),
-        F.col("id_b").alias("partner_id"),
-        "jaccard",
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("anchor_id"),
-            F.col("id_a").alias("partner_id"),
-            "jaccard",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("anchor_id"),
+                    F.col("id_b").alias("partner_id"),
+                    F.col("jaccard"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("anchor_id"),
+                    F.col("id_a").alias("partner_id"),
+                    F.col("jaccard"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     # Both sides come out of ONE conditional aggregation over the pair
     # stream (max(when(...)) is null-skipping), so the expensive LSH +
     # verify lineage is consumed exactly once — two groupBys + a join
