@@ -1020,28 +1020,30 @@ def semantic_decontam_flags(
     collapses the |corpus|×|bench| pair stream to one row per corpus
     vector map-side, so the lone shuffle carries |corpus| rows.
     Similarity is rounded to 6 dp BEFORE the argmax and ties break on
-    the lower bench id (``max`` of (sim, -bench_id)), keeping the winner
-    off last-ulp float noise like ``nearest_centroid_assign``.
+    the lower bench id, keeping the winner off last-ulp float noise.
+
+    Execution (r10): this IS nearest-prototype assignment with the
+    benchmark as the prototype set, so it delegates to
+    :func:`nearest_centroid_assign` — one Arrow-batched numpy matmul
+    per corpus batch against the broadcast benchmark matrix, map-only,
+    with the same round-6-before-argmax and lowest-id tie-break this
+    operator always specified. The previous relational form
+    (BroadcastNestedLoopJoin + per-pair higher-order dot + partial-agg
+    argmax) evaluated the dot products element-by-element in
+    non-codegen JVM land — 36 s of task time at sf0.1 for work that is
+    one BLAS call per batch.
     """
-    c = corpus.select(
-        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
-    b = bench.select(
-        F.col(bench_id_col).alias("bid"), as_double_array(F.col(vec_col)).alias("bv")
-    ).withColumn("bn", _norm(F.col("bv")))
-    paired = c.crossJoin(F.broadcast(b)).select(
-        "id",
-        "bid",
-        F.round(_dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6).alias(
-            "sim"
+    out = nearest_centroid_assign(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("embedding")),
+        bench.select(
+            F.col(bench_id_col).alias("label"), F.col(vec_col).alias("centroid")
         ),
+        "id",
+        "embedding",
     )
-    best = paired.groupBy("id").agg(
-        F.max(F.struct(F.col("sim"), (-F.col("bid")).alias("negid"))).alias("m")
-    )
-    return best.select(
+    return out.select(
         F.col("id").alias(id_col),
-        (-F.col("m.negid")).cast("long").alias("nn_bench_id"),
-        F.col("m.sim").alias("nn_sim"),
-        (F.col("m.sim") >= F.lit(threshold)).cast("long").alias("contaminated"),
+        F.col("assigned_label").cast("long").alias("nn_bench_id"),
+        F.col("sim").alias("nn_sim"),
+        (F.col("sim") >= F.lit(threshold)).cast("long").alias("contaminated"),
     )

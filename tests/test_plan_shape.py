@@ -496,14 +496,16 @@ def test_token_shards_no_single_partition_window(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
-def test_semantic_decontam_argmax_is_partial_aggregate(spark, sf_dir):
+def test_semantic_decontam_is_map_only_matmul(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semantic_decontam_flags")
-    # bench side broadcast; corpus never shuffles at pair grain — the
-    # per-corpus-row argmax partial-aggregates map-side so the lone
-    # shuffle carries one row per corpus vector
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
-    assert "partial_max" in plan or "partial" in plan.lower()
+    # r10 shape: delegates to nearest_centroid_assign — the benchmark
+    # matrix ships in the task closure and each Arrow batch computes
+    # one numpy matmul + argmax. NO pair-grain join of any kind and no
+    # shuffle beyond the parallelism stage: the corpus is scanned,
+    # spread, scored map-side.
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct", "Join"):
+        assert node not in plan, node
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
 
 
 def test_blocklist_is_map_only_no_exchange(spark, sf_dir):
