@@ -56,28 +56,41 @@ def gap_fill_locf(
         .filter(F.col("__rn") == 1)
         .select(key_col, "bucket_start", "value")
     )
-    grid = (
-        observed.groupBy(key_col)
-        .agg(F.min("bucket_start").alias("__b0"), F.max("bucket_start").alias("__b1"))
+    # Gap runs, not grid-join-LOCF (r10): each observation generates
+    # the buckets from itself up to (exclusive) the key's next
+    # observation, carrying its value — the union of those runs IS the
+    # [first, last] grid with LOCF applied, row for row. The previous
+    # shape built the grid from a per-key min/max aggregate, LEFT-joined
+    # the observations back and ran a second (ignore-nulls last) window
+    # over the joined grid — two more shuffles, and because the grid
+    # explode sat ABOVE the aggregate's exchange, AQE had coalesced
+    # that exchange to ~1 partition on the tiny pre-explode bytes and
+    # the entire post-explode join + window ran single-task
+    # (stage-profile-measured 3.1 s in one task at sf0.1). Here the
+    # lone explode is the LAST operator: everything before it is
+    # windows over the observation rows, and nothing downstream needs a
+    # shuffle. Leading gaps cannot exist (the grid starts at the first
+    # observation), so LOCF == the run's own value everywhere.
+    w_next = Window.partitionBy(key_col).orderBy("bucket_start")
+    seq = F.expr(
+        f"sequence(bucket_start, "
+        f"coalesce(__next - interval {interval}, bucket_start), "
+        f"interval {interval})"
+    )
+    runs = (
+        observed.withColumn("__next", F.lead("bucket_start").over(w_next))
         .select(
             key_col,
-            F.explode_outer(
-                F.expr(f"sequence(__b0, __b1, interval {interval})")
-            ).alias("bucket_start"),
+            F.col("value").alias("__v"),
+            F.posexplode(seq).alias("__i", "bucket_start"),
         )
     )
-    w_fill = Window.partitionBy(key_col).orderBy("bucket_start").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return (
-        grid.join(observed, [key_col, "bucket_start"], "left")
-        .select(
-            key_col,
-            "bucket_start",
-            "value",
-            F.last("value", ignorenulls=True).over(w_fill).alias("filled_value"),
-            F.col("value").isNull().alias("is_gap"),
-        )
+    return runs.select(
+        key_col,
+        "bucket_start",
+        F.when(F.col("__i") == 0, F.col("__v")).alias("value"),
+        F.col("__v").alias("filled_value"),
+        (F.col("__i") != 0).alias("is_gap"),
     )
 
 
