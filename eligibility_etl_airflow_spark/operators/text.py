@@ -50,22 +50,28 @@ def token_count_ws(col: Column) -> Column:
 
 
 def token_count_bpe(col: Column) -> Column:
-    """BPE-ish token count via the pre-tokenizer regex."""
-    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
+    """BPE-ish token count via the pre-tokenizer regex.
+
+    ``regexp_count``, not ``size(regexp_extract_all(...))`` (r10, the
+    whole match-counting family here): extract_all materializes every
+    match into an array just to measure its length — per-row allocation
+    proportional to the document. Identical counts (same non-overlapping
+    match walk, NULL→NULL)."""
+    return F.regexp_count(col, F.lit(TOKEN_REGEX)).cast("long")
 
 
 def word_occurrences(col: Column, word: str) -> Column:
     """Whole-word occurrence count (used by marker scoring)."""
-    return F.size(F.regexp_extract_all(col, F.lit(rf"\b{word}\b"), F.lit(0))).cast("long")
+    return F.regexp_count(col, F.lit(rf"\b{word}\b")).cast("long")
 
 
 def punct_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), F.lit(0))).cast("long")
+    return F.regexp_count(col, F.lit(r"[^\w\s]")).cast("long")
 
 
 def stopword_count(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
     pattern = r"\b(" + "|".join(stopwords) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), F.lit(0))).cast("long")
+    return F.regexp_count(F.lower(col), F.lit(pattern)).cast("long")
 
 
 def quality_score(col: Column) -> Column:
@@ -91,7 +97,7 @@ def lang_scores(col: Column) -> dict[str, Column]:
     out: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
         pattern = r"\b(" + "|".join(markers) + r")\b"
-        out[lang] = F.size(F.regexp_extract_all(lowered, F.lit(pattern), F.lit(0))).cast("long")
+        out[lang] = F.regexp_count(lowered, F.lit(pattern)).cast("long")
     return out
 
 
@@ -176,7 +182,7 @@ def blocklist_hits(col: Column, terms: tuple[str, ...]) -> Column:
         right = r"\b" if _word(t[-1]) else ""
         parts.append(left + re.escape(t) + right)
     pattern = "(" + "|".join(parts) + ")"
-    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), F.lit(0))).cast(
+    return F.regexp_count(F.lower(col), F.lit(pattern)).cast(
         "long"
     )
 
@@ -361,7 +367,7 @@ def mojibake_count(col: Column) -> Column:
     (operators/multimodal.py), which gates invalid BYTES: mojibake is
     VALID UTF-8 carrying wrong text, so it sails through byte checks."""
     pattern = "|".join(MOJIBAKE_SEQUENCES)
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast(
+    return F.regexp_count(col, F.lit(pattern)).cast(
         "long"
     )
 

@@ -753,9 +753,9 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all(t, F.lit(_PII["email"]), F.lit(0))).cast("long").alias("n_email"),
-        F.size(F.regexp_extract_all(t, F.lit(_PII["ssn"]), F.lit(0))).cast("long").alias("n_ssn"),
-        F.size(F.regexp_extract_all(t, F.lit(_PII["phone"]), F.lit(0))).cast("long").alias("n_phone"),
+        F.regexp_count(t, F.lit(_PII["email"])).cast("long").alias("n_email"),
+        F.regexp_count(t, F.lit(_PII["ssn"])).cast("long").alias("n_ssn"),
+        F.regexp_count(t, F.lit(_PII["phone"])).cast("long").alias("n_phone"),
         F.md5(redacted).alias("redacted_md5"),
     )
 
