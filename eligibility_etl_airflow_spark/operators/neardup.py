@@ -201,7 +201,13 @@ def signature_band_table(
         # bit-identical results (same elementwise ops, same min
         # segments; empty docs keep the sentinel signature).
         sentinel = np.uint64(2**63 - 1)
-        max_cells = 8 << 20
+        # chunk ceiling ~256k cells = a 2 MB hash matrix: the r10 sweep
+        # measured 2 MB (cache-resident per worker) fastest — 64k cells
+        # pays per-chunk dispatch, and the first-cut 8M-cell chunks were
+        # CATASTROPHIC under 32 concurrent workers (67 MB matrices + mix
+        # temporaries stream through DRAM; dedup_minhash_lsh 2.8 s →
+        # 9.8 s in-suite before this ceiling was re-measured)
+        max_cells = int(os.environ.get("SPARK_GRAFT_SIG_CHUNK_CELLS", str(1 << 18)))
         max_chunk = max(1, max_cells // num_perm)
         for pdf in frames:
             n = len(pdf)
