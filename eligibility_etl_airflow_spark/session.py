@@ -23,15 +23,47 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Python-worker daemon preload (r10, guide §4.5 at the process level):
+# fork workers from a daemon that has ALREADY imported numpy/pandas/
+# pyarrow + the engine modules, instead of paying ~0.5-1.5 s of imports
+# in every fresh worker (32-64 of them spin up on the first Python
+# stage; measured multimodal_features cold rep 22.9 s -> 10.3 s, warm
+# rep 6.7 s -> 1.9 s). The daemon subprocess is spawned with `python -m
+# <module>` BEFORE addPyFile ships the package zip, so the module must
+# be importable through the inherited environment: _enable_preload()
+# prepends the package parent to $PYTHONPATH before the JVM launches
+# (the JVM inherits the driver env and passes it to the daemon). Local
+# masters only — on a multi-host cluster the executor hosts don't
+# inherit the driver env; ship the package and set
+# spark.executorEnv.PYTHONPATH + this config explicitly instead.
+# Kill-switch: SPARK_GRAFT_NO_WORKER_PRELOAD=1 restores the stock
+# pyspark.daemon.
+_PRELOAD_MODULE = "eligibility_etl_airflow_spark.worker_preload"
+
+
+def _enable_preload(master: str) -> bool:
+    if os.environ.get("SPARK_GRAFT_NO_WORKER_PRELOAD", "") == "1":
+        return False
+    if not master.startswith("local"):
+        return False
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+    return True
+
 
 def get_spark(app_name: str = "eligibility-etl-spark",
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
     """Build (or fetch) the engine SparkSession."""
     shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    master = f"local[{DEFAULT_CPUS}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{DEFAULT_CPUS}]")
+        .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
@@ -57,6 +89,8 @@ def get_spark(app_name: str = "eligibility-etl-spark",
         # unreadable; the catalog converts the long nanos back to timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if _enable_preload(master):
+        builder = builder.config("spark.python.daemon.module", _PRELOAD_MODULE)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
