@@ -51,6 +51,19 @@ def sniff_format(binary_col: Column) -> Column:
     return out
 
 
+def sniff_format_py(payload: bytes) -> str:
+    """Python twin of :func:`sniff_format` for fused Python stages —
+    same ``_MAGIC`` table, same first-match-wins semantics (parity is
+    test-pinned in tests/test_multimodal.py). Use when a mapInPandas
+    stage already holds the payload bytes and a round-trip through a
+    JVM column expression would force an extra Python boundary."""
+    prefix = payload[:4].hex().upper()
+    for magic, tag in _MAGIC:
+        if prefix.startswith(magic):
+            return tag
+    return "unknown"
+
+
 def binary_metadata(binary_col: Column) -> Column:
     """Typed metadata struct computed without decoding."""
     return F.struct(

@@ -517,43 +517,67 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sine_t = np.arange(800) / 8000.0  # hoisted: shared by every WAV row
 
-    def synth(batches):
+    # synth + metadata + decode FUSED into one Python stage (r10, guide
+    # §4.1/§4.5) — the image/audio precedent applied to the features
+    # query: the former synth-mapInPandas → JVM metadata → decode-
+    # mapInPandas chain ran TWO Python runners per task with the payload
+    # crossing the JVM↔Python boundary three times, and a chained
+    # 2-Python-stage task was measured to cost ~2 s of pure runner
+    # plumbing even warm (identity A/B, OPTIMIZATION_r10.md). The
+    # payload is a pure function of (did % 2, did % 8 | did % 256) —
+    # ≤132 distinct payloads — so encode+md5+decode memoizes per task.
+    # Identical bytes → identical md5/features; metadata parity with
+    # binary_metadata is exact (len == length, hashlib md5 == F.md5 hex,
+    # sniff_format_py is the test-pinned twin of sniff_format); the
+    # final select's JVM expressions (element_at/round/size) are
+    # unchanged. multimodal.decode_features keeps the unfused seam for
+    # callers whose binary column already exists.
+    def synth_meta_decode(batches):
+        import hashlib
+
+        memo = {}
         for pdf in batches:
-            payloads = []
+            n_bytes, fmts, md5s, feats = [], [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 2 == 0:
-                    freq = 200.0 + (did % 8) * 100.0
-                    payloads.append(
-                        multimodal.encode_wav_pcm16(
+                key = did % 8 if did % 2 == 0 else 8 + (did % 256)
+                t = memo.get(key)
+                if t is None:
+                    if did % 2 == 0:
+                        freq = 200.0 + (did % 8) * 100.0
+                        payload = multimodal.encode_wav_pcm16(
                             0.5 * np.sin(2 * np.pi * freq * sine_t), 8000
                         )
-                    )
-                else:
-                    rgb = [(did * 37) % 256, (did * 59) % 256, (did * 83) % 256]
-                    payloads.append(
-                        multimodal.encode_bmp_rgb24(
+                    else:
+                        rgb = [(did * 37) % 256, (did * 59) % 256, (did * 83) % 256]
+                        payload = multimodal.encode_bmp_rgb24(
                             np.full((4, 4, 3), rgb, dtype=np.uint8)
                         )
+                    t = memo[key] = (
+                        len(payload),
+                        multimodal.sniff_format_py(payload),
+                        hashlib.md5(payload).hexdigest(),
+                        multimodal.real_media_decoder(payload),
                     )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+                n_bytes.append(t[0])
+                fmts.append(t[1])
+                md5s.append(t[2])
+                feats.append(t[3])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "format": fmts,
+                    "content_md5": md5s,
+                    "features": feats,
+                }
+            )
 
     d = Catalog(spark, sf_dir).documents
-    with_bin = (
-        ensure_parallelism(d.select("doc_id"))
-        .mapInPandas(synth, schema="doc_id long, payload binary")
-        .withColumn("meta", multimodal.binary_metadata(F.col("payload")))
-        .select("doc_id", "payload", "meta.n_bytes", "meta.format", "meta.content_md5")
-    )
-    # metadata rides THROUGH the decode stage instead of joining back —
-    # a join would make Spark re-run the Python synth lineage for both
-    # sides (measured 2× the whole query's Python cost)
-    feats = multimodal.decode_features(
-        with_bin,
-        "payload",
-        "doc_id",
-        decoder=multimodal.real_media_decoder,
-        passthrough_cols=("n_bytes", "format", "content_md5"),
+    feats = ensure_parallelism(d.select("doc_id")).mapInPandas(
+        synth_meta_decode,
+        schema="doc_id long, n_bytes long, format string, "
+        "content_md5 string, features array<double>",
     )
     return feats.select(
         "doc_id",

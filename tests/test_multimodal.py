@@ -30,6 +30,40 @@ def test_sniff_format_and_metadata(spark):
     assert got[5] is None or got[5].n_bytes is None
 
 
+def test_sniff_format_py_parity(spark):
+    """sniff_format_py (the fused-Python-stage twin) must agree with the
+    sniff_format column expression byte for byte — the r10 fused
+    multimodal_features query computes format Python-side."""
+    import hashlib
+
+    from eligibility_etl_airflow_spark.operators.multimodal import (
+        encode_bmp_rgb24,
+        encode_wav_pcm16,
+        sniff_format_py,
+    )
+    import numpy as np
+
+    payloads = [
+        bytes.fromhex("FFD8FF") + b"jpegdata" * 10,
+        bytes.fromhex("89504E47") + b"pngdata" * 10,
+        bytes.fromhex("47494638") + b"gifdata" * 10,
+        bytes.fromhex("494433") + b"mp3data" * 10,
+        b"plain text payload",
+        b"B",  # shorter than any magic
+        b"",
+        encode_wav_pcm16(np.zeros(16), 8000),
+        encode_bmp_rgb24(np.zeros((2, 2, 3), dtype=np.uint8)),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i long, payload binary"
+    ).withColumn("meta", multimodal.binary_metadata(F.col("payload")))
+    jvm = {r.i: (r.meta.format, r.meta.content_md5, r.meta.n_bytes) for r in df.collect()}
+    for i, p in enumerate(payloads):
+        assert jvm[i][0] == sniff_format_py(p)
+        assert jvm[i][1] == hashlib.md5(p).hexdigest()
+        assert jvm[i][2] == len(p)
+
+
 def test_decode_features_shape_and_determinism(spark):
     df = _payloads(spark)
     feats = {r.doc_id: r.features for r in multimodal.decode_features(df, "payload", "doc_id").collect()}
