@@ -326,6 +326,15 @@ def token_windows(
         raise ValueError(f"min_tokens must be >= 2, got {k}")
     if toked is None:
         toked = span_tokens(df, id_col, text_col)
+    # r10: spread the window build — the ~min_tokens× explode of the
+    # token stream is the span family's heaviest per-row work, and on a
+    # single-split scan it ran as ONE task (1.45 s of a 4 s query at
+    # sf0.1; the dedup_simhash lesson). ensure_parallelism is
+    # input-size-adaptive (passthrough at scale, where the scan is
+    # already split).
+    from eligibility_etl_airflow_spark.operators.parallel import ensure_parallelism
+
+    toked = ensure_parallelism(toked)
     # windows staged as a projection alias referencing _toks (multi-
     # referenced attribute — the HOF lambda must not re-split per
     # element; see tests/test_plan_shape.py's lambdafunction guard)
