@@ -386,71 +386,101 @@ def score_softmax(
     df: DataFrame, id_col: str, text_col: str, model: dict
 ) -> DataFrame:
     """(id, pred_label, confidence) per document under a
-    :func:`train_softmax_classifier` model — pure relational arithmetic
-    end to end: hashed char-n-gram features, one broadcast join against
-    the (bucket, class, weight) relation (dim × K rows by
-    construction), a per-(doc, class) partial-agg dot product, argmax
-    by max(struct) with a deterministic alphabetical tie-break, and a
-    second per-doc aggregate for the softmax denominator (shifted by
-    the winning logit, so exp never overflows). No UDF anywhere; at
-    100 TB this is two map-side-combined aggregates over the gram
-    stream, plus a K-row-per-doc class expansion (K = number of
-    classes, small by the trainer's ``max_classes`` contract). Every
-    doc gets a logit for EVERY class — a class with no weight on the
-    doc's buckets (sparse/pruned model) still competes at its bias,
-    and a doc with no grams at all (shorter than n chars) scores the
-    bias-only softmax through the same path — absence of evidence is
-    the prior, never a dropped class."""
-    spark = df.sparkSession
+    :func:`train_softmax_classifier` model — join-free codegen
+    aggregation (r10, guide §2.3/§2.4): the gram stream is exploded and
+    partial-agg counted exactly as before, but every logit
+    z_k = Σ_b log1p(cnt_b)·w_k[b] + b_k is then ONE more aggregate
+    column whose weight lookup is ``element_at`` on that class's weight
+    vector shipped as an array literal — no broadcast weight relation,
+    no K-row class expansion, no per-(doc, class) shuffle, no joins
+    back and forth. Argmax and the shifted softmax denominator are
+    per-row array expressions on the K-vector. The literal payload is
+    K·dim doubles (~40 KB at K=5, dim=1024 — bounded by the trainer's
+    ``max_classes``); everything stays whole-stage-codegen (an
+    interpreted per-gram HOF fold variant was measured 6× slower —
+    see OPTIMIZATION_r10.md entry 21).
+
+    The gram explode is parallelism-staged: hashing ~3 chars × every
+    position of every document is the heaviest per-row work in this
+    operator, and on a single-split scan it would run as one task
+    (measured 2.65 → 0.81 s at sf0.1; ``ensure_parallelism`` is a
+    passthrough on already-split inputs).
+
+    Semantics preserved exactly (verified bit-identical to the
+    pre-r10 implementation on a trained model at sf0.01 AND sf0.1):
+    every class competes at its bias (zero-evidence classes coalesce to
+    z = bias, the old outer-join semantics), gram-less docs (shorter
+    than n chars, or null text) score the bias-only softmax, ties pick
+    the alphabetically-first class (array_position returns the FIRST
+    maximal index and classes are sorted — the old max(struct(z, -cls))
+    rule), and the denominator is shifted by the winning logit so exp
+    never overflows. Per-doc float summation order remains
+    shuffle-arrival order, as it always was."""
+    from eligibility_etl_airflow_spark.operators.parallel import ensure_parallelism
+
     classes = list(model["classes"])
     dim = int(model["dim"])
     n = int(model["n"])
     bias = [float(x) for x in model["bias"]]
-    wtab = spark.createDataFrame(
-        [
-            (bkt, k, float(w))
-            for k, row in enumerate(model["weights"])
-            for bkt, w in enumerate(row)
-            if w != 0.0
-        ],
-        "bucket int, cls int, w double",
+    K = len(classes)
+
+    # padded-string + gram expressions mirror hashed_char_features
+    # exactly (same JVM hash at train and score time)
+    padded = F.concat(
+        F.lit("_"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "_"),
+        F.lit("_"),
     )
-    ctab = spark.createDataFrame(
-        [(k, c, bias[k]) for k, c in enumerate(classes)],
-        "cls int, label string, b double",
+    staged = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), padded.alias("_s"))
     )
-    feats = hashed_char_features(df, id_col, text_col, dim, n)
-    dots = (
-        feats.withColumn("x", F.log1p(F.col("cnt")))
-        .join(F.broadcast(wtab), "bucket")
-        .groupBy("id", "cls")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    grams = F.when(
+        F.length("_s") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length("_s") - (n - 1)),
+            lambda i: F.substr(F.col("_s"), i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = (
+        staged.select("id", F.explode(grams).alias("g"))
+        .select("id", _bucket_of(F.col("g"), dim).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     )
-    # complete (id x class) logit grid: the broadcast cross join costs
-    # K rows per doc and keeps zero-evidence classes in both the argmax
-    # and the softmax denominator
-    z = (
+    x = F.log1p(F.col("cnt"))
+    dots = feats.groupBy("id").agg(
+        *(
+            F.sum(
+                x
+                * F.element_at(
+                    F.lit([float(wi) for wi in model["weights"][k]]),
+                    F.col("bucket") + 1,
+                )
+            ).alias(f"_z{k}")
+            for k in range(K)
+        )
+    )
+    # left-attach to ALL ids: docs with no grams have no feats rows and
+    # must still score the bias-only softmax
+    z_arr = F.array(
+        *((F.coalesce(F.col(f"_z{k}"), F.lit(0.0)) + F.lit(bias[k])) for k in range(K))
+    )
+    with_z = (
         df.select(F.col(id_col).alias("id"))
-        .crossJoin(F.broadcast(ctab))
-        .join(dots, ["id", "cls"], "left")
-        .select(
-            "id",
-            "cls",
-            "label",
-            (F.coalesce(F.col("dot"), F.lit(0.0)) + F.col("b")).alias("z"),
-        )
+        .join(dots, "id", "left")
+        .select("id", z_arr.alias("_z"))
     )
-    # argmax with alphabetical-first tie-break (classes are sorted, so
-    # the LOWEST cls index wins ties -> negate it inside the max struct)
-    win = z.groupBy("id").agg(F.max(F.struct(F.col("z"), (-F.col("cls")).alias("nc"))).alias("m"))
-    return (
-        z.join(win, "id")
-        .groupBy("id", F.col("m.z").alias("zstar"), (-F.col("m.nc")).alias("wcls"))
-        .agg(F.sum(F.exp(F.col("z") - F.col("m.z"))).alias("denom"))
-        .join(F.broadcast(ctab.select(F.col("cls").alias("wcls"), "label")), "wcls")
-        .select(
-            "id",
-            F.col("label").alias("pred_label"),
-            F.round(F.lit(1.0) / F.col("denom"), 6).alias("confidence"),
-        )
+    # stage _z then _zstar as attributes (multi-referenced below)
+    with_star = with_z.select("id", "_z", F.array_max("_z").alias("_zstar"))
+    denom = F.aggregate(
+        F.col("_z"),
+        F.lit(0.0),
+        lambda acc, z: acc + F.exp(z - F.col("_zstar")),
+    )
+    return with_star.select(
+        "id",
+        F.element_at(
+            F.lit(classes), F.array_position("_z", F.col("_zstar")).cast("int")
+        ).alias("pred_label"),
+        F.round(F.lit(1.0) / denom, 6).alias("confidence"),
     )

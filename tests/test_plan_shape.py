@@ -630,10 +630,14 @@ def test_duplicate_spans_plan_no_resplit_and_partial_count(spark, sf_dir):
     assert phys.count("HashAggregate") >= 4   # partial+final count pairs
 
 
-def test_softmax_lang_scoring_is_broadcast_and_partial(spark, sf_dir):
-    """score_softmax: the (bucket, class, weight) relation joins
-    BROADCAST (dim x K rows by construction — never a shuffled join),
-    and both per-doc aggregates are partial-aggregated."""
+def test_softmax_lang_scoring_is_join_free_codegen(spark, sf_dir):
+    """score_softmax (r10): the weight lookup is element_at on literal
+    arrays inside a codegen aggregate — NO broadcast weight relation,
+    NO K-row class expansion, NO Python; the only join left is the
+    single left-attach of per-doc logits back to the id universe
+    (gram-less docs must still score the bias softmax). The old shape
+    carried a (bucket, class, weight) broadcast join plus a crossJoin
+    class grid plus two more joins."""
     from eligibility_etl_airflow_spark.operators import quality_model as qm
 
     d = Catalog(spark, sf_dir).documents.limit(200)
@@ -646,8 +650,12 @@ def test_softmax_lang_scoring_is_broadcast_and_partial(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"score_softmax plan grew a {node}:\n{plan[:2000]}"
+    # one attach join, not the old four-join ladder
+    assert plan.count("Join") <= 1, plan[:2000]
+    # gram count + per-doc dot sums stay partial-aggregated codegen pairs
     assert plan.count("HashAggregate") >= 4
 
 
