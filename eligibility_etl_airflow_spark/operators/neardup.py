@@ -476,37 +476,52 @@ def ngram_jaccard_pairs(
     block_type = sh.schema["block"].dataType.simpleString()
 
     def expand(frames):
+        # r10 (guide §4.2): ALL pairwise intersection counts of a block
+        # at once — dictionary-encode the block's shingle universe, fill
+        # an (m × vocab) 0/1 membership matrix, and C = M·Mᵀ gives every
+        # pair's |∩| in one BLAS call. The previous per-pair
+        # np.intersect1d loop re-concatenated + re-sorted both sets for
+        # EVERY pair (O(pairs · setlen · log) with two allocations each
+        # — 52 s of task time at sf0.1). float32 products are exact for
+        # counts < 2²⁴; set sizes are bounded far below that by the
+        # shingle construction.
         for pdf in frames:
             blocks, ia, ib, inter, la, lb = [], [], [], [], [], []
             for blk, members in zip(pdf["block"], pdf["members"]):
-                ids = [m["id"] for m in members]
-                sets = [np.sort(np.asarray(m["sh"])) for m in members]
-                sizes = [len(s) for s in sets]
-                m = len(ids)
-                for i in range(m - 1):
-                    si = sets[i]
-                    for j in range(i + 1, m):
-                        n_common = np.intersect1d(
-                            si, sets[j], assume_unique=True
-                        ).size
-                        blocks.append(blk)
-                        ia.append(ids[i])
-                        ib.append(ids[j])
-                        inter.append(n_common)
-                        la.append(sizes[i])
-                        lb.append(sizes[j])
+                m = len(members)
+                sets = [np.asarray(mm["sh"]) for mm in members]
+                sizes = np.fromiter((len(s) for s in sets), dtype=np.int64, count=m)
+                flat = np.concatenate(sets) if m else np.array([], dtype=np.int64)
+                _, inv = np.unique(flat, return_inverse=True)
+                M = np.zeros((m, int(inv.max()) + 1 if inv.size else 1), dtype=np.float32)
+                row = np.repeat(np.arange(m), sizes)
+                M[row, inv] = 1.0
+                C = M @ M.T
+                iu, ju = np.triu_indices(m, 1)
+                ids = np.asarray([mm["id"] for mm in members])
+                blocks.extend([blk] * len(iu))
+                ia.append(ids[iu])
+                ib.append(ids[ju])
+                inter.append(C[iu, ju].astype(np.int64))
+                la.append(sizes[iu])
+                lb.append(sizes[ju])
+            empty = np.array([], dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "block": pd.Series(blocks, dtype=object),
-                    "id_a": ia,
-                    "id_b": ib,
-                    "inter": np.asarray(inter, dtype=np.int64),
-                    "len_a": np.asarray(la, dtype=np.int64),
-                    "len_b": np.asarray(lb, dtype=np.int64),
+                    "id_a": np.concatenate(ia) if ia else empty,
+                    "id_b": np.concatenate(ib) if ib else empty,
+                    "inter": np.concatenate(inter) if inter else empty,
+                    "len_a": np.concatenate(la) if la else empty,
+                    "len_b": np.concatenate(lb) if lb else empty,
                 }
             )
 
-    counted = buckets.mapInPandas(
+    # spread the bucket relation before the quadratic expand (AQE
+    # coalesces the small post-groupBy shuffle; the expand's cost is
+    # quadratic in bucket sizes, not its input bytes — the
+    # simhash_block_pairs rationale)
+    counted = _ensure_parallelism(buckets).mapInPandas(
         expand,
         schema=(
             f"block {block_type}, id_a {id_type}, id_b {id_type}, "
@@ -671,8 +686,14 @@ def simhash_block_pairs(
                 }
             )
 
+    # r10: spread the bucket relation before the quadratic expand — AQE
+    # coalesces the small post-groupBy shuffle (~0.5 MB at sf0.1) to ONE
+    # partition, but the expand's cost is quadratic in bucket sizes, not
+    # proportional to its input bytes, so the whole pair expansion ran
+    # single-threaded (audio/image pair stage: 1.2 s of a 2 s query).
+    # ensure_parallelism is a passthrough at scale.
     return (
-        buckets.select("members")
+        _ensure_parallelism(buckets.select("members"))
         .mapInPandas(expand, schema=f"id_a {id_type}, id_b {id_type}, hamming integer")
         .distinct()
         .withColumn("hamming", F.col("hamming").cast("long"))
@@ -828,6 +849,15 @@ def edit_distance_pairs(
             .filter(F.col("_bn") <= max_block_size)
             .drop("_bn")
         )
+    # r10: spread the probe side before the pair join — AQE coalesces
+    # the small block-key window exchange (~0.9 MB at sf0.1) to ONE
+    # partition, and the optimizer pushes the `levenshtein >= 0`
+    # predicate INTO the join condition, so the block²-amplified
+    # pair expansion AND every pair's O(max_dist · prefix) DP ran
+    # single-threaded in that stage (1.4 s of a 2 s query).
+    # ensure_parallelism is a passthrough at scale, where the block
+    # shuffle is already wide.
+    keyed = _ensure_parallelism(keyed)
     a = keyed.select(F.col("id").alias("id_a"), "block", F.col("key").alias("key_a"))
     b = keyed.select(F.col("id").alias("id_b"), "block", F.col("key").alias("key_b"))
     dist = F.levenshtein(F.col("key_a"), F.col("key_b"), max_dist)
