@@ -144,7 +144,12 @@ def js_divergence_pair(
     res = js_divergence_counts(ca, cb, round_to=round_to)
     try:
         rows = res.collect()  # exactly 1 row by construction
-        return df_a.sparkSession.createDataFrame(rows, res.schema)
+        # JVM-only local relation (r10): createDataFrame(rows) would be
+        # a Python-RDD fan-out of defaultParallelism pickle tasks for
+        # one row — see operators/parallel.jvm_local_row
+        from eligibility_etl_airflow_spark.operators.parallel import jvm_local_row
+
+        return jvm_local_row(df_a.sparkSession, rows[0], res.schema)
     finally:
         ca.unpersist()
         cb.unpersist()

@@ -37,6 +37,26 @@ def parse_byte_size(raw: str) -> int:
     return int(s) * mult
 
 
+def jvm_local_row(spark, row, schema) -> DataFrame:
+    """One-row DataFrame from an already-collected Row, built JVM-ONLY.
+
+    ``spark.createDataFrame([row], schema)`` routes through
+    ``sc.parallelize`` — a PYTHON-RDD-backed relation that fans out to
+    ``defaultParallelism`` partitions, each of which spawns a Python
+    worker just to unpickle (mostly nothing): 32 pointless Python tasks
+    (~46 s of task time measured on corpus_pair_drift's one-row result
+    pre-r10). ``range(1).select(lit(...).cast(...))`` produces the same
+    row as a pure JVM local relation — one task, no Python anywhere."""
+    from pyspark.sql import functions as F
+
+    return spark.range(1).select(
+        *(
+            F.lit(row[f.name]).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        )
+    )
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input (e.g. one small parquet file) across the
     cluster before CPU-heavy per-row work; inputs that already have

@@ -2703,7 +2703,11 @@ def corpus_data_card(docs: DataFrame) -> DataFrame:
     # the corpus
     trow = tot.first()
     spark = docs.sparkSession
-    tot_local = spark.createDataFrame([trow], tot.schema)
+    # JVM-only local relation (r10): createDataFrame([row]) is a
+    # Python-RDD fan-out of defaultParallelism pickle tasks for one row
+    from eligibility_etl_airflow_spark.operators.parallel import jvm_local_row
+
+    tot_local = jvm_local_row(spark, trow, tot.schema)
     scalars = tot_local.select(
         F.explode(
             F.create_map(
