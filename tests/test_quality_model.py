@@ -30,6 +30,34 @@ def _planted_corpus(spark, n=400, seed=7):
     return spark.createDataFrame(rows, "doc_id long, text string, y double")
 
 
+def test_lit_double_array_bitwise_matches_lit(spark):
+    """_lit_double_array (one-py4j-call F.expr literal) must be
+    BIT-identical to F.lit(list) — the scorers ship weight vectors
+    through it; a decimal-vs-double parse slip would shift every
+    logit."""
+    import random
+    import struct
+
+    rng = random.Random(3)
+    vals = [rng.uniform(-50, 50) for _ in range(257)] + [
+        0.0, -0.0, 1e-300, -1e-300, 1.7976931348623157e308, 5e-324,
+    ]
+    row = spark.range(1).select(
+        F.lit(vals).alias("a"),
+        quality_model._lit_double_array(vals).alias("b"),
+    ).first()
+    bits = lambda x: struct.pack("<d", x)  # noqa: E731
+    assert all(bits(x) == bits(y) for x, y in zip(row.a, row.b))
+    assert len(row.b) == len(vals)
+    # non-finite falls back to F.lit; empty stays typed
+    nan_row = spark.range(1).select(
+        quality_model._lit_double_array([1.0, float("nan")]).alias("c"),
+        quality_model._lit_double_array([]).alias("e"),
+    ).first()
+    assert nan_row.c[0] == 1.0 and nan_row.c[1] != nan_row.c[1]
+    assert nan_row.e == []
+
+
 def test_planted_label_auc_floor(spark):
     docs = _planted_corpus(spark)
     train = docs.filter(F.col("doc_id") % 5 != 0)
