@@ -980,33 +980,52 @@ def _rarity_ordered_docsets(df, id_col, text_col, shingle_k):
     tie-break, dlen). Both persisted (each has 2-3 consumers in every
     caller); cache lifecycle is the caller's, same contract as
     ``minhash_lsh_pairs``."""
+    import numpy as np
+    import pandas as pd
     from pyspark import StorageLevel
 
-    # Stage the token array as its own projection: `tk` is referenced
-    # many times below, and as a raw split() expression each reference
-    # would re-split the whole document (the O(len²) lambda
-    # re-evaluation trap measured on the winnowing operator). As a
-    # multi-referenced non-trivial alias, CollapseProject keeps it an
-    # attribute — one split per row.
-    staged = _with_normalized_text(df, id_col, text_col).select(
-        "id", F.split(F.col("_norm"), " ").alias("tk")
-    )
+    staged = _with_normalized_text(df, id_col, text_col)
+    id_type = staged.schema["id"].dataType.simpleString()
+    k = shingle_k
+
+    # r10 (guide §4.2): the stride-1 word-shingle construction moved to
+    # one small Arrow stage — the interpreted Catalyst form
+    # (transform(sequence, array_join(slice(tk, i, k)))) cost ~70 s of
+    # task time at sf0.1 where the byte-sliced Python form costs ~0.25 s
+    # single-threaded for the whole corpus (a regexp_extract_all
+    # lookahead variant was also measured and lost 2×; see
+    # OPTIMIZATION_r10.md entries 27-28). _norm is single-space
+    # normalized, so a word k-shingle is EXACTLY the byte slice of
+    # _norm from token start i to token end i+k-1 — 0x20 never occurs
+    # inside a multi-byte UTF-8 sequence, so byte-splitting on it equals
+    # char-splitting, and slices decode back to the identical strings
+    # array_join produced. Per-doc distinct in the set; the global
+    # .distinct() below is kept so duplicate-id inputs keep the exact
+    # old union semantics (its map-side partial dedup is now a no-op
+    # for unique-id corpora).
+    def _shingle(batches):
+        for pdf in batches:
+            ids, toks_out = [], []
+            for i, s in zip(pdf["id"], pdf["_norm"]):
+                b = s.encode("utf-8")
+                buf = np.frombuffer(b, dtype=np.uint8)
+                sp = np.flatnonzero(buf == 32)
+                starts = np.concatenate(([0], sp + 1))
+                n = len(starts)
+                if n < k:
+                    continue
+                ends = np.concatenate((sp, [len(b)]))
+                mv = memoryview(b)
+                seen = set()
+                for a, z in zip(starts[: n - k + 1].tolist(), ends[k - 1 :].tolist()):
+                    seen.add(bytes(mv[a:z]))
+                seen.discard(b"")
+                ids.extend([i] * len(seen))
+                toks_out.extend(t.decode("utf-8") for t in seen)
+            yield pd.DataFrame({"id": ids, "tok": toks_out})
+
     toks = (
-        staged.select(
-            "id",
-            F.explode_outer(
-                # sequence() counts DOWN when stop < start, so short docs
-                # must produce an explicit empty array, not sequence(1, 0)
-                F.when(
-                    F.size("tk") >= shingle_k,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("tk") - shingle_k + 1),
-                        lambda i: F.array_join(F.slice("tk", i, shingle_k), " "),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("tok"),
-        )
-        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        staged.mapInPandas(_shingle, schema=f"id {id_type}, tok string")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
