@@ -287,12 +287,12 @@ def hashed_char_features(
         F.lit("_"),
     )
     staged = df.select(F.col(id_col).alias("id"), padded.alias("_s"))
+    # one-regex-pass gram extraction (r10): zero-width lookahead capture
+    # emits every char n-gram in a single engine scan vs two interpreted
+    # expressions per position — identical strings in identical order
     grams = F.when(
         F.length("_s") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length("_s") - (n - 1)),
-            lambda i: F.substr(F.col("_s"), i, F.lit(n)),
-        ),
+        F.regexp_extract_all(F.col("_s"), F.lit("(?s)(?=(" + "." * n + "))"), F.lit(1)),
     ).otherwise(F.array().cast("array<string>"))
     return (
         staged.select("id", F.explode(grams).alias("g"))
@@ -455,12 +455,10 @@ def score_softmax(
     staged = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), padded.alias("_s"))
     )
+    # one-regex-pass gram extraction — mirrors hashed_char_features
     grams = F.when(
         F.length("_s") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length("_s") - (n - 1)),
-            lambda i: F.substr(F.col("_s"), i, F.lit(n)),
-        ),
+        F.regexp_extract_all(F.col("_s"), F.lit("(?s)(?=(" + "." * n + "))"), F.lit(1)),
     ).otherwise(F.array().cast("array<string>"))
     feats = (
         staged.select("id", F.explode(grams).alias("g"))
