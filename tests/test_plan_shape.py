@@ -413,20 +413,21 @@ def test_set_similarity_normalizes_and_splits_once(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    # the token array must be a staged attribute: the shingle lambda
-    # slices `tk#N`, never re-evaluates the split/normalize per element
-    # (the higher-order-function re-evaluation trap). Textually: every
-    # split/regexp_replace lives in a `... AS tk#` Project line; no
-    # lambdafunction line may contain one.
+    # r10: the word-shingle construction moved to a byte-sliced
+    # mapInPandas stage (OPTIMIZATION_r10.md entry 29), so the pin is
+    # re-scoped: the normalize regexp must still be a STAGED projection
+    # feeding the Python stage (never re-evaluated inside any HOF
+    # lambda), and the shingle stage itself must be the MapInPandas.
     for line in plan.splitlines():
         if "lambdafunction" in line:
             assert "regexp_replace" not in line and "split(" not in line, line[:300]
+    assert "MapInPandas" in plan, "byte-sliced shingle stage missing"
     staged = [
         line
         for line in plan.splitlines()
-        if "regexp_replace" in line and "AS tk#" in line
+        if "regexp_replace" in line and "AS _norm#" in line
     ]
-    assert staged, "staged token-array projection not found in plan"
+    assert staged, "staged normalized-text projection not found in plan"
 
 
 def test_decontamination_stages_token_array(spark, sf_dir):

@@ -136,7 +136,13 @@ def test_semantic_decontam_planted_duplicate_flagged(spark):
         assert abs(out[i]["nn_sim"] - best) < 2e-6
 
 
-def test_semantic_decontam_plan_broadcasts_bench(spark):
+def test_semantic_decontam_plan_is_join_free_matmul(spark):
+    """r10: semantic_decontam_flags delegates to the Arrow-batched
+    numpy matmul nearest-assignment — the bench ships in the task
+    closure, the corpus is scanned once, and NO join of any kind
+    appears (the old pin asserted the BroadcastNestedLoopJoin of the
+    pre-matmul shape; the registered-query twin of this pin lives in
+    tests/test_plan_shape.py::test_semantic_decontam_is_map_only_matmul)."""
     import numpy as np
 
     rng = np.random.default_rng(3)
@@ -149,8 +155,8 @@ def test_semantic_decontam_plan_broadcasts_bench(spark):
         "vec_id long, embedding array<float>",
     )
     plan = similarity.semantic_decontam_flags(corpus, bench)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan  # bench side broadcast, no shuffle of pairs
-    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # the matmul assignment stage
+    assert "Join" not in plan and "CartesianProduct" not in plan
 
 
 # ---------------------------------------------- quality-aware representatives
