@@ -96,18 +96,23 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for _ in range(max(1, REPS)):
-        # rep boundary: drop persisted relations (shingle tables etc.) so
-        # every rep is the same cold-session pass and min-of-reps compares
+        # rep boundary: drop persisted relations (shingle tables etc.) AND
+        # every Python-side memo (trained models, centroid caches — r11:
+        # registry.reset_memos, the r10 verdict's cold-rep fix) so every
+        # rep is the same cold-session pass and min-of-reps compares
         # like with like — otherwise queries that persist intermediates
-        # get a warm second rep while the rest stay cold, and the summed
-        # total mixes two methodologies. WITHIN a rep, cross-query cache
-        # reuse stays (a real session runs the suite that way, and it is
-        # the single-pass methodology of the earlier rounds' numbers).
+        # or memoize a trained model get a warm second rep while the rest
+        # stay cold, and the summed total mixes two methodologies.
+        # WITHIN a rep, cross-query cache reuse stays (a real session
+        # runs the suite that way, and it is the single-pass methodology
+        # of the earlier rounds' numbers).
         spark.catalog.clearCache()
+        registry.reset_memos()
         for name in sorted(registry.QUERIES):
             if ISOLATED:
                 # attribution mode: every query pays its own full cost
                 spark.catalog.clearCache()
+                registry.reset_memos()
             t = round(run_query(registry.QUERIES[name], spark, SF_DIR), 4)
             times[name] = min(times.get(name, t), t)
 
@@ -120,6 +125,7 @@ def main() -> None:
     anchor_times: dict[str, float] = {}
     for _ in range(max(1, REPS)):
         spark.catalog.clearCache()
+        registry.reset_memos()
         for name in sorted(ANCHOR_R1_QUERIES):
             t = round(run_query(registry.QUERIES[name], spark, SF_DIR), 4)
             anchor_times[name] = min(anchor_times.get(name, t), t)
@@ -155,7 +161,11 @@ def main() -> None:
                         if ISOLATED
                         else ""
                     )
-                    + "best-of-N cold reps (clearCache at rep boundary); "
+                    + "best-of-N cold reps (clearCache + registry."
+                    "reset_memos at rep boundary — r11: Python-side "
+                    "trained-model/centroid memos clear too, so EVERY "
+                    "rep pays in-query training, per the cold-rep "
+                    "contract); "
                     "WITHIN a rep persisted intermediates are shared "
                     "across queries, so per-query lines are not "
                     "standalone costs (whichever neardup query runs "

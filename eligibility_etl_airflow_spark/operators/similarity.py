@@ -200,7 +200,9 @@ def lsh_topk(
 # cache_key so a rewritten corpus retrains. Entry count is capped: one
 # entry is only n_cells × dim floats, but a long-lived service cycling
 # cache keys must not grow without bound.
-_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+from eligibility_etl_airflow_spark.registry import register_memo
+
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = register_memo({})
 _CENTROID_CACHE_MAX = 64
 
 

@@ -11,13 +11,15 @@ including recall checks against the exact brute-force baseline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eligibility_etl_airflow_spark.catalog import Catalog
 from eligibility_etl_airflow_spark.operators import neardup, similarity, text
 from eligibility_etl_airflow_spark.operators.parallel import ensure_parallelism
-from eligibility_etl_airflow_spark.registry import query
+from eligibility_etl_airflow_spark.registry import query, register_memo
 
 # --------------------------------------------------------------------------
 # Exact dedup — hash-groupBy on normalized content
@@ -189,15 +191,40 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Trained lang-ID models keyed by (sf_dir, documents mtime, hyperparams):
+# Trained lang-ID models keyed by (sf_dir, documents stamp, hyperparams):
 # training is deterministic given these (md5-ranked sample, ordered
 # collect, fixed-seed GD), so repeated invocations over the SAME corpus
 # skip the sample-collect + driver solve — the exact _CENTROID_CACHE
-# discipline ivf_topk documents (the mtime stamp retrains on a rewritten
+# discipline ivf_topk documents (the stamp retrains on a rewritten
 # corpus). Bounded: one entry is a (classes x dim) weight dict, and the
 # cap below evicts oldest-first for long-lived services cycling corpora.
-_LANG_MODEL_CACHE: dict[tuple, object] = {}
+# register_memo: bench.py clears this at every rep boundary (the r10
+# verdict's cold-rep contract) — only a long-lived production driver
+# keeps warm models across scoring runs.
+_LANG_MODEL_CACHE: dict[tuple, object] = register_memo({})
 _LANG_MODEL_CACHE_MAX = 16
+
+
+def _parquet_stamp(path: str) -> tuple | None:
+    """(max mtime, total size) over the parquet file OR its part files.
+    Stamping a directory-style parquet output by the dir mtime alone
+    misses an in-place part-file rewrite (dir mtime unchanged) and
+    same-second replacements on 1 s-granularity filesystems — the r10
+    ADVICE fix: glob the part files and fold size in."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        files = sorted(
+            _glob.glob(os.path.join(path, "*.parquet"))
+            + _glob.glob(os.path.join(path, "part-*"))
+        ) or [path]
+    else:
+        files = [path]
+    try:
+        stats = [os.stat(f) for f in files]
+    except OSError:
+        return None
+    return (max(s.st_mtime for s in stats), sum(s.st_size for s in stats))
 
 
 @query("lang_id_learned")
@@ -217,13 +244,10 @@ def lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels are uncorrelated with its text, so THIS vehicle only
     exercises the machinery; the planted test is where accuracy is
     meaningful)."""
-    import os
-
     from eligibility_etl_airflow_spark.operators import quality_model as qm
 
     d = Catalog(spark, sf_dir).documents
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    stamp = os.path.getmtime(doc_path) if os.path.exists(doc_path) else None
+    stamp = _parquet_stamp(os.path.join(sf_dir, "documents.parquet"))
     key = (os.path.abspath(sf_dir), stamp, 1024, 512, 100)
     model = _LANG_MODEL_CACHE.get(key) if stamp is not None else None
     if model is None:
@@ -387,10 +411,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache key includes the file mtime so a rewritten corpus at the same
     # path retrains instead of silently reusing stale centroids
     corpus_path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        stamp = os.path.getmtime(corpus_path)
-    except OSError:
-        stamp = 0.0
+    stamp = _parquet_stamp(corpus_path)
     return similarity.ivf_topk(
         e, queries, k=5, n_cells=16, nprobe=4, cache_key=f"{corpus_path}:{stamp}"
     )
@@ -451,10 +472,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(F.col("vec_id") < 8)
     corpus_path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        stamp = os.path.getmtime(corpus_path)
-    except OSError:
-        stamp = 0.0
+    stamp = _parquet_stamp(corpus_path)
     return similarity.pq_topk(
         e, queries, k=5, m=16, codes_k=32, refine=20,
         cache_key=f"{corpus_path}:{stamp}",
@@ -2017,13 +2035,14 @@ def semantic_dedup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Trained quality models keyed by (sf_dir, documents mtime, hyperparams)
+# Trained quality models keyed by (sf_dir, documents stamp, hyperparams)
 # — the _LANG_MODEL_CACHE discipline (r9 commit 6ea29d5) applied to the
 # quality classifier: training is deterministic given these (md5-ranked
 # sample, ordered collect, fixed-seed GD, and the teacher labels are a
-# pure function of the same file the mtime stamps). Bounded, oldest-
-# first eviction.
-_QUALITY_MODEL_CACHE: dict[tuple, object] = {}
+# pure function of the same file the stamp covers). Bounded, oldest-
+# first eviction; register_memo: cleared by bench.py at every rep
+# boundary (cold-rep contract).
+_QUALITY_MODEL_CACHE: dict[tuple, object] = register_memo({})
 _QUALITY_MODEL_CACHE_MAX = 16
 
 
@@ -2043,15 +2062,12 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     same file the mtime stamps). Rows-only: the gradient-descent solve
     is not SQL-expressible; the model quality itself is pinned by the
     planted-label AUC floor test in tests/test_quality_model.py."""
-    import os
-
     from eligibility_etl_airflow_spark.operators import quality_model
 
     d = Catalog(spark, sf_dir).documents.withColumn(
         "y", (text.quality_score(F.col("text")) >= 0.5).cast("double")
     )
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    stamp = os.path.getmtime(doc_path) if os.path.exists(doc_path) else None
+    stamp = _parquet_stamp(os.path.join(sf_dir, "documents.parquet"))
     key = (os.path.abspath(sf_dir), stamp, 512, 2048, 100)
     model = _QUALITY_MODEL_CACHE.get(key) if stamp is not None else None
     if model is None:

@@ -58,13 +58,18 @@ def _patch_zipimport_invalidate() -> None:
     import zipimport
 
     orig = zipimport.zipimporter.invalidate_caches
+    # distinct unset sentinel (r11 ADVICE fix): a missing archive yields
+    # mtime=None, which must NOT equal the never-checked state — with a
+    # bare None sentinel a deleted addPyFile zip would never invalidate,
+    # diverging from both stock 3.11 and 3.12 semantics
+    _unset = object()
 
     def guarded(self):  # noqa: ANN001 - stdlib signature
         try:
             mtime = os.path.getmtime(self.archive)
         except OSError:
             mtime = None
-        if getattr(self, "_graft_zip_mtime", None) == mtime:
+        if getattr(self, "_graft_zip_mtime", _unset) == mtime:
             return
         orig(self)
         self._graft_zip_mtime = mtime
