@@ -67,7 +67,13 @@ def hashed_shingles_of_norm(norm: Column, k: int = 5) -> Column:
     # verified identical). The otherwise-branch keeps the EXACT old
     # short/null semantics: n < k yields [hash(substring(norm, 1, k))]
     # (the clamped whole text), null stays null.
-    pat = "(?s)(?=(" + "." * k + "))"
+    # r11: trailing consuming dot — after a zero-width match Java's
+    # Matcher advances by one UTF-16 code UNIT, so a supplementary-plane
+    # char (emoji) emitted an extra spurious gram starting at its low
+    # surrogate; consuming one code point per match restores exact
+    # parity with the substring path on BMP and non-BMP inputs alike
+    # (pinned by tests/test_neardup.py::test_shingles_non_bmp_parity).
+    pat = "(?s)(?=(" + "." * k + "))."
     starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.when(
         n >= k,
@@ -93,8 +99,9 @@ def string_shingles_of_norm(norm: Column, k: int = 5) -> Column:
     reference (see the per-element lambda re-evaluation note on the
     hashed variant)."""
     n = F.length(norm)
-    # one-regex-pass extraction; see hashed_shingles_of_norm (r10)
-    pat = "(?s)(?=(" + "." * k + "))"
+    # one-regex-pass extraction + consuming dot for non-BMP parity; see
+    # hashed_shingles_of_norm (r10/r11)
+    pat = "(?s)(?=(" + "." * k + "))."
     starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.when(
         n >= k,
@@ -125,6 +132,124 @@ def _with_normalized_text(
     )
 
 
+def _utf8_concat(texts):
+    """Concatenate a batch of strings into one flat uint8 buffer plus
+    doc byte boundaries (len = n_docs + 1)."""
+    import numpy as np
+
+    bufs = [s.encode("utf-8") for s in texts]
+    doc_lens = np.fromiter(map(len, bufs), dtype=np.int64, count=len(bufs))
+    doc_starts = np.concatenate(([0], np.cumsum(doc_lens)))
+    flat = (
+        np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        if doc_starts[-1]
+        else np.empty(0, dtype=np.uint8)
+    )
+    return flat, doc_starts
+
+
+def _char_gram_offsets(flat, doc_starts, k, clamp_short: bool = True):
+    """Byte (start, length) offsets of every char-k-gram of every doc in
+    a flat UTF-8 buffer, all positions in order, plus the doc index per
+    gram. Char boundaries are pure numpy (a UTF-8 continuation-byte mask
+    gives every code-point start — no decode). ``clamp_short=True``: a
+    doc shorter than k chars emits ONE clamped whole-text gram — the
+    ``substring(norm, 1, k)`` rule (including the empty string);
+    ``clamp_short=False``: short docs emit NO grams — the
+    ``when(length >= k, regexp_extract_all...).otherwise(empty)`` rule
+    of the char-feature extractors."""
+    import numpy as np
+
+    n_docs = len(doc_starts) - 1
+    # code-point starts: every byte that is NOT a UTF-8 continuation
+    # byte (0b10xxxxxx) begins a char
+    cp = np.flatnonzero((flat & 0xC0) != 0x80)
+    doc_cp_hi = np.searchsorted(cp, doc_starts[1:], side="left")
+    doc_cp_lo = np.concatenate(([0], doc_cp_hi[:-1]))
+    g_starts, g_lens, g_doc = [], [], []
+    for d in range(n_docs):
+        cps = cp[doc_cp_lo[d] : doc_cp_hi[d]]
+        n = len(cps)
+        end = doc_starts[d + 1]
+        if n >= k:
+            s_arr = cps[: n - k + 1]
+            e_arr = np.concatenate((cps[k:], [end]))
+        elif clamp_short:
+            s_arr = np.array([doc_starts[d]], dtype=np.int64)
+            e_arr = np.array([end], dtype=np.int64)
+        else:
+            continue
+        g_starts.append(s_arr)
+        g_lens.append(e_arr - s_arr)
+        g_doc.append(np.full(len(s_arr), d, dtype=np.int64))
+    empty = np.empty(0, np.int64)
+    return (
+        np.concatenate(g_starts) if g_starts else empty,
+        np.concatenate(g_lens) if g_lens else empty,
+        np.concatenate(g_doc) if g_doc else empty,
+    )
+
+
+def _hashed_shingle_stage(
+    staged: DataFrame, k: int, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, [extra...], _norm) → (id, [extra...], shingles array<long>):
+    the distinct 64-bit-hashed char-k-shingle set per document as ONE
+    Arrow-batched numpy stage — the bit-exact vectorized twin of
+    ``array_distinct(transform(grams, xxhash64))`` (grams as byte
+    slices over a UTF-8 continuation-byte mask, hashes via
+    :mod:`operators.xxh64`, dedup in array_distinct's first-occurrence
+    order; pinned by
+    tests/test_xxh64.py::test_hashed_shingle_stage_matches_expression).
+
+    **Measured NEGATIVE for shingle_table (r11, guide §1):** replacing
+    the r10 regex+transform JVM form with this stage cost MORE task
+    time at sf0.1 (1.1 → 2.8 s same-session A/B; in-suite
+    dedup_minhash_lsh 2.10 → 3.03 s standalone) — after r10's one-pass
+    regex rewrite the JVM shingle build is cheap, and the Arrow
+    transport of the full (id, ~3000-long shingles) relation back to
+    the JVM dominates. shingle_table therefore stays on the JVM form.
+    The stage remains as the tested building block for paths where the
+    Python boundary is already paid or the output is much smaller than
+    the gram stream (``_winnow_stage``, whose JVM form paid TWO
+    interpreted per-element passes and measured 8.9 → 2.5 s task time
+    the other way)."""
+    import numpy as np
+    import pandas as pd
+
+    from eligibility_etl_airflow_spark.operators.xxh64 import xxh64_slices
+
+    id_type = staged.schema["id"].dataType.simpleString()
+    extra_schema = "".join(
+        f", {c} {staged.schema[c].dataType.simpleString()}" for c in extra
+    )
+
+    def batch(frames):
+        for pdf in frames:
+            flat, doc_starts = _utf8_concat(pdf["_norm"])
+            n_docs = len(doc_starts) - 1
+            if not n_docs:
+                continue
+            starts, lens, didx = _char_gram_offsets(flat, doc_starts, k)
+            hashes = xxh64_slices(flat, starts, lens)
+            # array_distinct twin: drop repeats of (doc, hash) keeping
+            # the FIRST occurrence, then split back into per-doc arrays
+            keep = ~pd.DataFrame({"d": didx, "h": hashes}).duplicated().values
+            kept_d = didx[keep]
+            kept_h = hashes[keep]
+            counts = np.bincount(kept_d, minlength=n_docs)
+            bounds = np.cumsum(counts)[:-1]
+            out = {"id": pdf["id"]}
+            for c in extra:
+                out[c] = pdf[c]
+            out["shingles"] = np.split(kept_h, bounds)
+            yield pd.DataFrame(out)
+
+    return staged.mapInPandas(
+        batch, schema=f"id {id_type}{extra_schema}, shingles array<long>"
+    )
+
+
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, shingle_k: int = 5
 ) -> DataFrame:
@@ -132,7 +257,11 @@ def shingle_table(
     per document. Computed ONCE and shared by both the MinHash signature
     derivation and the exact-Jaccard verification join (persist it when
     both consumers run in one job — otherwise each branch re-runs the
-    scan + regex normalize + shingling pass over the full corpus)."""
+    scan + regex normalize + shingling pass over the full corpus).
+
+    Stays on the JVM column form: the numpy twin
+    (``_hashed_shingle_stage``) measured 2.5× MORE task time here —
+    see its docstring for the r11 A/B."""
     return _with_normalized_text(df, id_col, text_col).select(
         "id", hashed_shingles_of_norm(F.col("_norm"), shingle_k).alias("shingles")
     )
@@ -445,6 +574,44 @@ def lsh_pairs_from_shingles(
     return verified
 
 
+def _block_intersection_matrix(sets, sizes, max_cells: int = 1 << 25):
+    """All pairwise intersection COUNTS of a block's shingle sets as one
+    (m × m) float32 matrix via C = M·Mᵀ (r10, guide §4.2 — one BLAS call
+    replaces per-pair np.intersect1d). float32 products are exact for
+    counts < 2²⁴.
+
+    r11 ADVICE fix: a degenerate block (thousands of members × a large
+    shingle vocabulary) must not materialize an unbounded (m × vocab)
+    dense membership matrix — above ``max_cells`` the same product
+    accumulates over VOCAB CHUNKS (identical C, M-slice memory bounded
+    at ~128 MB; the m × m count matrix itself is bounded by the
+    operator's own quadratic output contract)."""
+    import numpy as np
+
+    m = len(sets)
+    flat = np.concatenate(sets) if m else np.array([], dtype=np.int64)
+    _, inv = np.unique(flat, return_inverse=True)
+    vocab = int(inv.max()) + 1 if inv.size else 1
+    row = np.repeat(np.arange(m), sizes)
+    if m * vocab <= max_cells:
+        M = np.zeros((m, vocab), dtype=np.float32)
+        M[row, inv] = 1.0
+        return M @ M.T
+    C = np.zeros((m, m), dtype=np.float32)
+    vchunk = max(1, max_cells // max(m, 1))
+    order = np.argsort(inv, kind="stable")
+    s_inv, s_row = inv[order], row[order]
+    for c0 in range(0, vocab, vchunk):
+        lo = np.searchsorted(s_inv, c0)
+        hi = np.searchsorted(s_inv, min(c0 + vchunk, vocab))
+        if lo == hi:
+            continue
+        Mc = np.zeros((m, min(vchunk, vocab - c0)), dtype=np.float32)
+        Mc[s_row[lo:hi], s_inv[lo:hi] - c0] = 1.0
+        C += Mc @ Mc.T
+    return C
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -517,12 +684,7 @@ def ngram_jaccard_pairs(
                 m = len(members)
                 sets = [np.asarray(mm["sh"]) for mm in members]
                 sizes = np.fromiter((len(s) for s in sets), dtype=np.int64, count=m)
-                flat = np.concatenate(sets) if m else np.array([], dtype=np.int64)
-                _, inv = np.unique(flat, return_inverse=True)
-                M = np.zeros((m, int(inv.max()) + 1 if inv.size else 1), dtype=np.float32)
-                row = np.repeat(np.arange(m), sizes)
-                M[row, inv] = 1.0
-                C = M @ M.T
+                C = _block_intersection_matrix(sets, sizes)
                 iu, ju = np.triu_indices(m, 1)
                 ids = np.asarray([mm["id"] for mm in members])
                 blocks.extend([blk] * len(iu))
@@ -726,6 +888,50 @@ def simhash_block_pairs(
     )
 
 
+def _winnow_stage(normed: DataFrame, k: int, w: int) -> DataFrame:
+    """(id, _norm) → (id, fingerprints array<long>): winnowing under the
+    default xxhash64 gram hash as ONE Arrow-batched numpy stage — the
+    bit-exact twin of the column form (per-position gram hashes via
+    :mod:`operators.xxh64`, w-window minimum as a strided-view min over
+    SIGNED longs exactly like ``array_min``, dedup in array_distinct's
+    first-occurrence order)."""
+    import numpy as np
+    import pandas as pd
+
+    from eligibility_etl_airflow_spark.operators.xxh64 import xxh64_slices
+
+    id_type = normed.schema["id"].dataType.simpleString()
+
+    def batch(frames):
+        for pdf in frames:
+            flat, doc_starts = _utf8_concat(pdf["_norm"])
+            n_docs = len(doc_starts) - 1
+            if not n_docs:
+                continue
+            starts, lens, didx = _char_gram_offsets(flat, doc_starts, k)
+            hashes = xxh64_slices(flat, starts, lens)
+            counts = np.bincount(didx, minlength=n_docs)
+            fps = []
+            pos = 0
+            for d in range(n_docs):
+                hd = hashes[pos : pos + counts[d]]
+                pos += counts[d]
+                if len(hd) >= w:
+                    mins = np.lib.stride_tricks.sliding_window_view(hd, w).min(
+                        axis=1
+                    )
+                else:
+                    # slice(_hashes, 1, w) clamps: one whole-array window
+                    mins = hd.min(keepdims=True)
+                _, first = np.unique(mins, return_index=True)
+                fps.append(mins[np.sort(first)])
+            yield pd.DataFrame({"id": pdf["id"], "fingerprints": fps})
+
+    return normed.mapInPandas(
+        batch, schema=f"id {id_type}, fingerprints array<long>"
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -751,8 +957,6 @@ def winnow_fingerprints(
     winnowing GUARANTEE is hash-agnostic (any deterministic hash keeps
     the shared-substring property, only WHICH position wins a window
     changes)."""
-    if hash_fn is None:
-        hash_fn = F.xxhash64
     # Stage normalized text, then the k-gram hash array, each as a
     # materialized column before the window pass. Inlining either into a
     # downstream lambda would re-evaluate it once per element (the regex
@@ -762,6 +966,16 @@ def winnow_fingerprints(
     # duplicate them), so each row normalizes and hashes exactly once and
     # the window pass is pure array indexing.
     normed = _with_normalized_text(df, id_col, text_col)
+    if hash_fn is None:
+        # r11 (guide §4.2): the default-xxhash64 form runs as ONE numpy
+        # stage — per-position gram hashes via the bit-exact vectorized
+        # XXH64 twin, the w-window minimum as a strided view min, and an
+        # array_distinct-order dedup. The JVM form below evaluated an
+        # interpreted transform per position TWICE (hash + window min).
+        # Custom hash_fn callers (the md5 oracle twin) keep the column
+        # path — equivalence of the two defaults is pinned by
+        # tests/test_neardup.py::test_winnow_python_stage_matches_expression.
+        return _winnow_stage(normed, shingle_k, window_w)
     norm = F.col("_norm")
     n = F.length(norm)
     starts = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))

@@ -86,6 +86,75 @@ def _isin_literal(col: Column, values: list) -> Column:
         return col.isin(values)
 
 
+def _np_bucket_counts(chunks, doc_idx_chunks, n_docs: int, dim: int):
+    """log1p'd hashed-bucket count matrix (n_docs × dim) from flat
+    utf-8 byte slices — the driver-side numpy twin of
+    ``groupBy(id, pmod(xxhash64(x), dim)).count()`` + ``log1p`` (r11,
+    guide §4.2 at the driver: the trainers' featurization collect was
+    the dominant cold-training cost — a distributed explode + two
+    aggregates + a collect_list join + a pickled nested-struct collect
+    to build a few-MB dense matrix the driver loops over anyway).
+    ``chunks`` is a list of (flat_uint8, starts, lens) slice groups with
+    matching per-slice doc indexes. Bit-exact: operators/xxh64 is the
+    pinned xxhash64 twin, numpy int64 ``%`` equals ``pmod`` for a
+    positive modulus, and integer counts round-trip float64 exactly."""
+    import numpy as np
+
+    from eligibility_etl_airflow_spark.operators.xxh64 import xxh64_slices
+
+    cnt = np.zeros((n_docs, dim), dtype=np.int64)
+    for (flat, starts, lens), didx in zip(chunks, doc_idx_chunks):
+        if len(starts) == 0:
+            continue
+        buckets = xxh64_slices(flat, starts, lens) % dim
+        np.add.at(cnt, (didx, buckets), 1)
+    return np.log1p(cnt.astype(np.float64))
+
+
+def _np_token_features(token_lists, dim: int):
+    """(n_docs × dim) log1p bucket counts from per-doc token arrays
+    (the ``hashed_token_features`` featurization, driver-side)."""
+    import numpy as np
+
+    all_toks: list[bytes] = []
+    doc_idx: list[int] = []
+    for i, toks in enumerate(token_lists):
+        if toks is None or len(toks) == 0:
+            continue
+        all_toks.extend(t.encode("utf-8") for t in toks)
+        doc_idx.extend([i] * len(toks))
+    n_docs = len(token_lists)
+    if not all_toks:
+        return np.zeros((n_docs, dim), dtype=np.float64)
+    lens = np.fromiter(map(len, all_toks), dtype=np.int64, count=len(all_toks))
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    flat = np.frombuffer(b"".join(all_toks), dtype=np.uint8)
+    didx = np.asarray(doc_idx, dtype=np.int64)
+    return _np_bucket_counts([(flat, starts, lens)], [didx], n_docs, dim)
+
+
+def _np_chargram_features(padded_texts, dim: int, n: int):
+    """(n_docs × dim) log1p bucket counts from per-doc padded strings
+    under the char-n-gram featurization (``hashed_char_features``,
+    driver-side). Null/short (<n chars) docs yield all-zero rows —
+    the extractor's ``otherwise(empty array)`` rule."""
+    import numpy as np
+
+    from eligibility_etl_airflow_spark.operators.neardup import (
+        _char_gram_offsets,
+        _utf8_concat,
+    )
+
+    texts = ["" if s is None else s for s in padded_texts]
+    flat, doc_starts = _utf8_concat(texts)
+    starts, lens, didx = _char_gram_offsets(flat, doc_starts, n, clamp_short=False)
+    # null padded strings must emit nothing even if >= n chars long
+    # (they are already "" here, shorter than any n >= 1)
+    return _np_bucket_counts(
+        [(flat, starts, lens)], [didx], len(texts), dim
+    )
+
+
 def hashed_token_features(
     df: DataFrame, id_col: str, text_col: str, dim: int = 1024
 ) -> DataFrame:
@@ -118,11 +187,15 @@ def train_quality_classifier(
     ``{"weights": [dim floats], "bias": float, "dim": dim}``.
 
     The sample is layout-stable (md5-of-id rank, the ``assign_split``
-    discipline) and featurized DISTRIBUTED — the driver receives
-    ``sample_size`` already-hashed sparse rows plus the 0/1 label, so
-    train-time and score-time hashing are the same JVM function. The
-    solve is deterministic full-batch gradient descent with L2 (no
-    random init, no shuffling): same sample → same model, bit for bit.
+    discipline); the driver receives the sample's JVM-tokenized token
+    arrays in ONE Arrow collect and featurizes them in numpy against
+    the bit-exact xxhash64 twin (operators/xxh64 — hash values and so
+    buckets identical to the JVM's; r11, replacing the explode → two
+    aggregates → collect_list join → pickled nested-struct collect
+    that rebuilt the same dense matrix). The solve is deterministic
+    full-batch gradient descent with L2 (no random init, no
+    shuffling): same sample → same model, bit for bit — pinned
+    equal-to-the-r10-implementation on sf0.01 AND sf0.1.
 
     Labels: ``label_col`` must be 0/1-castable; rows with null labels
     are excluded. Feature scaling: counts are log1p-damped so one
@@ -158,38 +231,31 @@ def train_quality_classifier(
     sample = labeled.filter(
         _isin_literal(F.col("id"), [r["id"] for r in sample_id_rows])
     )
-    feats = hashed_token_features(sample, "id", "text", dim)
-    # one collect of (sample_size × avg-distinct-buckets) sparse triples.
-    # LEFT join from the labeled sample: token-less docs (whitespace/
-    # punctuation junk — often exactly the label-0 class the gate
-    # exists for) contribute an all-zero feature row, so the bias is
+    # ONE Arrow collect of the sample's (tokens, y) — tokenization stays
+    # the shared JVM ``tokens_of`` (train-time and score-time tokens are
+    # the same function); bucketing + counting + log1p happen driver-
+    # side in numpy against the bit-exact xxhash64 twin (r11: the
+    # previous explode → two aggregates → collect_list join →
+    # nested-struct pickled collect rebuilt the SAME dense matrix the
+    # driver loops over — several distributed jobs to produce a few MB).
+    # Token-less docs keep their all-zero feature row, so the bias is
     # fitted WITH their labels — score-time gives them sigmoid(bias),
     # which must reflect that evidence, not a clean-docs-only prior.
-    rows = (
-        sample.select("id", "y")
-        .join(
-            feats.groupBy("id").agg(
-                F.collect_list(F.struct("bucket", "cnt")).alias("bc")
-            ),
-            "id",
-            "left",
-        )
-        # orderBy before collect: the gradient sums over samples in row
-        # order, so without a pinned order the float summation (and so
-        # the learned weights' low bits) would depend on the physical
-        # layout — the md5 discipline pins membership, this pins order
+    # orderBy before collect: the gradient sums over samples in row
+    # order, so without a pinned order the float summation (and so
+    # the learned weights' low bits) would depend on the physical
+    # layout — the md5 discipline pins membership, this pins order.
+    pdf = (
+        sample.select("id", tokens_of(F.col("text")).alias("tk"), "y")
         .orderBy("id")
-        .select("bc", "y")
-        .collect()
+        .select("tk", "y")
+        .toPandas()
     )
-    if not rows:
+    if not len(pdf):
         raise ValueError("no labeled rows to train on")
-    X = np.zeros((len(rows), dim), dtype=np.float64)
-    y = np.zeros(len(rows), dtype=np.float64)
-    for i, r in enumerate(rows):
-        y[i] = r["y"]
-        for s in r["bc"] or ():  # null bc = token-less doc, all-zero row
-            X[i, s["bucket"]] = np.log1p(s["cnt"])
+    X = _np_token_features(list(pdf["tk"]), dim)
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    rows = pdf
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
     n = len(rows)
@@ -289,10 +355,12 @@ def hashed_char_features(
     staged = df.select(F.col(id_col).alias("id"), padded.alias("_s"))
     # one-regex-pass gram extraction (r10): zero-width lookahead capture
     # emits every char n-gram in a single engine scan vs two interpreted
-    # expressions per position — identical strings in identical order
+    # expressions per position — identical strings in identical order.
+    # r11: consuming dot so non-BMP chars advance one code POINT per
+    # match (the surrogate-advance fix; see hashed_shingles_of_norm)
     grams = F.when(
         F.length("_s") >= n,
-        F.regexp_extract_all(F.col("_s"), F.lit("(?s)(?=(" + "." * n + "))"), F.lit(1)),
+        F.regexp_extract_all(F.col("_s"), F.lit("(?s)(?=(" + "." * n + "))."), F.lit(1)),
     ).otherwise(F.array().cast("array<string>"))
     return (
         staged.select("id", F.explode(grams).alias("g"))
@@ -325,10 +393,14 @@ def train_softmax_classifier(
     Same discipline as the binary solver: the label set is collected
     (bounded by ``max_classes`` — a label explosion fails loudly, it is
     a modeling bug, not data), the training sample is md5-ranked
-    layout-stable, featurization runs DISTRIBUTED with the same JVM
-    hash used at score time, and the driver solves deterministic
+    layout-stable, the padding/lowering expression is shared with the
+    score path in the JVM while gram hashing + bucket counting run
+    driver-side against the bit-exact xxhash64 twin (r11 — one Arrow
+    collect of the sample's padded strings replaces the distributed
+    featurization job tree), and the driver solves deterministic
     full-batch gradient descent from zero init — same sample, same
-    model, bit for bit."""
+    model, bit for bit (pinned equal to the r10 implementation on
+    sf0.01 AND sf0.1)."""
     import numpy as np
 
     labeled = df.where(F.col(label_col).isNotNull()).select(
@@ -358,31 +430,29 @@ def train_softmax_classifier(
     sample = labeled.filter(
         _isin_literal(F.col("id"), [r["id"] for r in sample_id_rows])
     )
-    feats = hashed_char_features(sample, "id", "text", dim, n)
-    rows = (
-        sample.select("id", "y")
-        .join(
-            feats.groupBy("id").agg(
-                F.collect_list(F.struct("bucket", "cnt")).alias("bc")
-            ),
-            "id",
-            "left",
-        )
-        # orderBy pins the float-summation order of the gradient — see
-        # train_quality_classifier; bit-determinism needs order, not
-        # just membership
-        .orderBy("id")
-        .select("bc", "y")
-        .collect()
+    # ONE Arrow collect of the sample's (padded text, y); the padded
+    # expression is EXACTLY hashed_char_features' (same JVM lower +
+    # whitespace fold), gram slicing + bucketing + counting move to the
+    # driver against the bit-exact xxhash64 twin — see the r11 note on
+    # train_quality_classifier. orderBy pins the float-summation order
+    # of the gradient; bit-determinism needs order, not just membership.
+    padded = F.concat(
+        F.lit("_"),
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", "_"),
+        F.lit("_"),
     )
-    m = len(rows)
+    pdf = (
+        sample.select("id", padded.alias("_s"), "y")
+        .orderBy("id")
+        .select("_s", "y")
+        .toPandas()
+    )
+    m = len(pdf)
     K = len(classes)
-    X = np.zeros((m, dim), dtype=np.float64)
+    X = _np_chargram_features(list(pdf["_s"]), dim, n)
     Y = np.zeros((m, K), dtype=np.float64)
-    for i, r in enumerate(rows):
-        Y[i, cls_idx[r["y"]]] = 1.0
-        for s in r["bc"] or ():
-            X[i, s["bucket"]] = np.log1p(s["cnt"])
+    for i, label in enumerate(pdf["y"]):
+        Y[i, cls_idx[label]] = 1.0
     W = np.zeros((K, dim), dtype=np.float64)
     b = np.zeros(K, dtype=np.float64)
     for _ in range(iters):
@@ -456,9 +526,10 @@ def score_softmax(
         df.select(F.col(id_col).alias("id"), padded.alias("_s"))
     )
     # one-regex-pass gram extraction — mirrors hashed_char_features
+    # exactly (incl. the r11 consuming-dot non-BMP fix)
     grams = F.when(
         F.length("_s") >= n,
-        F.regexp_extract_all(F.col("_s"), F.lit("(?s)(?=(" + "." * n + "))"), F.lit(1)),
+        F.regexp_extract_all(F.col("_s"), F.lit("(?s)(?=(" + "." * n + "))."), F.lit(1)),
     ).otherwise(F.array().cast("array<string>"))
     feats = (
         staged.select("id", F.explode(grams).alias("g"))

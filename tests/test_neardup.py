@@ -707,3 +707,72 @@ def test_ivf_topk_over_index_exact_within_probed_clusters(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_block_intersection_matrix_chunked_matches_dense():
+    """The vocab-chunked degenerate-block path (r11 ADVICE fix: bounded
+    membership-matrix memory) must produce the exact same pairwise
+    intersection counts as the one-shot dense matmul."""
+    import numpy as np
+
+    from eligibility_etl_airflow_spark.operators.neardup import (
+        _block_intersection_matrix,
+    )
+
+    rng = np.random.default_rng(11)
+    sets = [
+        np.unique(rng.integers(0, 500, size=rng.integers(1, 120)))
+        for _ in range(40)
+    ]
+    sizes = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+    dense = _block_intersection_matrix(sets, sizes)  # default huge ceiling
+    chunked = _block_intersection_matrix(sets, sizes, max_cells=257)
+    assert np.array_equal(dense, chunked)
+    # spot-check one pair against a set intersection
+    assert dense[3, 7] == len(np.intersect1d(sets[3], sets[7]))
+
+
+def test_winnow_python_stage_matches_expression(spark):
+    """The default-xxhash64 winnowing stage (r11 numpy form) must equal
+    the column-expression form array-for-array — same per-position
+    hashes, same window minima, same first-occurrence dedup order —
+    on boundary docs incl. short/empty and non-BMP text."""
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import neardup
+
+    cases = [
+        "",
+        "a",
+        "abcd",
+        "abcdefgh",
+        "ab\U0001F600cd efgh ijkl",
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "aaaaaaaaaaaaaaaa",  # duplicate window minima — dedup path
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "doc_id long, text string"
+    )
+    got = neardup.winnow_fingerprints(df, "doc_id", "text")
+    normed = neardup._with_normalized_text(df, "doc_id", "text")
+    norm = F.col("_norm")
+    n = F.length(norm)
+    k, w = 5, 4
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    hashed = normed.select(
+        "id",
+        F.transform(
+            starts, lambda i: F.xxhash64(F.substring(norm, i, k))
+        ).alias("_hashes"),
+    )
+    wins = F.sequence(F.lit(0), F.greatest(F.size("_hashes") - w, F.lit(0)))
+    want = hashed.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                wins, lambda i: F.array_min(F.slice(F.col("_hashes"), i + 1, w))
+            )
+        ).alias("fingerprints"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

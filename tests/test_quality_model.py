@@ -380,3 +380,48 @@ def test_isin_literal_fast_path_matches_fallback(spark, monkeypatch):
     monkeypatch.undo()
     slow = sorted(r["id"] for r in df.filter(slow_col).collect())
     assert fast == slow == vals
+
+
+def test_np_featurizers_match_distributed(spark):
+    """The r11 driver-side numpy featurizers must reproduce the
+    distributed featurization relations exactly — same buckets (bit-
+    exact xxhash64 twin + floor-mod pmod), same log1p counts, zero rows
+    for token-less / short / null docs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from eligibility_etl_airflow_spark.operators import quality_model as qm
+    from eligibility_etl_airflow_spark.operators.tokenize import tokens_of
+
+    cases = [
+        "the quick brown fox",
+        "",
+        None,
+        "     ",
+        "ab",
+        "héllo wörld \U0001F600 grams",
+        "one two three four five six seven " * 20,
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "id long, text string"
+    )
+    for dim, builder, feats_fn in (
+        (64, "tokens", qm.hashed_token_features),
+        (128, "chargrams", qm.hashed_char_features),
+    ):
+        feats = feats_fn(df, "id", "text", dim)
+        want = np.zeros((len(cases), dim))
+        for r in feats.collect():
+            want[r["id"], r["bucket"]] = np.log1p(r["cnt"])
+        if builder == "tokens":
+            pdf = df.select("id", tokens_of(F.col("text")).alias("tk")).orderBy("id").toPandas()
+            got = qm._np_token_features(list(pdf["tk"]), dim)
+        else:
+            padded = F.concat(
+                F.lit("_"),
+                F.regexp_replace(F.lower(F.col("text")), r"\s+", "_"),
+                F.lit("_"),
+            )
+            pdf = df.select("id", padded.alias("_s")).orderBy("id").toPandas()
+            got = qm._np_chargram_features(list(pdf["_s"]), dim, 3)
+        assert np.array_equal(got, want), builder
