@@ -144,6 +144,7 @@ def test_cli_crawl_frontier_requires_raw_crawl(spark, tmp_path, capsys):
     assert "requires --raw-crawl" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_cli_crawl_ingest_with_drift(spark, tmp_path, capsys):
     """crawl-ingest subcommand: two batches against one state dir; the
     second surfaces the drift stat (token index built by the first) and

@@ -359,6 +359,7 @@ def test_pq_topk_empty_queries_and_heterogeneous_norms(spark):
     assert recall >= 0.9, f"norm-heterogeneous recall {recall:.2f}"
 
 
+@pytest.mark.slow
 def test_pq_topk_chunks_past_max_queries(spark):
     """Query sets over max_queries chunk through the driver (LUT memory
     flat per chunk) and the unioned result is identical to one-shot."""

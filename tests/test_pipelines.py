@@ -869,6 +869,7 @@ def test_crawl_frontier_pipeline_schedules_uncrawled_targets(spark, tmp_path):
     assert big["eta_seconds"] == 0.0
 
 
+@pytest.mark.slow
 def test_crawl_frontier_eta_scales_with_crawl_delay(spark, tmp_path):
     from eligibility_etl_airflow_spark import pipelines
 
@@ -902,6 +903,7 @@ def test_crawl_frontier_eta_scales_with_crawl_delay(spark, tmp_path):
     assert got == [(0, 0, 0.0), (0, 1, 30.0), (1, 0, 60.0)]
 
 
+@pytest.mark.slow
 def test_incremental_frontier_warm_start_edge_state_and_replay(spark, tmp_path):
     """Continuous frontier: domain edges accumulate idempotently in
     state, PageRank warm-starts from the previous cycle's persisted
@@ -983,6 +985,7 @@ def test_incremental_frontier_warm_start_edge_state_and_replay(spark, tmp_path):
     assert rep["n_frontier_ranks"] == 6  # every domain on either edge side
 
 
+@pytest.mark.slow
 def test_incremental_crawl_ingest_recrawl_update_policy(spark, tmp_path):
     """recrawl_policy='update': a re-crawled URL with CHANGED cleaned
     content replaces its accepted doc in place (URL identity); an
@@ -1076,6 +1079,7 @@ def test_crawl_frontier_sitemap_seeding(spark, tmp_path):
     assert frontier["https://t.example.net/sitemap-only"]["n_inlinks"] == 0
 
 
+@pytest.mark.slow
 def test_crawl_preprocess_quarantine_partitions_the_source(spark, tmp_path):
     """Opt-in quarantine: every dropped record gets exactly one
     (doc_id, url, reason) row; drops + survivors partition the input."""
@@ -1184,6 +1188,7 @@ def test_domain_quality_feedback_lowers_frontier_priority(spark, tmp_path):
     assert fr["https://www.goodsite.org/x"] > fr["https://www.junksite.net/x"] > 0
 
 
+@pytest.mark.slow
 def test_incremental_crawl_ingest_migrates_legacy_url_index(spark, tmp_path):
     """A pre-update-era url index (no content_hash) is backfilled once
     from the accepted docs' text before any append — appends never mix
@@ -1271,6 +1276,7 @@ def test_crawl_frontier_respects_state_url_index(spark, tmp_path):
     assert [r["url"] for r in out] == ["https://t.example.net/new"]
 
 
+@pytest.mark.slow
 def test_incremental_crawl_ingest_drift_report(spark, tmp_path):
     """drift_report=True surfaces the batch-vs-state JSD before append:
     an on-topic batch scores low, an off-vocabulary batch scores high."""
@@ -1303,6 +1309,7 @@ def test_incremental_crawl_ingest_drift_report(spark, tmp_path):
     assert s_alien["batch_vocab_shared"] == 0
 
 
+@pytest.mark.slow
 def test_incremental_drift_token_index_matches_full_recompute(spark, tmp_path):
     """The persisted (token, count) index makes the drift monitor
     incremental: across a 3-batch sequence the per-batch JSD equals the
@@ -1401,6 +1408,7 @@ def test_incremental_drift_token_index_matches_full_recompute(spark, tmp_path):
     assert sorted(glob.glob(f"{state}/index_tokens/*.parquet")) == files_before
 
 
+@pytest.mark.slow
 def test_incremental_drift_index_tracks_update_policy(spark, tmp_path):
     """recrawl_policy='update' replaces a doc's text in place; the token
     index must shed the OLD text's counts and gain the NEW ones — no
@@ -1492,6 +1500,7 @@ def test_training_prep_span_dedup_quote_trains_once(spark, tmp_path):
     assert quote_hits(str(tmp_path / "deduped")) == 1
 
 
+@pytest.mark.slow
 def test_incremental_drift_index_survives_crash_before_fold(spark, tmp_path):
     """The crash window the write-ahead intent closes: a run that died
     AFTER the state appends but BEFORE the token-index fold leaves a
@@ -1625,6 +1634,7 @@ def test_crawl_preprocess_mojibake_gate(spark, tmp_path):
     assert quar[1] == "mojibake_gate"
 
 
+@pytest.mark.slow
 def test_incremental_drift_update_crash_and_same_id_recrawls(spark, tmp_path):
     """The review's update-path crash scenarios: (a) an 'upd' intent
     whose merge never landed is discarded on recovery, NOT folded and
@@ -1727,6 +1737,7 @@ def test_incremental_drift_update_crash_and_same_id_recrawls(spark, tmp_path):
     assert index() == recount()
 
 
+@pytest.mark.slow
 def test_incremental_crawl_ingest_compaction_bounds_state_files(spark, tmp_path):
     """Continuous-operation housekeeping (round-6 verdict finding):
     append_dedup adds one parquet delta per batch forever, so 50 one-row
@@ -1820,6 +1831,7 @@ def test_compaction_mid_swap_crash_recovers_without_duplicate_acceptance(
         assert not _glob.glob(f"{p}__old_*") and not _glob.glob(f"{p}__compact_*")
 
 
+@pytest.mark.slow
 def test_incremental_curation_compaction_bounds_state_files(spark, tmp_path):
     """The curation loop's five indexes get the same housekeeping; the
     dedup result over the compacted state matches what uncompacted state
@@ -1915,6 +1927,7 @@ def test_recover_restores_newest_old_snapshot(tmp_path):
         assert f.read() == "fresh"
 
 
+@pytest.mark.slow
 def test_token_index_backfill_and_merge_strays_healed(spark, tmp_path):
     """A crash between the token-index backfill's staged write and its
     rename (or mid-fold between the __merge_ swap renames) used to leak
@@ -1968,6 +1981,7 @@ def test_token_index_backfill_and_merge_strays_healed(spark, tmp_path):
     assert not _glob.glob(f"{tok}__old_*") and not _glob.glob(f"{tok}__merge_*")
 
 
+@pytest.mark.slow
 def test_closed_loop_crawl_soak_crashes_at_every_protocol_boundary(spark, tmp_path):
     """The full continuous loop — ingest → curate → survival feedback →
     frontier — over shared state for 3 cycles, with a crash injected at

@@ -80,6 +80,13 @@ def test_shingle_stage_normalizes_exactly_once(spark, sf_dir):
 
 
 def test_winnow_normalizes_and_hashes_once(spark, sf_dir):
+    """r11 contract: the default-xxhash64 winnowing runs as ONE numpy
+    stage over the staged normalization — the regex normalize appears
+    once, gram hashing + window minima live inside the MapInPandas (no
+    JVM xxhash64 transform, no per-window array_min rebuild). The md5
+    oracle twin keeps the column path (its own pin below)."""
+    from pyspark.sql import functions as F
+
     from eligibility_etl_airflow_spark.operators import neardup
 
     spark.catalog.clearCache()
@@ -87,8 +94,14 @@ def test_winnow_normalizes_and_hashes_once(spark, sf_dir):
     fp = neardup.winnow_fingerprints(d, "doc_id", "text")
     plan = fp._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("regexp_replace") == 1, plan
-    # the k-gram hash array is staged once, not rebuilt per window
-    assert plan.count("xxhash64") == 1, plan
+    assert "mapinpandas" in plan.lower(), plan
+    assert plan.count("xxhash64") == 0, plan
+    # custom-hash callers (the DuckDB-graded md5 twin) keep the staged
+    # column form: normalize once, hash array staged once
+    fp_md5 = neardup.winnow_fingerprints(d, "doc_id", "text", hash_fn=F.md5)
+    plan_md5 = fp_md5._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_md5.count("regexp_replace") == 1, plan_md5
+    assert plan_md5.count("md5") == 1, plan_md5
 
 
 def test_minhash_signature_stage_has_no_shuffle(spark, sf_dir):

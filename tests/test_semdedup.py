@@ -189,6 +189,7 @@ def test_bipartite_cap_reports(spark):
     assert rows[0]["capped_cluster"] and rows[0]["id"] == 100
 
 
+@pytest.mark.slow
 def test_incremental_semantic_tier(spark, tmp_path):
     """Batch 2's paraphrase-of-state (no shared shingles, same meaning
     direction) is dropped by the vector index; its fresh doc survives;

@@ -210,6 +210,7 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir):
     assert sparse.count() == Catalog(spark, sf_dir).events.count()
 
 
+@pytest.mark.slow
 def test_stream_incremental_curation_replay_is_noop(spark, tmp_path):
     """Incremental curation under a real checkpointed stream: batches
     dedup against the persisted index as they arrive, and a forced full
@@ -264,6 +265,7 @@ def test_stream_incremental_curation_replay_is_noop(spark, tmp_path):
     assert sorted(r.doc_id for r in docs_after.collect()) == accepted
 
 
+@pytest.mark.slow
 def test_stream_incremental_curation_semantic_passthrough(spark, tmp_path):
     """curation kwargs flow through the stream wrapper: the semantic
     vector index builds under foreachBatch and drops a batch-2
@@ -307,6 +309,7 @@ def test_stream_incremental_curation_semantic_passthrough(spark, tmp_path):
     assert sorted(r.doc_id for r in docs.collect()) == [1, 2, 11]
 
 
+@pytest.mark.slow
 def test_stream_crawl_ingest_vs_state_and_replay(spark, tmp_path):
     """Continuous crawl ingestion: re-crawled canonical URLs and
     same-content-new-URL mirrors skip against the persisted indexes;
@@ -381,6 +384,7 @@ def test_stream_crawl_ingest_vs_state_and_replay(spark, tmp_path):
     ) == [1, 2, 12]
 
 
+@pytest.mark.slow
 def test_stream_crawl_frontier_warm_start_and_replay(spark, tmp_path):
     """Continuous frontier under checkpointed foreachBatch: the first
     micro-batch cold-starts PageRank and persists ranks + edge state,
@@ -453,6 +457,7 @@ def test_stream_crawl_frontier_warm_start_and_replay(spark, tmp_path):
         assert abs(sched2[u] - sched[u]) < 1e-6, u
 
 
+@pytest.mark.slow
 def test_stream_incremental_curation_drift_per_batch_and_restart(spark, tmp_path):
     """drift_report flows through the stream wrapper: every micro-batch
     after the first surfaces batch_js_divergence computed against the
@@ -511,6 +516,7 @@ def test_stream_incremental_curation_drift_per_batch_and_restart(spark, tmp_path
     assert got2 == want
 
 
+@pytest.mark.slow
 def test_stream_crawl_ingest_drift_per_batch(spark, tmp_path):
     """drift_report flows through the crawl stream wrapper too: batches
     after the first surface batch_js_divergence against the persisted
