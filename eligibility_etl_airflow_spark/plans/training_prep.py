@@ -1382,7 +1382,16 @@ def link_graph_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_url,
         F.lit('/other">self-abs</a></body></html>'),
     )
-    crawl = d.select(src_url.alias("url"), html.alias("html"))
+    # The whole synth→harvest→resolve→canonicalize chain hangs off
+    # doc_id alone, and the documents scan is a single split at bench
+    # scale — spread the narrow doc_id column BEFORE synthesizing so
+    # the regex parse + PSL canonicalization run in parallel (the
+    # round-robin ships only longs; passthrough on a split scan).
+    from eligibility_etl_airflow_spark.operators.parallel import ensure_parallelism
+
+    crawl = ensure_parallelism(d.select("doc_id")).select(
+        src_url.alias("url"), html.alias("html")
+    )
     return (
         urls.extract_link_edges(crawl, "url", "html")
         .groupBy("src", "dst")
